@@ -1,0 +1,71 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + derived trajectory views for the declared query contract
+  * (SURVEY.md §1.2, FIXTURES.md).
+  *
+  * All queries read plain parquet from `sfDir`. DataFrames are memoized per
+  * (session, sfDir, name) so the many declared queries share one logical scan
+  * definition (and, when `cacheHot` is used by Bench, one InMemoryRelation).
+  *
+  * Design note (100 TB): loaders are plain `spark.read.parquet` — at cluster
+  * scale these become partitioned tables; nothing here collects to the
+  * driver, and every derived view is a narrow projection on top of the scan
+  * so Catalyst can prune columns/predicates into the file source.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, name), {
+      if (name == "events") {
+        // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4.x refuses it
+        // unless the legacy flag maps it to BIGINT nanoseconds. Must be set
+        // before the first read in this session (schema-conversion time).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      }
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    })
+
+  /** `events` with the canonical microsecond time column `ts_us`
+    * (FIXTURES.md convention 1: raw ns is not portable across engines). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+
+  /** Trajectory view (SURVEY §2.7): one event type, planar coords
+    * x = days since 2024-01-01 (exact int64 subtraction, one IEEE division),
+    * y = value. Long-form — per-user ordering is applied by each consumer
+    * via (ts_us, event_id), never by a global sort.
+    */
+  def pts(spark: SparkSession, sfDir: String, eventType: String = "purchase"): DataFrame =
+    events(spark, sfDir)
+      .filter(col("event_type") === eventType)
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        ((col("ts_us") - lit(1704067200000000L)).cast("double") / lit(86400e6)).as("x"),
+        col("value").as("y"))
+
+  /** Per-user point arrays ordered by (ts_us, event_id) — the input shape for
+    * the array-based trajectory metrics (Hausdorff / Fréchet UDFs). Kept as
+    * two primitive DOUBLE arrays (not ARRAY<STRUCT>) so the UDF path avoids
+    * row boxing (SURVEY §4.3a).
+    */
+  def trajArrays(spark: SparkSession, sfDir: String, eventType: String = "purchase"): DataFrame = {
+    val p = pts(spark, sfDir, eventType)
+    p.groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("x"), col("y")))).as("pts"))
+      .select(
+        col("user_id"),
+        expr("transform(pts, p -> p.x)").as("xs"),
+        expr("transform(pts, p -> p.y)").as("ys"))
+  }
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeclaredQuery, Tables}
+import graft.Fns._
+
+/** Relational core r1–r9 (SURVEY §2.2): scans, filters, multi-way joins,
+  * hash aggregation, rollup/cube, distinct aggregation, range-residual outer
+  * join. All builtin Catalyst — broadcast hints only on the constant-size
+  * dimension tables (region/nation); everything else is left to the
+  * optimizer + AQE so plans keep improving as stats change with scale.
+  */
+object Relational {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    DeclaredQuery("r1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${msumS("l_quantity")} AS sum_qty,
+         |       ${msumS("l_extendedprice")} AS sum_base_price,
+         |       $mrevS AS sum_disc_price,
+         |       ${msumS("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+         |       ROUND(CAST(SUM(${centsS("l_quantity")}) AS DOUBLE)/COUNT(*)/100.0, 4) AS avg_qty,
+         |       COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-12-01 00:00:00'"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            msum(col("l_quantity")).as("sum_qty"),
+            msum(col("l_extendedprice")).as("sum_base_price"),
+            msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            msum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            round(sum(cents(col("l_quantity"))).cast("double") / count(lit(1)) / lit(100.0), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    DeclaredQuery("r2_top_revenue_customers",
+      s"""SELECT c.c_custkey, c.c_name, $mrevS AS revenue
+         |FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey=l.l_orderkey
+         |GROUP BY c.c_custkey, c.c_name
+         |ORDER BY $mrevS DESC, c.c_custkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.table(s, dir, "customer")
+        val o = Tables.table(s, dir, "orders")
+        val l = Tables.table(s, dir, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(c("c_custkey"), c("c_name"))
+          .agg(msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(10)
+    },
+
+    DeclaredQuery("r3_shipping_priority",
+      s"""SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+         |       $mrevS AS revenue
+         |FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey=l.l_orderkey
+         |WHERE c.c_mktsegment='BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+         |ORDER BY $mrevS DESC, o.o_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        val l = Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") > expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(o("o_orderkey"), o("o_orderdate").cast("date").as("o_orderdate"))
+          .agg(msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+    },
+
+    DeclaredQuery("r4_local_supplier_volume",
+      s"""SELECT n.n_name, $mrevS AS revenue, COUNT(*) AS n_items
+         |FROM region r JOIN nation n   ON n.n_regionkey=r.r_regionkey
+         |JOIN customer c ON c.c_nationkey=n.n_nationkey
+         |JOIN orders o   ON o.o_custkey=c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+         |JOIN supplier s ON s.s_suppkey=l.l_suppkey AND s.s_nationkey=c.c_nationkey
+         |WHERE r.r_name='ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) {
+      (s, dir) =>
+        val r = Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = Tables.table(s, dir, "nation")
+        val c = Tables.table(s, dir, "customer")
+        val o = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+                  col("o_orderdate") <  expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        val l = Tables.table(s, dir, "lineitem")
+        val su = Tables.table(s, dir, "supplier")
+        broadcast(r).join(n, n("n_regionkey") === r("r_regionkey"))
+          .join(c, c("c_nationkey") === n("n_nationkey"))
+          .join(o, o("o_custkey") === c("c_custkey"))
+          .join(l, l("l_orderkey") === o("o_orderkey"))
+          .join(su, su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === c("c_nationkey"))
+          .groupBy(n("n_name"))
+          .agg(
+            msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+    },
+
+    DeclaredQuery("r5_rollup_acctbal",
+      s"""SELECT r.r_name, n.n_name, COUNT(*) AS n_cust,
+         |       ${msumS("c.c_acctbal")} AS sum_bal,
+         |       CAST(GROUPING(r.r_name) AS BIGINT) AS g_r,
+         |       CAST(GROUPING(n.n_name) AS BIGINT) AS g_n
+         |FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey
+         |JOIN region r ON n.n_regionkey=r.r_regionkey
+         |GROUP BY ROLLUP(r.r_name, n.n_name)
+         |ORDER BY g_r, g_n, r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.table(s, dir, "customer")
+        val n = Tables.table(s, dir, "nation")
+        val r = Tables.table(s, dir, "region")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            msum(col("c_acctbal")).as("sum_bal"),
+            grouping(col("r_name")).cast("long").as("g_r"),
+            grouping(col("n_name")).cast("long").as("g_n"))
+          .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    DeclaredQuery("r6_distinct_parts_per_supplier",
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n_items"))
+          .orderBy(col("l_suppkey"))
+    },
+
+    DeclaredQuery("r7_promo_brand_discount",
+      s"""SELECT p.p_brand,
+         |       ROUND(CAST(SUM(${centsS("l.l_discount")}) AS DOUBLE)/COUNT(*)/100.0, 6) AS avg_disc,
+         |       COUNT(*) AS n
+         |FROM part p JOIN lineitem l ON p.p_partkey=l.l_partkey
+         |WHERE p.p_type LIKE 'PROMO%' GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) {
+      (s, dir) =>
+        val p = Tables.table(s, dir, "part").filter(col("p_type").like("PROMO%"))
+        val l = Tables.table(s, dir, "lineitem")
+        broadcast(p).join(l, p("p_partkey") === l("l_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            round(sum(cents(col("l_discount"))).cast("double") / count(lit(1)) / lit(100.0), 6).as("avg_disc"),
+            count(lit(1)).as("n"))
+          .orderBy(col("p_brand"))
+    },
+
+    DeclaredQuery("r8_shipped_within_90d",
+      """SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_shipped
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_orderkey=o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin) {
+      (s, dir) =>
+        val o = Tables.table(s, dir, "orders")
+        val l = Tables.table(s, dir, "lineitem")
+        // equi key + non-equi residual → hash join with filter, not a BNLJ
+        o.join(l,
+            l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") >= o("o_orderdate") &&
+            l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAY"),
+            "left_outer")
+          .groupBy(o("o_orderkey"))
+          .agg(count(l("l_orderkey")).as("n_shipped"))
+          .orderBy(col("o_orderkey"))
+    },
+
+    DeclaredQuery("r9_cube_orders",
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |       ${msumS("o_totalprice")} AS total,
+         |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+         |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            msum(col("o_totalprice")).as("total"),
+            grouping(col("o_orderstatus")).cast("long").as("g_s"),
+            grouping(col("o_orderpriority")).cast("long").as("g_p"))
+          .orderBy(col("g_s"), col("g_p"),
+            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }
+  )
+}

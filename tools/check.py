@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB over views of
+the parquet tables in <sfDir>, reads the Spark result parquet from
+<verifyOutDir>/<name>/, sorts columns by name, and compares values row by row.
+"""
+import sys, json, glob, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return f"{v!r}"
+    return str(v)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = duckdb.read_parquet(files).fetch_arrow_table()
+        ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
+        if ecols != gcols:
+            print(f"FAIL {name}: columns {gcols} != oracle {ecols}")
+            n_fail += 1
+            continue
+        erows = [[canon(r[c]) for c in ecols] for r in exp.to_pylist()]
+        grows = [[canon(r[c]) for c in gcols] for r in got.to_pylist()]
+        if len(erows) != len(grows):
+            print(f"FAIL {name}: rows {len(grows)} != oracle {len(erows)}")
+            n_fail += 1
+            continue
+        bad = [(i, e, g) for i, (e, g) in enumerate(zip(erows, grows)) if e != g]
+        if bad:
+            i, e, g = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(erows)} rows differ; first at {i}:")
+            print(f"  cols   {ecols}")
+            print(f"  oracle {e}")
+            print(f"  spark  {g}")
+            n_fail += 1
+        else:
+            # schema note (types) for awareness, not a failure
+            et = [str(f.type) for f in exp.schema]
+            gt = [str(got.schema.field(c).type) for c in ecols]
+            note = "" if et == gt else f"  [type note: oracle {et} vs spark {gt}]"
+            print(f"PASS {name} ({len(erows)} rows){note}")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
