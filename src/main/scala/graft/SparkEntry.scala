@@ -14,7 +14,12 @@ object SparkEntry {
     queries_.flatten
 
   private def queries_ : Seq[Seq[DeclaredQuery]] = Seq(
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries,
+    graft.queries.Windows.queries,
+    graft.queries.SetsAndFuncs.queries,
+    graft.queries.EventsQ.queries,
+    graft.queries.JsonDocs.queries,
+    graft.queries.Trajectories.queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

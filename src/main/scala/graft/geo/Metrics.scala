@@ -1,0 +1,97 @@
+package graft.geo
+
+/** Trajectory similarity metrics (reference-surface O5/O6 — the flagship
+  * operators of the DFT system described in Xie/Li/Phillips, PVLDB 10(11),
+  * 2017; `/root/reference/` was empty at survey time, so the semantics come
+  * from the published paper, see SURVEY.md §0).
+  *
+  * All kernels operate on primitive double arrays (no row boxing) and work
+  * in SQUARED distance space, taking one sqrt at the end: min/max commute
+  * with the monotone sqrt, so results are bit-identical to the SQL form that
+  * computes `SQRT((ax-bx)^2+(ay-by)^2)` per pair and then min/max — this is
+  * what makes the UDF form hash-match the DuckDB oracle (t2).
+  */
+object Metrics {
+
+  @inline private def d2(ax: Double, ay: Double, bx: Double, by: Double): Double = {
+    val dx = ax - bx
+    val dy = ay - by
+    dx * dx + dy * dy
+  }
+
+  /** Directed Hausdorff h(A,B)^2 = max_a min_b d2(a,b), with the classic
+    * early-break: once a b-point is closer than the current max, this
+    * a-point can no longer raise the max. The break only skips work — the
+    * returned value is exactly max-of-min.
+    */
+  private def directedSq(xa: Array[Double], ya: Array[Double],
+                         xb: Array[Double], yb: Array[Double]): Double = {
+    var cmax = 0.0
+    var i = 0
+    while (i < xa.length) {
+      var cmin = Double.PositiveInfinity
+      var j = 0
+      while (j < xb.length && cmin > cmax) {
+        val d = d2(xa(i), ya(i), xb(j), yb(j))
+        if (d < cmin) cmin = d
+        j += 1
+      }
+      if (cmin > cmax && cmin != Double.PositiveInfinity) cmax = cmin
+      i += 1
+    }
+    cmax
+  }
+
+  /** Discrete Hausdorff H(A,B) = max(h(A,B), h(B,A)). */
+  def hausdorff(xa: Array[Double], ya: Array[Double],
+                xb: Array[Double], yb: Array[Double]): Double =
+    math.sqrt(math.max(directedSq(xa, ya, xb, yb), directedSq(xb, yb, xa, ya)))
+
+  /** Discrete Fréchet distance via the standard O(n·m) dynamic program
+    * (Eiter & Mannila 1994), rolling single-row buffer (O(m) space):
+    * c(i,j) = max(d(i,j), min(c(i-1,j), c(i,j-1), c(i-1,j-1))).
+    */
+  def discreteFrechet(xa: Array[Double], ya: Array[Double],
+                      xb: Array[Double], yb: Array[Double]): Double = {
+    val n = xa.length
+    val m = xb.length
+    if (n == 0 || m == 0) return Double.NaN
+    val row = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val d = d2(xa(0), ya(0), xb(j), yb(j))
+      row(j) = if (j == 0) d else math.max(row(j - 1), d)
+      j += 1
+    }
+    var i = 1
+    while (i < n) {
+      var diag = row(0) // c(i-1, j-1)
+      row(0) = math.max(row(0), d2(xa(i), ya(i), xb(0), yb(0)))
+      j = 1
+      while (j < m) {
+        val up = row(j) // c(i-1, j)
+        val best = math.min(math.min(up, row(j - 1)), diag)
+        row(j) = math.max(best, d2(xa(i), ya(i), xb(j), yb(j)))
+        diag = up
+        j += 1
+      }
+      i += 1
+    }
+    math.sqrt(row(m - 1))
+  }
+
+  /** Naive exponential-recursion Fréchet (memoized) — the definitional form,
+    * used only as the property-test oracle for the DP (SURVEY §5.2). */
+  def discreteFrechetNaive(xa: Array[Double], ya: Array[Double],
+                           xb: Array[Double], yb: Array[Double]): Double = {
+    val memo = collection.mutable.HashMap.empty[(Int, Int), Double]
+    def c(i: Int, j: Int): Double = memo.getOrElseUpdate((i, j), {
+      val d = d2(xa(i), ya(i), xb(j), yb(j))
+      if (i == 0 && j == 0) d
+      else if (i == 0) math.max(c(0, j - 1), d)
+      else if (j == 0) math.max(c(i - 1, 0), d)
+      else math.max(math.min(math.min(c(i - 1, j), c(i, j - 1)), c(i - 1, j - 1)), d)
+    })
+    math.sqrt(c(xa.length - 1, xb.length - 1))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{DeclaredQuery, Tables}
+import graft.Fns._
+
+/** Events / streaming-semantics queries e1–e4 (SURVEY §2.6), batch form.
+  * All on the canonical `ts_us` µs column. Each has an exact Structured
+  * Streaming counterpart (graft.streaming.StreamingQueries) verified by the
+  * batch-equivalence test; tumbling/sliding/session windows are expressed
+  * with integer bucket arithmetic here so results hash-match DuckDB.
+  */
+object EventsQ {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    DeclaredQuery("e1_hourly_tumbling",
+      s"""SELECT ts_us // 3600000000 AS hour_bucket, event_type, COUNT(*) AS n,
+         |       ${msumS("value")} AS sum_value
+         |FROM ${eViewS} e GROUP BY ts_us // 3600000000, event_type
+         |ORDER BY hour_bucket, event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(expr("ts_us DIV 3600000000").as("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+          .orderBy(col("hour_bucket"), col("event_type"))
+    },
+
+    DeclaredQuery("e2_sliding_windows",
+      s"""SELECT win_start, COUNT(*) AS n
+         |FROM (SELECT (ts_us // 900000000) - t.k AS win_start
+         |      FROM ${eViewS} e, range(0,4) t(k)) q
+         |WHERE win_start >= 0 GROUP BY win_start ORDER BY win_start""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(expr("ts_us DIV 900000000").as("b"), explode(sequence(lit(0), lit(3))).as("k"))
+          .select((col("b") - col("k")).as("win_start"))
+          .filter(col("win_start") >= 0)
+          .groupBy(col("win_start"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("win_start"))
+    },
+
+    DeclaredQuery("e3_session_windows",
+      s"""WITH e AS (SELECT * FROM ${eViewS}),
+         |g AS (SELECT user_id, event_id, ts_us,
+         |             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |                       > 1800000000 THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |s AS (SELECT user_id, ts_us,
+         |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |      FROM g),
+         |per AS (SELECT user_id, sess, COUNT(*) AS n_ev, MAX(ts_us)-MIN(ts_us) AS dur_us
+         |        FROM s GROUP BY user_id, sess)
+         |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_ev) AS max_events,
+         |       ROUND(CAST(MAX(dur_us) AS DOUBLE)/1e6, 3) AS max_sess_s
+         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1).otherwise(0).as("brk"))
+          .select(col("user_id"), col("ts_us"), sum(col("brk")).over(wRun).as("sess"))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_ev"), (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            max(col("n_ev")).as("max_events"),
+            round(max(col("dur_us")).cast("double") / lit(1e6), 3).as("max_sess_s"))
+          .orderBy(col("user_id"))
+    },
+
+    DeclaredQuery("e4_stream_dedup",
+      """SELECT COUNT(*) AS n_events, COUNT(DISTINCT event_id) AS n_ids,
+        |       COUNT(DISTINCT CONCAT(CAST(user_id AS VARCHAR), '|', event_type)) AS n_user_type
+        |FROM events""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "events")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("event_id")).as("n_ids"),
+            countDistinct(concat(col("user_id").cast("string"), lit("|"), col("event_type")))
+              .as("n_user_type"))
+    }
+  )
+}

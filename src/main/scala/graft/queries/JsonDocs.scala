@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeclaredQuery, Tables}
+import graft.Fns._
+
+/** JSON / array / vector / text queries (SURVEY §2.5): the LLM-pipeline
+  * surface. Vector math uses Catalyst higher-order functions (codegen'd
+  * per-element lambdas, no UDF boxing); document similarity (d3) is a token
+  * inverted-index self-join — the same blocking idea that replaces the
+  * reference's spatial index: turn an all-pairs theta join into an equi-join
+  * on a shared key, which is the only shape that scales on a cluster.
+  */
+object JsonDocs {
+
+  /** Higher-order-function cosine machinery shared by v1/v2. Elements are
+    * explicitly promoted FLOAT→DOUBLE before arithmetic (§2.7b rule 9) and
+    * folded left-to-right, matching DuckDB's list_sum(list_transform(...)).
+    */
+  private val sq = "aggregate(transform(%s, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)"
+  private val dotS = "aggregate(zip_with(%s, %s, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)"
+
+  /** DuckDB equivalents (fixed dim 64, 1-based list indexing). */
+  private def duckSq(c: String) =
+    s"list_sum(list_transform(range(1,65), i -> CAST($c[i] AS DOUBLE)*CAST($c[i] AS DOUBLE)))"
+  private def duckDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    DeclaredQuery("j1_props_sum",
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+    },
+
+    DeclaredQuery("j2_embedding_norms",
+      s"""SELECT label, COUNT(*) AS n, CAST(MIN(sz) AS BIGINT) AS dim,
+         |       ROUND(CAST(SUM(CAST(FLOOR(SQRT(norm2)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*)/1e6, 4) AS avg_norm
+         |FROM (SELECT label, len(embedding) AS sz, ${duckSq("embedding")} AS norm2 FROM embeddings) t
+         |GROUP BY label ORDER BY label""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "embeddings")
+          .select(col("label"), size(col("embedding")).cast("long").as("sz"),
+            expr(sq.format("embedding")).as("norm2"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("sz")).as("dim"),
+            round(sum(floor(sqrt(col("norm2")) * lit(1e6) + lit(0.5)).cast("long")).cast("double")
+              / count(lit(1)) / lit(1e6), 4).as("avg_norm"))
+          .orderBy(col("label"))
+    },
+
+    DeclaredQuery("j3_embedding_centroids",
+      """SELECT label, pos,
+        |       ROUND(CAST(SUM(CAST(FLOOR(x*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*)/1e6, 5) AS centroid
+        |FROM (SELECT label, t.pos AS pos, CAST(embedding[t.pos+1] AS DOUBLE) AS x
+        |      FROM embeddings, range(0,8) t(pos)) q
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .filter(col("pos") < 8)
+          .select(col("label"), col("pos").cast("long").as("pos"), col("xf").cast("double").as("x"))
+          .groupBy(col("label"), col("pos"))
+          .agg(round(sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).cast("double")
+            / count(lit(1)) / lit(1e6), 5).as("centroid"))
+          .orderBy(col("label"), col("pos"))
+    },
+
+    DeclaredQuery("v1_vector_knn",
+      s"""SELECT a.vec_id, ROUND(${duckDot("a.embedding", "q.q_emb")} /
+         |       (SQRT(${duckSq("q.q_emb")}) * SQRT(${duckSq("a.embedding")})), 6) AS cos_sim
+         |FROM embeddings a,
+         |     (SELECT embedding AS q_emb FROM embeddings WHERE vec_id=0) q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val em = Tables.table(s, dir, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        em.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(expr(dotS.format("embedding", "q_emb")) /
+              (sqrt(expr(sq.format("q_emb"))) * sqrt(expr(sq.format("embedding")))), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+    },
+
+    DeclaredQuery("v2_near_dup_vectors",
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       ROUND(${duckDot("a.embedding", "b.embedding")} /
+         |       (SQRT(${duckSq("a.embedding")}) * SQRT(${duckSq("b.embedding")})), 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ROUND(${duckDot("a.embedding", "b.embedding")} /
+         |      (SQRT(${duckSq("a.embedding")}) * SQRT(${duckSq("b.embedding")})), 6) >= 0.9
+         |ORDER BY cos_sim DESC, id1, id2 LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        val em = Tables.table(s, dir, "embeddings")
+        val a = em.select(col("vec_id").as("id1"), col("embedding").as("ea"))
+        val b = em.select(col("vec_id").as("id2"), col("embedding").as("eb"))
+        a.join(b, col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            round(expr(dotS.format("ea", "eb")) /
+              (sqrt(expr(sq.format("ea"))) * sqrt(expr(sq.format("eb")))), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.9)
+          .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+          .limit(100)
+    },
+
+    DeclaredQuery("d1_doc_dedup",
+      """SELECT COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT text) AS n_raw,
+        |       COUNT(DISTINCT LOWER(TRIM(regexp_replace(text, ' +', ' ', 'g')))) AS n_norm,
+        |       COUNT(DISTINCT MD5(LOWER(TRIM(regexp_replace(text, ' +', ' ', 'g'))))) AS n_hash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        val norm = lower(trim(regexp_replace(col("text"), " +", " ")))
+        Tables.table(s, dir, "documents")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_raw"),
+            countDistinct(norm).as("n_norm"),
+            countDistinct(md5(norm)).as("n_hash"))
+    },
+
+    DeclaredQuery("d2_token_top20",
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20)
+    },
+
+    DeclaredQuery("d3_jaccard_pairs",
+      """WITH toks AS (SELECT DISTINCT doc_id, lang, tok
+        |              FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |              WHERE tok <> ''),
+        |     sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |     inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang AS lang, COUNT(*) AS i
+        |               FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                       AND a.doc_id < b.doc_id
+        |               GROUP BY a.doc_id, b.doc_id, a.lang)
+        |SELECT d1, d2, lang, ROUND(CAST(i AS DOUBLE) / (s1.c + s2.c - i), 6) AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.doc_id=d1 JOIN sizes s2 ON s2.doc_id=d2
+        |WHERE 5*i >= 3*(s1.c + s2.c - i)
+        |ORDER BY ROUND(CAST(i AS DOUBLE)/(s1.c+s2.c-i),6) DESC, d1, d2 LIMIT 100""".stripMargin) {
+      (s, dir) => jaccardPairs(s, dir)
+        .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+        .limit(100)
+    },
+
+    DeclaredQuery("d3b_near_dup_count",
+      """WITH toks AS (SELECT DISTINCT doc_id, lang, tok
+        |              FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |              WHERE tok <> ''),
+        |     sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |     inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |               FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                       AND a.doc_id < b.doc_id
+        |               GROUP BY a.doc_id, b.doc_id)
+        |SELECT COUNT(*) AS n_pairs
+        |FROM inter JOIN sizes s1 ON s1.doc_id=d1 JOIN sizes s2 ON s2.doc_id=d2
+        |WHERE 5*i >= 3*(s1.c + s2.c - i)""".stripMargin) {
+      (s, dir) => jaccardPairs(s, dir).agg(count(lit(1)).as("n_pairs"))
+    },
+
+    DeclaredQuery("d4_lang_stats",
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*),3) AS avg_chars,
+        |       CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+        |       COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 3).as("avg_chars"),
+            sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0)).cast("long").as("n_len_mismatch"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy(col("lang"))
+    }
+  )
+
+  /** Shared d3/d3b core: distinct (doc, lang, token) → inverted-index
+    * self-join on (tok, lang) → per-pair intersection counts → exact
+    * integer Jaccard threshold 5·|∩| ≥ 3·|∪|.
+    */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val a = toks.select(col("doc_id").as("d1"), col("lang"), col("tok"))
+    val b = toks.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("tok").as("tok_b"))
+    val inter = a.join(b,
+        col("tok") === col("tok_b") && col("lang") === col("lang_b") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"), col("lang"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("c").as("c1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("c").as("c2")), "d2")
+      .filter(lit(5) * col("i") >= lit(3) * (col("c1") + col("c2") - col("i")))
+      .select(col("d1"), col("d2"), col("lang"),
+        round(col("i").cast("double") / (col("c1") + col("c2") - col("i")), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeclaredQuery, Tables}
+import graft.Fns._
+
+/** Semi/anti/outer joins, set operators, scalar functions (SURVEY §2.4):
+  * s1–s4 exercise Catalyst's subquery decorrelation targets directly
+  * (left_semi / left_anti / full_outer / EXCEPT-INTERSECT rewrites);
+  * f1–f4 cover the string/date/math/conditional scalar surface.
+  */
+object SetsAndFuncs {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    DeclaredQuery("s1_cust_with_orders",
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.table(s, dir, "customer")
+        val o = Tables.table(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+    },
+
+    DeclaredQuery("s2_cust_without_orders",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.table(s, dir, "customer")
+        val o = Tables.table(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"))
+          .orderBy(col("c_custkey"))
+    },
+
+    DeclaredQuery("s3_set_ops",
+      """SELECT 'except' AS op, COUNT(*) AS n
+        |  FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t1
+        |UNION ALL SELECT 'intersect', COUNT(*)
+        |  FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) t2
+        |UNION ALL SELECT 'union', COUNT(*)
+        |  FROM (SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders) t3
+        |ORDER BY op""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.table(s, dir, "customer").select(col("c_custkey"))
+        val o = Tables.table(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        def one(op: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+        one("except", c.except(o))
+          .unionAll(one("intersect", c.intersect(o)))
+          .unionAll(one("union", c.union(o).distinct()))
+          .orderBy(col("op"))
+    },
+
+    DeclaredQuery("s4_outer_join_nations",
+      """SELECT n.n_nationkey, n.n_name, COUNT(s.s_suppkey) AS n_supp
+        |FROM nation n FULL OUTER JOIN supplier s ON s.s_nationkey=n.n_nationkey
+        |GROUP BY n.n_nationkey, n.n_name
+        |ORDER BY n.n_nationkey NULLS LAST, n.n_name NULLS LAST""".stripMargin) {
+      (s, dir) =>
+        val n = Tables.table(s, dir, "nation")
+        val su = Tables.table(s, dir, "supplier")
+        n.join(su, su("s_nationkey") === n("n_nationkey"), "full_outer")
+          .groupBy(n("n_nationkey"), n("n_name"))
+          .agg(count(su("s_suppkey")).as("n_supp"))
+          .orderBy(col("n_nationkey").asc_nulls_last, col("n_name").asc_nulls_last)
+    },
+
+    DeclaredQuery("f1_part_name_stats",
+      """SELECT regexp_extract(p_name, '^[a-z]+') AS first_word, COUNT(*) AS n,
+        |       MIN(CONCAT(UPPER(p_brand), '|', TRIM(p_type))) AS min_tag,
+        |       CAST(MAX(LENGTH(p_name)) AS BIGINT) AS max_len
+        |FROM part GROUP BY regexp_extract(p_name, '^[a-z]+') ORDER BY first_word""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "part")
+          .groupBy(regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(concat(upper(col("p_brand")), lit("|"), trim(col("p_type")))).as("min_tag"),
+            max(length(col("p_name"))).cast("long").as("max_len"))
+          .orderBy(col("first_word"))
+    },
+
+    DeclaredQuery("f2_orders_by_month",
+      s"""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+         |       CAST(MIN(YEAR(o_orderdate)) AS BIGINT) AS yr, COUNT(*) AS n,
+         |       ${msumS("o_totalprice")} AS total
+         |FROM orders GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS DATE) ORDER BY month""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(
+            min(year(col("o_orderdate"))).cast("long").as("yr"),
+            count(lit(1)).as("n"),
+            msum(col("o_totalprice")).as("total"))
+          .orderBy(col("month"))
+    },
+
+    DeclaredQuery("f3_math_checksum",
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT)           AS sum_floor,
+        |       CAST(SUM(CAST(CEIL(l_extendedprice*l_discount) AS BIGINT)) AS BIGINT) AS sum_ceil_disc,
+        |       ROUND(MAX(SQRT(l_quantity)),6)                                        AS max_sqrt_qty,
+        |       ROUND(MIN(LN(l_extendedprice)),6)                                     AS min_ln_price,
+        |       ROUND(MAX(POWER(1+l_tax, 2)),6)                                       AS max_pow_tax,
+        |       CAST(SUM(CAST(ABS(l_linenumber) AS BIGINT)) AS BIGINT)                AS sum_abs_line
+        |FROM lineitem""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .agg(
+            sum(floor(col("l_extendedprice")).cast("long")).as("sum_floor"),
+            sum(ceil(col("l_extendedprice") * col("l_discount")).cast("long")).as("sum_ceil_disc"),
+            round(max(sqrt(col("l_quantity"))), 6).as("max_sqrt_qty"),
+            round(min(log(col("l_extendedprice"))), 6).as("min_ln_price"),
+            round(max(pow(lit(1) + col("l_tax"), lit(2))), 6).as("max_pow_tax"),
+            sum(abs(col("l_linenumber")).cast("long")).as("sum_abs_line"))
+    },
+
+    DeclaredQuery("f4_case_nulls",
+      s"""SELECT CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < 5000 THEN 'mid'
+         |            ELSE 'high' END AS band,
+         |       COUNT(*) AS n,
+         |       ${msumS("COALESCE(NULLIF(s_acctbal, 0.0), 0.0)")} AS bal
+         |FROM supplier
+         |GROUP BY CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < 5000 THEN 'mid'
+         |              ELSE 'high' END
+         |ORDER BY band""".stripMargin) {
+      (s, dir) =>
+        val band = when(col("s_acctbal") < 0, "neg")
+          .when(col("s_acctbal") < 5000, "mid")
+          .otherwise("high")
+        Tables.table(s, dir, "supplier")
+          .groupBy(band.as("band"))
+          .agg(
+            count(lit(1)).as("n"),
+            msum(coalesce(nullif(col("s_acctbal"), lit(0.0)), lit(0.0))).as("bal"))
+          .orderBy(col("band"))
+    }
+  )
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{DeclaredQuery, Tables}
+import graft.geo.Metrics
+
+/** Trajectory queries t1–t6 (SURVEY §2.7) — the reference-parity surface:
+  * trajectory construction (O7), Hausdorff (O5) / discrete Fréchet (O6)
+  * similarity, spatial range (O16), point kNN (O9 analog), ε-distance join
+  * (O17).
+  *
+  * Scale design: t2/t3 run the metric kernels over per-user point ARRAYS
+  * (one row per user, built by a single shuffle) so the pair join moves
+  * O(users²) rows, not O(points²); t6 turns the all-pairs theta join into a
+  * grid-cell equi-join (the dataflow analog of the reference's STR spatial
+  * partitioning) — at cluster scale both are shuffle-partitioned equi-joins,
+  * never a driver-side index.
+  */
+object Trajectories {
+
+  private val hausdorffUdf = udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
+    Metrics.hausdorff(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
+  }
+  private val frechetUdf = udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
+    Metrics.discreteFrechet(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
+  }
+
+  import graft.Fns.ptsViewS
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    DeclaredQuery("t1_traj_stats",
+      s"""WITH pts AS ${ptsViewS("purchase")}
+         |SELECT user_id, COUNT(*) AS n_points,
+         |       ROUND(MAX(x)-MIN(x),6) AS x_extent,
+         |       ROUND(SUM(COALESCE(SQRT((x-px)*(x-px)+(y-py)*(y-py)), 0.0)),6) AS path_len
+         |FROM (SELECT user_id, x, y,
+         |             LAG(x) OVER w AS px, LAG(y) OVER w AS py
+         |      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t
+         |GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        Tables.pts(s, dir)
+          .select(col("user_id"), col("x"), col("y"),
+            lag(col("x"), 1).over(w).as("px"), lag(col("y"), 1).over(w).as("py"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_points"),
+            round(max(col("x")) - min(col("x")), 6).as("x_extent"),
+            round(sum(coalesce(
+              sqrt((col("x") - col("px")) * (col("x") - col("px")) +
+                   (col("y") - col("py")) * (col("y") - col("py"))), lit(0.0))), 6).as("path_len"))
+          .orderBy(col("user_id"))
+    },
+
+    DeclaredQuery("t2_hausdorff_pairs",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |d AS (SELECT a.user_id u1, b.user_id u2, a.event_id ea, b.event_id eb,
+         |             SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist
+         |      FROM pts a JOIN pts b ON a.user_id < b.user_id),
+         |hab AS (SELECT u1,u2, MAX(md) AS h FROM
+         |        (SELECT u1,u2,ea, MIN(dist) AS md FROM d GROUP BY u1,u2,ea) q1 GROUP BY u1,u2),
+         |hba AS (SELECT u1,u2, MAX(md) AS h FROM
+         |        (SELECT u1,u2,eb, MIN(dist) AS md FROM d GROUP BY u1,u2,eb) q2 GROUP BY u1,u2)
+         |SELECT hab.u1, hab.u2, ROUND(GREATEST(hab.h, hba.h),6) AS hausdorff
+         |FROM hab JOIN hba ON hab.u1=hba.u1 AND hab.u2=hba.u2
+         |ORDER BY ROUND(GREATEST(hab.h, hba.h),6) ASC, hab.u1, hab.u2 LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase")
+        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            round(hausdorffUdf(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("hausdorff"))
+          .orderBy(col("hausdorff"), col("u1"), col("u2"))
+          .limit(20)
+    },
+
+    // Discrete Fréchet DP is not practically expressible in SQL — oracle-
+    // exempt (SURVEY §2.8); property-tested against the naive recursion and
+    // cross-checked hausdorff <= frechet in MetricPropertiesTest.
+    DeclaredQuery.noOracle("t3_frechet_pairs") {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase").filter(col("user_id") <= 20)
+        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            round(frechetUdf(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("frechet"))
+          .orderBy(col("u1"), col("u2"))
+    },
+
+    DeclaredQuery("t4_box_range_count",
+      s"""WITH pts AS ${ptsViewS("purchase")}
+         |SELECT user_id, COUNT(*) AS n_in_box FROM pts
+         |WHERE x BETWEEN 5.0 AND 15.0 AND y BETWEEN 50.0 AND 150.0
+         |GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        Tables.pts(s, dir)
+          .filter(col("x").between(5.0, 15.0) && col("y").between(50.0, 150.0))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_in_box"))
+          .orderBy(col("user_id"))
+    },
+
+    DeclaredQuery("t5_point_knn",
+      s"""WITH pts AS ${ptsViewS("purchase")}
+         |SELECT user_id, event_id,
+         |       ROUND(SQRT((x-15.0)*(x-15.0)+(y-100.0)*(y-100.0)),6) AS d
+         |FROM pts
+         |ORDER BY ROUND(SQRT((x-15.0)*(x-15.0)+(y-100.0)*(y-100.0)),6), user_id, event_id
+         |LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        Tables.pts(s, dir)
+          .select(col("user_id"), col("event_id"),
+            round(sqrt((col("x") - 15.0) * (col("x") - 15.0) +
+                       (col("y") - 100.0) * (col("y") - 100.0)), 6).as("d"))
+          .orderBy(col("d"), col("user_id"), col("event_id"))
+          .limit(10)
+    },
+
+    DeclaredQuery("t6_distance_join",
+      s"""WITH pts_err AS ${ptsViewS("error")}
+         |SELECT a.user_id AS u1, COUNT(*) AS n_close
+         |FROM pts_err a JOIN pts_err b ON a.user_id < b.user_id
+         |WHERE ROUND(SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)),6) <= 1.0
+         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) {
+      (s, dir) =>
+        // Grid-cell blocking (ε=1.0): points within rounded distance 1.0 are
+        // at most one cell apart per axis, so expanding the probe side to its
+        // 3×3 neighborhood and equi-joining on the cell key finds every
+        // qualifying pair exactly once (the build side keeps its single home
+        // cell). Turns O(n²) BNLJ into a shuffle hash join — SURVEY §4.3c.
+        val eps = 1.0
+        val p = Tables.pts(s, dir, "error")
+          .select(col("user_id"), col("x"), col("y"),
+            floor(col("x") / eps).cast("long").as("cx"),
+            floor(col("y") / eps).cast("long").as("cy"))
+        val offsets = array((-1 to 1).map(lit): _*)
+        val a = p
+          .select(col("user_id").as("ua"), col("x").as("xa"), col("y").as("ya"),
+            col("cx"), col("cy"), explode(offsets).as("dx"))
+          .select(col("ua"), col("xa"), col("ya"),
+            (col("cx") + col("dx")).as("kx"), col("cy"), explode(offsets).as("dy"))
+          .select(col("ua"), col("xa"), col("ya"), col("kx"), (col("cy") + col("dy")).as("ky"))
+        val b = p.select(col("user_id").as("ub"), col("x").as("xb"), col("y").as("yb"),
+          col("cx").as("kx"), col("cy").as("ky"))
+        a.join(b, Seq("kx", "ky"))
+          .filter(col("ua") < col("ub") &&
+            round(sqrt((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                       (col("ya") - col("yb")) * (col("ya") - col("yb"))), 6) <= 1.0)
+          .groupBy(col("ua").as("u1"))
+          .agg(count(lit(1)).as("n_close"))
+          .orderBy(col("u1"))
+    }
+  )
+}

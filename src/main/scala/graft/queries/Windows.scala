@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{DeclaredQuery, Tables}
+import graft.Fns._
+
+/** Window / analytic functions w1–w6 (SURVEY §2.3): ranking, running
+  * frames, lag-derived deltas, bounded frames, percent_rank/ntile, and
+  * as-of-join semantics via a conditional running MAX. All money ordering
+  * uses exact integer cents (portable across engines); ints widened to
+  * BIGINT in outputs for schema parity.
+  */
+object Windows {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    DeclaredQuery("w1_order_rank",
+      s"""SELECT * FROM (
+         |  SELECT o_custkey, o_orderkey,
+         |         CAST(${centsS("o_totalprice")} AS DOUBLE)/100.0 AS totalprice,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |              ORDER BY ${centsS("o_totalprice")} DESC, o_orderkey) AS BIGINT) AS rn,
+         |         CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+         |              ORDER BY ${centsS("o_totalprice")} DESC) AS BIGINT) AS drk
+         |  FROM orders) t
+         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) {
+      (s, dir) =>
+        val o = Tables.table(s, dir, "orders")
+        val byPrice = Window.partitionBy(col("o_custkey"))
+        o.select(
+            col("o_custkey"), col("o_orderkey"),
+            (cents(col("o_totalprice")).cast("double") / lit(100.0)).as("totalprice"),
+            row_number().over(byPrice.orderBy(cents(col("o_totalprice")).desc, col("o_orderkey")))
+              .cast("long").as("rn"),
+            dense_rank().over(byPrice.orderBy(cents(col("o_totalprice")).desc))
+              .cast("long").as("drk"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    DeclaredQuery("w2_running_value",
+      s"""SELECT user_id, event_id,
+         |       CAST(SUM(${centsS("value")}) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_value
+         |FROM ${eViewS} e ORDER BY user_id, event_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(
+            col("user_id"), col("event_id"),
+            (sum(cents(col("value"))).over(w).cast("double") / lit(100.0)).as("running_value"))
+          .orderBy(col("user_id"), col("event_id"))
+    },
+
+    DeclaredQuery("w3_inter_event_gap",
+      s"""SELECT user_id, COUNT(*) AS n_gaps,
+         |       ROUND(CAST(SUM(gap_us) AS DOUBLE)/COUNT(*)/1e6, 3) AS avg_gap_s
+         |FROM (SELECT user_id,
+         |             ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+         |      FROM ${eViewS} e) g
+         |WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+          .filter(col("gap_us").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            round(sum(col("gap_us")).cast("double") / count(lit(1)) / lit(1e6), 3).as("avg_gap_s"))
+          .orderBy(col("user_id"))
+    },
+
+    DeclaredQuery("w4_moving_sum_orders",
+      s"""SELECT o_custkey, o_orderkey,
+         |       CAST(SUM(${centsS("o_totalprice")}) OVER w AS DOUBLE)/100.0 AS mov_sum5,
+         |       COUNT(*) OVER w AS n_in_frame
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-4, Window.currentRow)
+        Tables.table(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            (sum(cents(col("o_totalprice"))).over(w).cast("double") / lit(100.0)).as("mov_sum5"),
+            count(lit(1)).over(w).as("n_in_frame"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    DeclaredQuery("w5_pct_rank",
+      s"""SELECT c_custkey, c_nationkey,
+         |       ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+         |             ORDER BY ${centsS("c_acctbal")}, c_custkey), 6) AS pr,
+         |       CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+         |             ORDER BY ${centsS("c_acctbal")}, c_custkey) AS BIGINT) AS quartile
+         |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(cents(col("c_acctbal")), col("c_custkey"))
+        Tables.table(s, dir, "customer")
+          .select(
+            col("c_custkey"), col("c_nationkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy(col("c_custkey"))
+    },
+
+    DeclaredQuery("w6_asof_last_error",
+      s"""SELECT user_id, COUNT(*) AS n_after_err,
+         |       ROUND(CAST(SUM(ts_us - last_err) AS DOUBLE)/COUNT(*)/1e6, 3) AS avg_since_err_s
+         |FROM (SELECT user_id, ts_us,
+         |             MAX(CASE WHEN event_type='error' THEN ts_us END)
+         |               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err
+         |      FROM ${eViewS} e) t
+         |WHERE last_err IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(
+            col("user_id"), col("ts_us"),
+            max(when(col("event_type") === "error", col("ts_us"))).over(w).as("last_err"))
+          .filter(col("last_err").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_after_err"),
+            round(sum(col("ts_us") - col("last_err")).cast("double") / count(lit(1)) / lit(1e6), 3)
+              .as("avg_since_err_s"))
+          .orderBy(col("user_id"))
+    }
+  )
+}
