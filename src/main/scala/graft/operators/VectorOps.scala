@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over ARRAY<FLOAT> embedding columns
+  * (SURVEY §2.5 v1/v2; LLM-pipeline similarity-search surface).
+  *
+  * Numeric contract: elements are promoted FLOAT→DOUBLE before arithmetic
+  * and accumulated in a strict left-to-right fold — the exact IEEE sequence
+  * of the declarative `aggregate(zip_with(...))` form and of DuckDB's
+  * `list_sum(list_transform(...))`, so results are interchangeable
+  * bit-for-bit. The UDF form exists because for O(n²) pair joins the
+  * per-element lambda interpretation of higher-order functions dominates
+  * runtime; the UDF runs the same fold as one tight JVM loop.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ, left fold over doubles. */
+  val dot = udf { (a: Seq[Float], b: Seq[Float]) =>
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Declarative Σ xᵢ² (higher-order functions; fine for per-row use). */
+  def norm2Col(c: String): Column =
+    expr(s"aggregate(transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)")
+
+  /** Declarative dot product (per-row / small-cardinality use). */
+  def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)")
+
+  /** Exact all-pairs cosine-similarity self-join with threshold, in two
+    * phases — the relational re-expression of the reference's bound-seeding
+    * + refinement (O11/O13):
+    *
+    *  1. PRUNE: per vector, precompute norm, the first `headDim` components
+    *    as scalar DOUBLE columns, and the tail's L2 norm. For a pair,
+    *    `headDot + tailNormA·tailNormB ≥ dot` (Cauchy–Schwarz), so
+    *    `bound + margin < t·normA·normB` proves the exact cosine can never
+    *    reach the threshold. The bound is pure scalar arithmetic inside
+    *    whole-stage codegen over the pair join — no arrays, no UDF calls,
+    *    no allocation per pair.
+    *  2. REFINE: survivors only — full dot via the tight-loop UDF, exact
+    *    rounded cosine, exact threshold test.
+    *
+    * Result is exactly the naive all-pairs answer: the bound (with margin
+    * 1e-6 ≫ fold reorder noise ~1e-13) can only over-approximate.
+    * Output: (id1, id2, cos_sim) with id1 < id2 and ROUND(cos,6) ≥ t.
+    */
+  def cosineSelfJoin(em: DataFrame, idCol: String, embCol: String, t: Double,
+                     headDim: Int = 16): DataFrame = {
+    val heads = (0 until headDim).map(i => expr(s"CAST($embCol[$i] AS DOUBLE)").as(s"h$i"))
+    val tailSq = s"aggregate(transform(slice($embCol, ${headDim + 1}, 1000000), " +
+      "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)"
+    val stats = em.select(
+      Seq(col(idCol).as("vid"), col(embCol).as("emb"),
+        sqrt(expr(s"aggregate(transform($embCol, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)")).as("nrm"),
+        sqrt(expr(tailSq)).as("tnrm")) ++ heads: _*)
+
+    def side(p: String) = stats.select(stats.columns.map(c => col(c).as(p + c)): _*)
+    val a = side("a_")
+    val b = side("b_")
+    val headDot = (0 until headDim)
+      .map(i => col(s"a_h$i") * col(s"b_h$i"))
+      .reduce(_ + _)
+    // ROUND(cos,6) >= t can hold only if cos >= t - 5e-7; prune when even
+    // the upper bound stays below that (margin absorbs float noise).
+    val keep = headDot + col("a_tnrm") * col("b_tnrm") + lit(1e-6) >=
+      (lit(t) - lit(1e-6)) * col("a_nrm") * col("b_nrm")
+
+    // The refine dot is marked non-deterministic ONLY to stop Catalyst from
+    // pushing the >= t filter (and with it the UDF) into the join condition
+    // ahead of the cheap bound — the function itself is pure. Without this,
+    // the optimizer evaluates the full dot for every pair and the prune is
+    // dead code.
+    val refineDot = udf((x: Seq[Float], y: Seq[Float]) => {
+      val n = math.min(x.length, y.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }).asNondeterministic()
+
+    a.join(b, col("a_vid") < col("b_vid") && keep)
+      .select(col("a_vid").as("id1"), col("b_vid").as("id2"),
+        round(refineDot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= t)
+  }
+}

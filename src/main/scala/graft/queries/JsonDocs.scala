@@ -105,14 +105,8 @@ object JsonDocs {
          |      (SQRT(${duckSq("a.embedding")}) * SQRT(${duckSq("b.embedding")})), 6) >= 0.9
          |ORDER BY cos_sim DESC, id1, id2 LIMIT 100""".stripMargin) {
       (s, dir) =>
-        val em = Tables.table(s, dir, "embeddings")
-        val a = em.select(col("vec_id").as("id1"), col("embedding").as("ea"))
-        val b = em.select(col("vec_id").as("id2"), col("embedding").as("eb"))
-        a.join(b, col("id1") < col("id2"))
-          .select(col("id1"), col("id2"),
-            round(expr(dotS.format("ea", "eb")) /
-              (sqrt(expr(sq.format("ea"))) * sqrt(expr(sq.format("eb")))), 6).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.9)
+        graft.operators.VectorOps.cosineSelfJoin(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 0.9)
           .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
           .limit(100)
     },
@@ -160,7 +154,7 @@ object JsonDocs {
         |FROM inter JOIN sizes s1 ON s1.doc_id=d1 JOIN sizes s2 ON s2.doc_id=d2
         |WHERE 5*i >= 3*(s1.c + s2.c - i)
         |ORDER BY ROUND(CAST(i AS DOUBLE)/(s1.c+s2.c-i),6) DESC, d1, d2 LIMIT 100""".stripMargin) {
-      (s, dir) => jaccardPairs(s, dir)
+      (s, dir) => graft.operators.DocSimilarity.nearDupPairs(s, dir)
         .orderBy(col("jaccard").desc, col("d1"), col("d2"))
         .limit(100)
     },
@@ -177,7 +171,8 @@ object JsonDocs {
         |SELECT COUNT(*) AS n_pairs
         |FROM inter JOIN sizes s1 ON s1.doc_id=d1 JOIN sizes s2 ON s2.doc_id=d2
         |WHERE 5*i >= 3*(s1.c + s2.c - i)""".stripMargin) {
-      (s, dir) => jaccardPairs(s, dir).agg(count(lit(1)).as("n_pairs"))
+      (s, dir) => graft.operators.DocSimilarity.nearDupPairs(s, dir)
+        .agg(count(lit(1)).as("n_pairs"))
     },
 
     DeclaredQuery("d4_lang_stats",
@@ -199,27 +194,4 @@ object JsonDocs {
     }
   )
 
-  /** Shared d3/d3b core: distinct (doc, lang, token) → inverted-index
-    * self-join on (tok, lang) → per-pair intersection counts → exact
-    * integer Jaccard threshold 5·|∩| ≥ 3·|∪|.
-    */
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val toks = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .distinct()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val a = toks.select(col("doc_id").as("d1"), col("lang"), col("tok"))
-    val b = toks.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("tok").as("tok_b"))
-    val inter = a.join(b,
-        col("tok") === col("tok_b") && col("lang") === col("lang_b") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"), col("lang"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("c").as("c1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("c").as("c2")), "d2")
-      .filter(lit(5) * col("i") >= lit(3) * (col("c1") + col("c2") - col("i")))
-      .select(col("d1"), col("d2"), col("lang"),
-        round(col("i").cast("double") / (col("c1") + col("c2") - col("i")), 6).as("jaccard"))
-  }
 }
