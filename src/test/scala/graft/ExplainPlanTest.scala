@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY §4.2): the declared queries must compile to
+  * the physical operators the 100 TB design depends on — pushed filters,
+  * broadcast joins for dims, semi/anti joins for EXISTS forms, top-k via
+  * TakeOrderedAndProject, and NO cartesian/BNLJ where a blocked equi-join is
+  * intended.
+  */
+class ExplainPlanTest extends AnyFunSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(TestSpark.spark, TestSpark.sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("r1: filter pushed to parquet scan") {
+    val p = plan("r1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("s1/s2: EXISTS forms plan as semi/anti hash joins") {
+    assert(plan("s1_cust_with_orders").contains("LeftSemi"))
+    assert(plan("s2_cust_without_orders").contains("LeftAnti"))
+  }
+
+  test("r7: small filtered dim is broadcast") {
+    assert(plan("r7_promo_brand_discount").contains("BroadcastHashJoin"))
+  }
+
+  test("r2/t5: top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("r2_top_revenue_customers").contains("TakeOrderedAndProject"))
+    assert(plan("t5_point_knn").contains("TakeOrderedAndProject"))
+  }
+
+  test("t6: grid-blocked distance join is an equi join, not cartesian") {
+    val p = plan("t6_distance_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d3: mask-path near-dup join has no token-level shuffle join") {
+    val p = plan("d3_jaccard_pairs")
+    // the pair join keys on lang with mask residual — a hash/sort-merge join;
+    // the inverted-index token join would show a join on tok
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("r8: range-residual outer join stays a hash join on the equi key") {
+    val p = plan("r8_shipped_within_90d")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DocSimilarity, VectorOps}
+
+/** Self-consistency checks (SURVEY §5.2 layer 3 — the reference's own
+  * methodology): optimized/blocked operators must equal their naive forms.
+  */
+class OperatorsTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosineSelfJoin refine path: finds planted near-duplicates exactly") {
+    // synthetic vectors: two near-identical pairs above 0.9, the rest random
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val base = (0L until 50L).map(i => (i, vec()))
+    val planted = Seq(
+      (100L, base(0)._2.map(x => x + 0.001f)), // ~cos 1.0 with vec 0
+      (101L, base(1)._2.map(x => x * 1.0001f)) // ~cos 1.0 with vec 1
+    )
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+
+    val fast = VectorOps.cosineSelfJoin(df, "vec_id", "embedding", 0.9)
+      .orderBy($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // naive reference: all pairs, exact cosine
+    val rows = (base ++ planted)
+    val naive = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      dot = (a, b).zipped.map((x, y) => x.toDouble * y.toDouble).sum
+      na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.9
+    } yield (i, j)).sorted
+
+    assert(fast == naive)
+    assert(fast.contains((0L, 100L)) && fast.contains((1L, 101L)))
+  }
+
+  test("d3 mask path equals inverted-index path on real data") {
+    val toks = DocSimilarity.distinctTokens(spark, TestSpark.sf0001)
+    val vocab = toks.select($"tok").distinct()
+    assert(vocab.count() <= 64, "fixture vocab grew beyond mask capacity")
+    // private strategies are exercised through nearDupPairs (mask) vs a
+    // hand-built inverted-index equivalent
+    val mask = DocSimilarity.nearDupPairs(spark, TestSpark.sf0001)
+      .select($"d1", $"d2", $"lang", $"jaccard")
+      .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+
+    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+    val a = toks.select($"doc_id".as("d1"), $"lang", $"tok")
+    val b = toks.select($"doc_id".as("d2"), $"lang".as("lang_b"), $"tok".as("tok_b"))
+    val inverted = a.join(b, $"tok" === $"tok_b" && $"lang" === $"lang_b" && $"d1" < $"d2")
+      .groupBy($"d1", $"d2", $"lang").agg(count(lit(1)).as("i"))
+      .join(sizes.select($"doc_id".as("d1"), $"c".as("c1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"c".as("c2")), "d2")
+      .filter(lit(5) * $"i" >= lit(3) * ($"c1" + $"c2" - $"i"))
+      .select($"d1", $"d2", $"lang",
+        round($"i".cast("double") / ($"c1" + $"c2" - $"i"), 6).as("jaccard"))
+      .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+
+    assert(mask == inverted)
+  }
+
+  test("t2 UDF form equals SQL max-of-min form on sf0.001") {
+    val udfForm = SparkEntry.queries("t2_hausdorff_pairs")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+
+    val p = Tables.pts(spark, TestSpark.sf0001)
+    p.createOrReplaceTempView("pts_t2test")
+    val sqlForm = spark.sql(
+      """WITH d AS (SELECT a.user_id u1, b.user_id u2, a.event_id ea, b.event_id eb,
+        |                 SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist
+        |          FROM pts_t2test a JOIN pts_t2test b ON a.user_id < b.user_id),
+        |hab AS (SELECT u1,u2, MAX(md) AS h FROM
+        |        (SELECT u1,u2,ea, MIN(dist) AS md FROM d GROUP BY u1,u2,ea) GROUP BY u1,u2),
+        |hba AS (SELECT u1,u2, MAX(md) AS h FROM
+        |        (SELECT u1,u2,eb, MIN(dist) AS md FROM d GROUP BY u1,u2,eb) GROUP BY u1,u2)
+        |SELECT hab.u1, hab.u2, ROUND(GREATEST(hab.h, hba.h),6) AS hausdorff
+        |FROM hab JOIN hba ON hab.u1=hba.u1 AND hab.u2=hba.u2
+        |ORDER BY ROUND(GREATEST(hab.h, hba.h),6) ASC, hab.u1, hab.u2 LIMIT 20""".stripMargin)
+      .collect().map(_.toString).toSeq
+
+    assert(udfForm == sqlForm)
+  }
+
+  test("approx_count_distinct within documented error of exact (r6 analog)") {
+    val li = Tables.table(spark, TestSpark.sf001, "lineitem")
+    val exact = li.select(countDistinct($"l_partkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+}
