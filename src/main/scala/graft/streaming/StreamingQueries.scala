@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Fns.cents
+
+/** Structured Streaming counterparts of the e1–e4 event queries (SURVEY
+  * §2.6 / M6). Each transform takes the streaming events frame and produces
+  * an incremental aggregation whose *final* state equals the batch answer —
+  * verified by StreamingEquivalenceTest via file-source replay.
+  *
+  * Scale design: these are the shapes a 100 TB event pipeline runs
+  * continuously — tumbling/sliding windows with watermarks for bounded
+  * state, session windows keyed by user, and id-dedup via dropDuplicates
+  * (with `dropDuplicatesWithinWatermark` as the bounded-state variant when
+  * the id space is unbounded).
+  */
+object StreamingQueries {
+
+  /** Raw parquet schema of `events` with the ns-timestamp read as BIGINT
+    * (same convention as the batch loader). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source replay of an events directory: one file per micro-batch. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ev_time", timestamp_micros(col("ts_us")))
+  }
+
+  /** e1 counterpart: tumbling 1 h window per event_type, watermarked. */
+  def hourlyTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_time", "2 hours")
+      .groupBy(window(col("ev_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .select(
+        (unix_micros(col("window.start")) / lit(3600000000L)).cast("long").as("hour_bucket"),
+        col("event_type"), col("n"),
+        (col("value_cents").cast("double") / lit(100.0)).as("sum_value"))
+
+  /** e2 counterpart: 1 h window sliding every 15 min. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_time", "2 hours")
+      .groupBy(window(col("ev_time"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (unix_micros(col("window.start")) / lit(900000000L)).cast("long").as("win_start"),
+        col("n"))
+
+  /** e3 counterpart: per-user session windows with a 30 min gap. Emits one
+    * row per (user, session-start) whose last update is the final session. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_time", "2 hours")
+      .groupBy(session_window(col("ev_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      .select(unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("user_id"), col("n_ev"), col("dur_us"))
+
+  /** e4 counterpart: exact stream dedup on event_id. */
+  def dedupCount(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id").groupBy().agg(count(lit(1)).as("n_ids"))
+}

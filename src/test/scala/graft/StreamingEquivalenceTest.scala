@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingQueries
+
+/** M6 batch-equivalence harness (SURVEY §5.2): replay the events table
+  * through the file source in 4 time-ordered micro-batches; the final state
+  * of each streaming aggregation must equal the corresponding batch query.
+  */
+class StreamingEquivalenceTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write events as 4 time-contiguous parquet files (ascending mtime) so
+    * maxFilesPerTrigger=1 replays them in event-time order. */
+  private lazy val replayDir: String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    val ev = Tables.table(spark, TestSpark.sf0001, "events")
+      .orderBy($"ts").collect()
+    val n = ev.length
+    val schema = Tables.table(spark, TestSpark.sf0001, "events").schema
+    (0 until 4).foreach { b =>
+      val slice = ev.slice(b * n / 4, (b + 1) * n / 4)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq, 1), schema)
+      val tmp = Files.createTempDirectory("graft-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20) // distinct mtimes => deterministic replay order
+    }
+    dir.toString
+  }
+
+  private def runComplete(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("e1 streaming tumbling windows == batch") {
+    val got = runComplete(
+      StreamingQueries.hourlyTumbling(StreamingQueries.eventsStream(spark, replayDir)), "s_e1")
+      .orderBy($"hour_bucket", $"event_type").collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("e1_hourly_tumbling")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
+  test("e2 streaming sliding windows == batch") {
+    val got = runComplete(
+      StreamingQueries.slidingCounts(StreamingQueries.eventsStream(spark, replayDir)), "s_e2")
+      .orderBy($"win_start").collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("e2_sliding_windows")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
+  test("e3 streaming session windows == batch (append mode, watermark flush)") {
+    // Session windows only support append mode: a window is emitted once the
+    // watermark passes its end. A far-future sentinel event in a final
+    // micro-batch advances the watermark past every real session (the
+    // standard flush technique for bounded replays).
+    val dir = Files.createTempDirectory("graft-stream-e3")
+    val srcs = Files.list(Paths.get(replayDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    srcs.zipWithIndex.foreach { case (p, i) =>
+      val dst = Files.copy(p, dir.resolve(p.getFileName))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val maxTs = Tables.table(spark, TestSpark.sf0001, "events")
+      .agg(max($"ts")).as[Long].head()
+    val sentinel = Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = Files.createTempDirectory("graft-sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    Files.move(part, dir.resolve("batch99.parquet"))
+
+    val acc = mutable.Map.empty[(Long, Long), (Long, Long)]
+    val q = StreamingQueries.sessionWindows(StreamingQueries.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          acc((r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us"))) =
+            (r.getAs[Long]("n_ev"), r.getAs[Long]("dur_us"))
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = acc.toSeq
+      .filter(_._1._1 >= 0)
+      .groupBy(_._1._1)
+      .map { case (user, sessions) =>
+        val vals = sessions.map(_._2)
+        (user, sessions.size.toLong, vals.map(_._1).max,
+          BigDecimal(vals.map(_._2).max.toDouble / 1e6)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toSeq.sortBy(_._1)
+    val want = SparkEntry.queries("e3_session_windows")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("e4 streaming dedup == batch distinct count") {
+    val got = runComplete(
+      StreamingQueries.dedupCount(StreamingQueries.eventsStream(spark, replayDir)), "s_e4")
+      .as[Long].head()
+    val want = SparkEntry.queries("e4_stream_dedup")(spark, TestSpark.sf0001)
+      .select($"n_ids").as[Long].head()
+    assert(got == want)
+  }
+}
