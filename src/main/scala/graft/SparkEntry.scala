@@ -19,7 +19,9 @@ object SparkEntry {
     graft.queries.SetsAndFuncs.queries,
     graft.queries.EventsQ.queries,
     graft.queries.JsonDocs.queries,
-    graft.queries.Trajectories.queries
+    graft.queries.Trajectories.queries,
+    graft.queries.TextPipeline.queries,
+    graft.queries.PipelineExtras.queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Randomized/sketch-based near-duplicate and similarity operators
+  * (SURVEY §2.8; LLM-pipeline dedup surface). All seeds are fixed, so runs
+  * are reproducible, but results are approximate by construction — these are
+  * oracle-exempt and verified by recall bounds against the exact operators
+  * (d3, v1) in SketchesTest.
+  *
+  * Scale design: every operator here is "signature → equi-join on bucket
+  * key" — the LSH reformulation of an all-pairs theta join. That is the only
+  * join shape that survives 100 TB: candidates come from hash-partitioned
+  * buckets, never from a cartesian product.
+  */
+object Sketches {
+
+  /** 64-bit SimHash over the token multiset (two seeded 32-bit murmurs). */
+  private def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    votes.zipWithIndex.foldLeft(0L) { case (acc, (v, b)) =>
+      if (v > 0) acc | (1L << b) else acc
+    }
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** Per-document 64-bit SimHash fingerprints. */
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        simhashUdf(expr("filter(split(text, ' '), x -> x <> '')")).as("simhash"))
+
+  /** SimHash near-dup candidates: banded LSH (4×16-bit bands) — pairs
+    * agreeing on ≥1 band are candidates; report those within the Hamming
+    * radius. Output: (lang, n_candidate_pairs, n_within_radius). */
+  def simhashNearDups(s: SparkSession, dir: String, radius: Int = 12): DataFrame = {
+    val sh = simhashes(s, dir)
+    val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("(simhash >> (band * 16)) & 65535"))
+    val a = banded.select(col("band"), col("bkey"), col("lang"),
+      col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+      col("lang").as("lang_b"), col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+        col("lang") === col("lang_b") && col("d1") < col("d2"))
+      .select(col("lang"), col("d1"), col("d2"),
+        expr("bit_count(s1 ^ s2)").as("hamming"))
+      .distinct() // a pair can collide in several bands
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("hamming") <= radius, 1).otherwise(0)).as("n_within_radius"))
+      .orderBy(col("lang"))
+  }
+
+  /** MinHash signatures (k seeded permutation-style hash functions over the
+    * distinct token set) and banded-LSH candidate pairs; exact-Jaccard
+    * verification of candidates happens in the caller/test. */
+  private val minhashUdf = udf { (toks: Seq[String], k: Int) =>
+    (0 until k).map { i =>
+      var m = Long.MaxValue
+      toks.foreach { t =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x1b873593 + i).toLong & 0xffffffffL
+        if (h < m) m = h
+      }
+      m
+    }
+  }
+
+  // k=16, bands=8 (2 rows/band): P(candidate | J=0.6) = 1-(1-0.36)^8 ≈ 0.97
+  def minhashCandidates(s: SparkSession, dir: String, k: Int = 16, bands: Int = 8): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        minhashUdf(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))"), lit(k)).as("sig"))
+    val banded = sig.select(col("doc_id"), col("lang"),
+      explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
+      .withColumn("bkey", expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)"))
+    val a = banded.select(col("band"), col("bkey"), col("lang"), col("doc_id").as("d1"))
+    val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+      col("lang").as("lang_b"), col("doc_id").as("d2"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+        col("lang") === col("lang_b") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("lang"))
+      .distinct()
+  }
+
+  /** Random-projection LSH ANN: 8 seeded hyperplanes → 256-bucket space;
+    * multiprobe the query bucket plus all 1- and 2-bit flips (37 buckets);
+    * exact cosine on candidates only. Approximate analog of v1_vector_knn.
+    * The single query point is collected to the driver (bounded, one row —
+    * the same way the reference broadcasts the query trajectory). */
+  def annCosineKnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val dim = 64
+    val nPlanes = 8
+    val rnd = new scala.util.Random(1234)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val bPlanes = s.sparkContext.broadcast(planes)
+    def sign(emb: Seq[Float]): Int = {
+      val ps = bPlanes.value
+      var sig = 0
+      var i = 0
+      while (i < ps.length) {
+        var d = 0.0
+        var j = 0
+        while (j < dim && j < emb.length) { d += ps(i)(j) * emb(j); j += 1 }
+        if (d >= 0) sig |= (1 << i)
+        i += 1
+      }
+      sig
+    }
+    val sigUdf = udf((emb: Seq[Float]) => sign(emb))
+    val em = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sigUdf(col("embedding")).as("sig"))
+    val qRow = Tables.table(s, dir, "embeddings")
+      .filter(col("vec_id") === queryId).select(col("embedding")).head()
+    val qEmb = qRow.getSeq[Float](0)
+    val qSig = sign(qEmb)
+    val probes: Seq[Int] = (Seq(qSig)
+      ++ (0 until nPlanes).map(i => qSig ^ (1 << i))
+      ++ (for (i <- 0 until nPlanes; j <- (i + 1) until nPlanes) yield qSig ^ (1 << i) ^ (1 << j))
+      ++ (for (i <- 0 until nPlanes; j <- (i + 1) until nPlanes; l <- (j + 1) until nPlanes)
+            yield qSig ^ (1 << i) ^ (1 << j) ^ (1 << l)))
+    em.filter(col("vec_id") =!= queryId && col("sig").isInCollection(probes))
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
+          (sqrt(VectorOps.norm2Col("embedding")) * sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

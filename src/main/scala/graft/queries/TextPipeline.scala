@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{DeclaredQuery, Tables}
+
+/** Training-data text-pipeline operators over `documents` (builder charter:
+  * first-class alongside SURVEY §2): token counting (whitespace + regex
+  * lexer), quality scoring, n-gram/frequency language-ID, and polynomial
+  * fingerprinting — each deterministic, integer-arithmetic first, and
+  * expressed as one shuffle-light aggregation so the same plan holds at
+  * 100 TB (per-doc map work + one groupBy).
+  */
+object TextPipeline {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    DeclaredQuery("p1_token_counts",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(ws_toks) AS BIGINT) AS sum_ws_toks,
+        |       CAST(SUM(re_toks) AS BIGINT) AS sum_re_toks,
+        |       CAST(MAX(re_toks) AS BIGINT) AS max_re_toks
+        |FROM (SELECT lang,
+        |             len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_toks,
+        |             len(regexp_extract_all(text, '[a-z0-9]+')) AS re_toks
+        |      FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("lang"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))").as("ws_toks"),
+            expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").as("re_toks"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws_toks")).as("sum_ws_toks"),
+            sum(col("re_toks")).as("sum_re_toks"),
+            max(col("re_toks")).cast("long").as("max_re_toks"))
+          .orderBy(col("lang"))
+    },
+
+    DeclaredQuery("p2_quality_scores",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |feat AS (SELECT doc_id, lang, COUNT(*) AS n_toks,
+        |                CAST(SUM(LENGTH(tok)) AS BIGINT) AS sum_len,
+        |                CAST(SUM(CASE WHEN LENGTH(tok) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |         FROM t WHERE tok <> '' GROUP BY doc_id, lang)
+        |SELECT lang,
+        |       CASE WHEN n_toks < 10 THEN 'short' WHEN n_toks < 25 THEN 'mid' ELSE 'long' END AS band,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |       ROUND(CAST(SUM(sum_len) AS DOUBLE)/SUM(n_toks), 4) AS avg_tok_len,
+        |       ROUND(CAST(SUM(n_short) AS DOUBLE)/SUM(n_toks), 4) AS short_ratio
+        |FROM feat GROUP BY lang, band ORDER BY lang, band""".stripMargin) {
+      (s, dir) =>
+        val feat = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_toks"),
+            sum(length(col("tok"))).as("sum_len"),
+            sum(when(length(col("tok")) <= 3, 1).otherwise(0)).as("n_short"))
+        feat
+          .withColumn("band",
+            when(col("n_toks") < 10, "short").when(col("n_toks") < 25, "mid").otherwise("long"))
+          .groupBy(col("lang"), col("band"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("sum_toks"),
+            round(sum(col("sum_len")).cast("double") / sum(col("n_toks")), 4).as("avg_tok_len"),
+            round(sum(col("n_short")).cast("double") / sum(col("n_toks")), 4).as("short_ratio"))
+          .orderBy(col("lang"), col("band"))
+    },
+
+    DeclaredQuery("p3_lang_id_confusion",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tt AS (SELECT * FROM t WHERE tok <> ''),
+        |freq AS (SELECT tok, lang AS cand, COUNT(*) AS cnt FROM tt GROUP BY tok, lang),
+        |scores AS (SELECT tt.doc_id, tt.lang, freq.cand, CAST(SUM(freq.cnt) AS BIGINT) AS score
+        |           FROM tt JOIN freq ON tt.tok = freq.tok GROUP BY tt.doc_id, tt.lang, freq.cand),
+        |pred AS (SELECT doc_id, lang, cand AS predicted
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                        ORDER BY score DESC, cand) AS rn FROM scores) r
+        |         WHERE rn = 1)
+        |SELECT lang, predicted, COUNT(*) AS n
+        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin) {
+      (s, dir) =>
+        // frequency-based language ID: score(doc, cand) = Σ_tok corpus
+        // frequency of tok in cand; prediction = argmax (integer scores,
+        // lexicographic tie-break) — a deterministic n-gram-style classifier
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val freq = toks.groupBy(col("tok").as("ftok"), col("lang").as("cand"))
+          .agg(count(lit(1)).as("cnt"))
+        val scores = toks.join(freq, col("tok") === col("ftok"))
+          .groupBy(col("doc_id"), col("lang"), col("cand"))
+          .agg(sum(col("cnt")).as("score"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
+        scores
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("lang"), col("cand").as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+    },
+
+    DeclaredQuery("p4_fingerprints",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT fp) AS n_distinct_fp,
+        |       COUNT(DISTINCT text) AS n_distinct_text,
+        |       CAST(SUM(fp % 10007) AS BIGINT) AS fp_checksum
+        |FROM (SELECT lang, text,
+        |             list_reduce(
+        |               list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |                   t -> CAST(LENGTH(t)*131 + ASCII(t) AS BIGINT))),
+        |               (h, c) -> (h*131 + c) % 1000000007) AS fp
+        |      FROM documents) q
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        // order-sensitive polynomial rolling hash over the token stream,
+        // exact int64 arithmetic (mod keeps products < 2^63) — the document
+        // fingerprint primitive for shingle/dedup pipelines
+        Tables.table(s, dir, "documents")
+          .select(col("lang"), col("text"),
+            expr("""aggregate(filter(split(text, ' '), x -> x <> ''),
+                   |          CAST(0 AS BIGINT),
+                   |          (h, t) -> (h*131 + (LENGTH(t)*131 + ASCII(t))) % 1000000007)""".stripMargin)
+              .as("fp"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_distinct_fp"),
+            countDistinct(col("text")).as("n_distinct_text"),
+            sum(col("fp") % 10007).as("fp_checksum"))
+          .orderBy(col("lang"))
+    }
+  )
+}

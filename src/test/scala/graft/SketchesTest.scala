@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DocSimilarity, Sketches}
+
+/** Recall bounds for the randomized sketch operators against their exact
+  * counterparts (SURVEY §2.8) — the reference's own "approximate must agree
+  * with brute force" methodology.
+  */
+class SketchesTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash LSH candidates recall >= 0.9 of exact Jaccard>=0.6 pairs") {
+    val exact = DocSimilarity.nearDupPairs(spark, TestSpark.sf0001)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Sketches.minhashCandidates(spark, TestSpark.sf0001)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("simhash: identical docs collide, fingerprints are deterministic") {
+    val sh = Sketches.simhashes(spark, TestSpark.sf0001)
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val joined = sh.join(docs, "doc_id")
+      .select($"text", $"simhash").collect()
+      .groupBy(_.getString(0)).values
+    joined.foreach { rows =>
+      assert(rows.map(_.getLong(1)).toSet.size == 1, "same text must give same simhash")
+    }
+    val again = Sketches.simhashes(spark, TestSpark.sf0001)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    val first = sh.orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(again == first)
+  }
+
+  test("ann LSH knn recall >= 0.7 of exact brute-force top-10") {
+    val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = Sketches.annCosineKnn(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"ANN recall $recall")
+  }
+}
