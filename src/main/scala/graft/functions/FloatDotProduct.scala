@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: Σ aᵢ·bᵢ over two ARRAY<FLOAT> columns with
+  * FLOAT→DOUBLE promotion and a strict left-to-right fold — semantically
+  * identical to `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)),
+  * 0d, (s,v) -> s+v)` and to VectorOps.dot, but it participates in
+  * whole-stage codegen: no per-row lambda interpretation, no UDF
+  * serialization, no array boxing. This is the charter's preferred shape for
+  * a hot scalar kernel (Expression with doGenCode > Scala UDF).
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDotProduct {
+  /** Register as the SQL function `graft_dot` in this session (idempotent);
+    * afterwards `expr("graft_dot(a, b)")` builds the native expression. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.classic.ClassicConversions._
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+  }
+}

@@ -85,12 +85,16 @@ object JsonDocs {
          |WHERE a.vec_id <> 0
          |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin) {
       (s, dir) =>
+        // dot via the native codegen expression (graft.functions
+        // .FloatDotProduct) — same left-to-right double fold as the
+        // declarative aggregate/zip_with form, hash-identical results
+        graft.functions.FloatDotProduct.register(s)
         val em = Tables.table(s, dir, "embeddings")
         val q = em.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
         em.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            round(expr(dotS.format("embedding", "q_emb")) /
+            round(expr("graft_dot(q_emb, embedding)") /
               (sqrt(expr(sq.format("q_emb"))) * sqrt(expr(sq.format("embedding")))), 6).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
