@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+import graft.geo.Metrics
+
+/** Shared UDF registrations of the trajectory metric kernels (inputs are
+  * two parallel primitive-double coordinate arrays per trajectory). */
+object MetricUdfs {
+  val hausdorff: UserDefinedFunction =
+    udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
+      Metrics.hausdorff(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
+    }
+  val frechet: UserDefinedFunction =
+    udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
+      Metrics.discreteFrechet(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
+    }
+}

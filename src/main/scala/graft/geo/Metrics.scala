@@ -80,6 +80,40 @@ object Metrics {
     math.sqrt(row(m - 1))
   }
 
+  /** Point→segment distance (reference O2): distance from p to the closest
+    * point of segment [a,b] via projection clamp. */
+  def pointSegDist(px: Double, py: Double, ax: Double, ay: Double,
+                   bx: Double, by: Double): Double = {
+    val vx = bx - ax
+    val vy = by - ay
+    val len2 = vx * vx + vy * vy
+    if (len2 == 0.0) math.sqrt(d2(px, py, ax, ay))
+    else {
+      val t = math.max(0.0, math.min(1.0, ((px - ax) * vx + (py - ay) * vy) / len2))
+      val cx = ax + t * vx
+      val cy = ay + t * vy
+      math.sqrt(d2(px, py, cx, cy))
+    }
+  }
+
+  /** Segment→segment distance (reference O3): 0 if they intersect, else the
+    * min over the four endpoint→segment distances. */
+  def segSegDist(ax: Double, ay: Double, bx: Double, by: Double,
+                 cx: Double, cy: Double, dx: Double, dy: Double): Double = {
+    def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    val properlyIntersects = ((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+      ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
+    if (properlyIntersects) 0.0
+    else math.min(
+      math.min(pointSegDist(ax, ay, cx, cy, dx, dy), pointSegDist(bx, by, cx, cy, dx, dy)),
+      math.min(pointSegDist(cx, cy, ax, ay, bx, by), pointSegDist(dx, dy, ax, ay, bx, by)))
+  }
+
   /** Naive exponential-recursion Fréchet (memoized) — the definitional form,
     * used only as the property-test oracle for the DP (SURVEY §5.2). */
   def discreteFrechetNaive(xa: Array[Double], ya: Array[Double],

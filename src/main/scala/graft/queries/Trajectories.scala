@@ -20,12 +20,8 @@ import graft.geo.Metrics
   */
 object Trajectories {
 
-  private val hausdorffUdf = udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
-    Metrics.hausdorff(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
-  }
-  private val frechetUdf = udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
-    Metrics.discreteFrechet(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
-  }
+  private val hausdorffUdf = graft.functions.MetricUdfs.hausdorff
+  private val frechetUdf = graft.functions.MetricUdfs.frechet
 
   import graft.Fns.ptsViewS
 
@@ -154,6 +150,30 @@ object Trajectories {
           .groupBy(col("ua").as("u1"))
           .agg(count(lit(1)).as("n_close"))
           .orderBy(col("u1"))
+    },
+
+    // Reference O15 flagship API: top-k most similar trajectories to a
+    // query trajectory (user 0), Hausdorff metric.
+    DeclaredQuery("t7_topk_search",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |q AS (SELECT * FROM pts WHERE user_id = 0),
+         |o AS (SELECT * FROM pts WHERE user_id <> 0),
+         |d AS (SELECT o.user_id u, o.event_id eo, q.event_id eq,
+         |             SQRT((o.x-q.x)*(o.x-q.x)+(o.y-q.y)*(o.y-q.y)) AS dist
+         |      FROM o, q),
+         |hoq AS (SELECT u, MAX(md) AS h FROM
+         |        (SELECT u, eo, MIN(dist) AS md FROM d GROUP BY u, eo) q1 GROUP BY u),
+         |hqo AS (SELECT u, MAX(md) AS h FROM
+         |        (SELECT u, eq, MIN(dist) AS md FROM d GROUP BY u, eq) q2 GROUP BY u)
+         |SELECT hoq.u AS user_id, ROUND(GREATEST(hoq.h, hqo.h),6) AS dist
+         |FROM hoq JOIN hqo ON hoq.u = hqo.u
+         |ORDER BY ROUND(GREATEST(hoq.h, hqo.h),6), hoq.u LIMIT 10""".stripMargin) {
+      (s, dir) => graft.operators.TrajectorySearch.topK(s, dir, 0L, 10, "hausdorff")
+    },
+
+    // Same search under discrete Fréchet — oracle-exempt like t3.
+    DeclaredQuery.noOracle("t8_topk_search_frechet") {
+      (s, dir) => graft.operators.TrajectorySearch.topK(s, dir, 0L, 10, "frechet")
     }
   )
 }

@@ -61,6 +61,38 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("point-segment distance: clamp correctness vs dense sampling") {
+    (1 to 100).foreach { _ =>
+      val (px, py) = (rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+      val (ax, ay, bx, by) = (rnd.nextDouble() * 10, rnd.nextDouble() * 10,
+        rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+      val d = Metrics.pointSegDist(px, py, ax, ay, bx, by)
+      // dense sampling of the segment can only be >= the true min distance
+      val sampled = (0 to 1000).map { i =>
+        val t = i / 1000.0
+        val cx = ax + t * (bx - ax)
+        val cy = ay + t * (by - ay)
+        math.hypot(px - cx, py - cy)
+      }.min
+      assert(d <= sampled + 1e-9)
+      assert(d >= sampled - 0.02) // sampling grid resolution bound
+    }
+  }
+
+  test("segment-segment distance: zero iff intersecting, symmetric") {
+    // crossing segments
+    assert(Metrics.segSegDist(0, 0, 2, 2, 0, 2, 2, 0) == 0.0)
+    // parallel unit-apart
+    assert(math.abs(Metrics.segSegDist(0, 0, 1, 0, 0, 1, 1, 1) - 1.0) < 1e-12)
+    (1 to 100).foreach { _ =>
+      val s = Array.fill(8)(rnd.nextDouble() * 10)
+      val d1 = Metrics.segSegDist(s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7))
+      val d2 = Metrics.segSegDist(s(4), s(5), s(6), s(7), s(0), s(1), s(2), s(3))
+      assert(math.abs(d1 - d2) < 1e-12)
+      assert(d1 >= 0.0)
+    }
+  }
+
   test("hausdorff equals brute-force max-of-min (no early-break effect)") {
     cases.take(60).foreach { case ((xa, ya), (xb, yb)) =>
       def brute(x1: Array[Double], y1: Array[Double], x2: Array[Double], y2: Array[Double]) =

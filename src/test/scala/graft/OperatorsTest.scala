@@ -87,6 +87,17 @@ class OperatorsTest extends AnyFunSuite {
     assert(udfForm == sqlForm)
   }
 
+  test("t8 frechet search: k rows, each >= the hausdorff distance of the same pair") {
+    val h = graft.operators.TrajectorySearch.topK(spark, TestSpark.sf0001, 0L, 1000, "hausdorff")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f = SparkEntry.queries("t8_topk_search_frechet")(spark, TestSpark.sf0001).collect()
+    assert(f.length == 10)
+    f.foreach { r =>
+      assert(r.getDouble(1) >= h(r.getLong(0)) - 1e-9,
+        s"frechet ${r.getDouble(1)} < hausdorff ${h(r.getLong(0))} for user ${r.getLong(0)}")
+    }
+  }
+
   test("approx_count_distinct within documented error of exact (r6 analog)") {
     val li = Tables.table(spark, TestSpark.sf001, "lineitem")
     val exact = li.select(countDistinct($"l_partkey")).as[Long].head()
