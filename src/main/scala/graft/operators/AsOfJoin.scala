@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (latest right row at-or-before each left row, per key) as a
+  * composable operator.
+  *
+  * Spark has no native as-of join; the scalable reformulation is
+  * union-tag + running `last(_, ignoreNulls)` over one window: a single
+  * shuffle on the key, zero join fan-out, and state bounded by the window
+  * frame — this is how a 100 TB point-in-time join avoids the O(n·m)
+  * range-join trap. (The charter's "custom operator" ladder: composition
+  * covers the semantics, so no custom plan node is warranted.)
+  *
+  * `left` and `right` must share `keys` ++ `order` columns; `right`'s
+  * `payload` columns must not collide with left's. Right rows sort before
+  * left rows at an identical order key, so the match is inclusive (a right
+  * row matches a left row with the exact same (order) value).
+  */
+object AsOfJoin {
+
+  def asofLatest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 order: Seq[String], payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((order.map(col) :+ col("_side")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(u) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_side")
+  }
+}

@@ -39,8 +39,8 @@ object DocSimilarity {
       val toks = distinctTokens(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val vocab = toks.select(col("tok")).distinct()
       val pairs =
-        if (vocab.count() <= 64) maskPairs(toks, vocab)
-        else invertedIndexPairs(toks)
+        if (vocab.count() <= 64) maskPairs(toks, vocab, 3, 5)
+        else invertedIndexPairs(toks, 3, 5)
       pairs.persist(StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -51,7 +51,7 @@ object DocSimilarity {
       .filter(col("tok") =!= "")
       .distinct()
 
-  private def maskPairs(toks: DataFrame, vocab: DataFrame): DataFrame = {
+  def maskPairs(toks: DataFrame, vocab: DataFrame, num: Int, den: Int): DataFrame = {
     // ≤64 rows: a global row_number is fine (single tiny partition).
     val dict = vocab.withColumn("tid", row_number().over(Window.orderBy(col("tok"))) - 1)
     val sets = toks.join(broadcast(dict), "tok")
@@ -66,7 +66,7 @@ object DocSimilarity {
     val cross = g1.join(g2, col("lang") === col("lang2") && col("m1") < col("m2"))
       .withColumn("i", expr("CAST(bit_count(m1 & m2) AS BIGINT)"))
       .withColumn("u", col("c1") + col("c2") - col("i"))
-      .filter(lit(5) * col("i") >= lit(3) * col("u"))
+      .filter(lit(den) * col("i") >= lit(num) * col("u"))
       .select(col("lang"), col("i"), col("u"), explode(col("docs1")).as("da"), col("docs2"))
       .select(col("lang"), col("i"), col("u"), col("da"), explode(col("docs2")).as("db"))
       .select(
@@ -86,8 +86,8 @@ object DocSimilarity {
   }
 
   /** Generic path: inverted-index self-join on (tok, lang) → per-pair
-    * intersection counts → exact integer threshold. */
-  private def invertedIndexPairs(toks: DataFrame): DataFrame = {
+    * intersection counts → exact integer Jaccard >= num/den threshold. */
+  def invertedIndexPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val a = toks.select(col("doc_id").as("d1"), col("lang"), col("tok"))
     val b = toks.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("tok").as("tok_b"))
@@ -96,7 +96,7 @@ object DocSimilarity {
       .agg(count(lit(1)).as("i"))
       .join(sizes.select(col("doc_id").as("d1"), col("c").as("c1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("c").as("c2")), "d2")
-      .filter(lit(5) * col("i") >= lit(3) * (col("c1") + col("c2") - col("i")))
+      .filter(lit(den) * col("i") >= lit(num) * (col("c1") + col("c2") - col("i")))
       .select(col("d1"), col("d2"), col("lang"),
         round(col("i").cast("double") / (col("c1") + col("c2") - col("i")), 6).as("jaccard"))
   }

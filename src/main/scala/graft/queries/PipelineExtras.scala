@@ -59,6 +59,64 @@ object PipelineExtras {
       (s, dir) => Sketches.annCosineKnn(s, dir)
     },
 
+    // As-of join as a composable operator (union-tag + running last):
+    // each event joined to the latest error event of the same user at or
+    // before it.
+    DeclaredQuery("a1_asof_join",
+      """WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT user_id, event_id,
+        |             LAST_VALUE(CASE WHEN event_type='error' THEN event_id END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_event_id
+        |      FROM e)
+        |SELECT user_id, COUNT(*) AS n_matched,
+        |       CAST(SUM((event_id*31 + err_event_id) % 1000003) AS BIGINT) AS checksum
+        |FROM t WHERE err_event_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_id").as("err_event_id"))
+        graft.operators.AsOfJoin.asofLatest(
+            ev.select(col("user_id"), col("ts_us"), col("event_id")),
+            errors,
+            keys = Seq("user_id"), order = Seq("ts_us", "event_id"),
+            payload = Seq("err_event_id"))
+          .filter(col("err_event_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum((col("event_id") * 31 + col("err_event_id")) % 1000003).as("checksum"))
+          .orderBy(col("user_id"))
+    },
+
+    // Character 3-gram shingle Jaccard on a bounded doc subset — exercises
+    // the generic inverted-index path (shingle vocab ≫ 64) with an oracle.
+    DeclaredQuery("p8_ngram_jaccard",
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 500),
+        |sh AS (SELECT DISTINCT doc_id, lang, tok FROM
+        |        (SELECT doc_id, lang, unnest(list_transform(range(1, length(text)-1),
+        |                i -> substring(text, CAST(i AS INT), 3))) AS tok
+        |         FROM d) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id d1, b.doc_id d2, a.lang AS lang, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.tok=b.tok AND a.lang=b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id, a.lang)
+        |SELECT d1, d2, lang, ROUND(CAST(i AS DOUBLE)/(s1.c + s2.c - i), 6) AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.doc_id=d1 JOIN sizes s2 ON s2.doc_id=d2
+        |WHERE 2*i >= 1*(s1.c + s2.c - i)
+        |ORDER BY ROUND(CAST(i AS DOUBLE)/(s1.c+s2.c-i),6) DESC, d1, d2 LIMIT 50""".stripMargin) {
+      (s, dir) =>
+        val shingles = Tables.table(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("tok"))
+          .distinct()
+        graft.operators.DocSimilarity.invertedIndexPairs(shingles, 1, 2)
+          .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+          .limit(50)
+    },
+
     // Typed Aggregator path producing exactly j3's numbers (same oracle).
     DeclaredQuery("j3b_centroid_udaf",
       """SELECT label, pos,

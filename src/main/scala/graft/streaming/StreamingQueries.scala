@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,4 +76,59 @@ object StreamingQueries {
   /** e4 counterpart: exact stream dedup on event_id. */
   def dedupCount(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id").groupBy().agg(count(lit(1)).as("n_ids"))
+
+  /** One emitted session: (user_id, session start µs, event count, duration µs). */
+  final case class Session(user_id: Long, start_us: Long, n_ev: Long, dur_us: Long)
+  /** Open-session state carried between micro-batches. */
+  final case class OpenSession(start_us: Long, last_us: Long, n_ev: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState (the
+    * `KeyValueGroupedDataset` custom-state surface): same 30-min-gap
+    * semantics as e3 / session_window, but with explicit per-user state and
+    * event-time timeouts — the shape to reach for when session logic stops
+    * being expressible as a gap window (e.g. conversion funnels).
+    * Closed sessions emit immediately; the open session emits when the
+    * watermark passes its end (event-time timeout).
+    */
+  def sessionizeCustom(events: DataFrame, gapUs: Long = 1800000000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ev_time", "2 hours")
+      // ev_time must survive the projection so the watermark reaches the
+      // stateful operator (event-time timeout requires it)
+      .select(col("user_id"), col("ts_us"), col("ev_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start_us, s.n_ev, s.last_us - s.start_us))
+          } else {
+            val ts = it.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_us > gapUs =>
+                  out += Session(user, s.start_us, s.n_ev, s.last_us - s.start_us)
+                  cur = Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.start_us, math.max(s.last_us, t), s.n_ev + 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // event-time timeout fires once the watermark passes session end
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)
+            }
+            out.iterator
+          }
+      }
+  }
 }

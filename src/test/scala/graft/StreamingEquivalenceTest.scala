@@ -114,6 +114,46 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState sessionizer == batch e3") {
+    // reuse the e3 replay-with-sentinel layout
+    val dir = Files.createTempDirectory("graft-stream-fmgws")
+    val srcs = Files.list(Paths.get(replayDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    srcs.zipWithIndex.foreach { case (p, i) =>
+      val dst = Files.copy(p, dir.resolve(p.getFileName))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val maxTs = Tables.table(spark, TestSpark.sf0001, "events")
+      .agg(max($"ts")).as[Long].head()
+    val sentinel = Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = Files.createTempDirectory("graft-sentinel2")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    Files.move(part, dir.resolve("batch99.parquet"))
+
+    val acc = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamingQueries.sessionizeCustom(StreamingQueries.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.Session], _: Long) =>
+        df.collect().foreach(s => acc += ((s.user_id, s.start_us, s.n_ev, s.dur_us)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = acc.filter(_._1 >= 0)
+      .groupBy(_._1)
+      .map { case (user, sessions) =>
+        (user, sessions.size.toLong, sessions.map(_._3).max,
+          BigDecimal(sessions.map(_._4).max.toDouble / 1e6)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toSeq.sortBy(_._1)
+    val want = SparkEntry.queries("e3_session_windows")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
   test("e4 streaming dedup == batch distinct count") {
     val got = runComplete(
       StreamingQueries.dedupCount(StreamingQueries.eventsStream(spark, replayDir)), "s_e4")
