@@ -98,6 +98,20 @@ class OperatorsTest extends AnyFunSuite {
     }
   }
 
+  test("salted join equals unsalted join") {
+    val li = Tables.table(spark, TestSpark.sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val o = Tables.table(spark, TestSpark.sf0001, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+    val plain = li.join(o, "l_orderkey")
+      .orderBy($"l_orderkey", $"l_quantity", $"o_custkey")
+      .collect().map(_.toString).toSeq
+    val salted = graft.operators.SaltedJoin.join(li, o, "l_orderkey")
+      .orderBy($"l_orderkey", $"l_quantity", $"o_custkey")
+      .collect().map(_.toString).toSeq
+    assert(salted == plain)
+  }
+
   test("approx_count_distinct within documented error of exact (r6 analog)") {
     val li = Tables.table(spark, TestSpark.sf001, "lineitem")
     val exact = li.select(countDistinct($"l_partkey")).as[Long].head()
