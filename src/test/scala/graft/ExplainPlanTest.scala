@@ -47,6 +47,21 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("date-partitioned layout gives partition pruning (SCALE.md layout note)") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, TestSpark.sf0001)
+      .withColumn("day", expr("CAST(ts_us DIV 86400000000 AS INT)"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("day") === 19725)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    // actually scans only the one partition directory
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("day=19725")), files.mkString(","))
+  }
+
   test("r8: range-residual outer join stays a hash join on the equi key") {
     val p = plan("r8_shipped_within_90d")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
