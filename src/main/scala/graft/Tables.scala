@@ -72,6 +72,18 @@ object Tables {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Tokenized documents — (doc_id, lang, tok), empty tokens dropped, one
+    * row per token OCCURRENCE (not distinct). Shared (memoized + persisted)
+    * across the document-pipeline queries so the corpus is exploded once
+    * per session, not once per query. */
+  def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, "docTokens"), {
+      table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Cache the frequently-scanned fact tables in memory — called by Bench
     * (one scan instead of ~40 across the declared set). At cluster scale the
     * analog is a shared InMemoryRelation / warmed storage layer, not a

@@ -46,10 +46,7 @@ object DocSimilarity {
 
   /** Distinct (doc_id, lang, tok), empty tokens dropped. */
   def distinctTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .distinct()
+    Tables.docTokens(s, dir).distinct()
 
   def maskPairs(toks: DataFrame, vocab: DataFrame, num: Int, den: Int): DataFrame = {
     // ≤64 rows: a global row_number is fine (single tiny partition).

@@ -136,9 +136,7 @@ object JsonDocs {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin) {
       (s, dir) =>
-        Tables.table(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "")
+        Tables.docTokens(s, dir)
           .groupBy(col("tok"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok"))

@@ -54,9 +54,7 @@ object TextPipeline {
         |       ROUND(CAST(SUM(n_short) AS DOUBLE)/SUM(n_toks), 4) AS short_ratio
         |FROM feat GROUP BY lang, band ORDER BY lang, band""".stripMargin) {
       (s, dir) =>
-        val feat = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "")
+        val feat = Tables.docTokens(s, dir)
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("n_toks"),
             sum(length(col("tok"))).as("sum_len"),
@@ -89,9 +87,7 @@ object TextPipeline {
         // frequency-based language ID: score(doc, cand) = Σ_tok corpus
         // frequency of tok in cand; prediction = argmax (integer scores,
         // lexicographic tie-break) — a deterministic n-gram-style classifier
-        val toks = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "")
+        val toks = Tables.docTokens(s, dir)
         val freq = toks.groupBy(col("tok").as("ftok"), col("lang").as("cand"))
           .agg(count(lit(1)).as("cnt"))
         val scores = toks.join(freq, col("tok") === col("ftok"))
