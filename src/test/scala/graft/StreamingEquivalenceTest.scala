@@ -154,6 +154,22 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming parquet file sink round-trip (sink surface)") {
+    val outDir = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = StreamingQueries.eventsStream(spark, replayDir)
+      .select($"event_id", $"user_id", $"event_type", $"ts_us")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.parquet(outDir)
+    val want = Tables.table(spark, TestSpark.sf0001, "events").count()
+    assert(back.count() == want)
+    assert(back.select($"event_id").distinct().count() == want)
+  }
+
   test("e4 streaming dedup == batch distinct count") {
     val got = runComplete(
       StreamingQueries.dedupCount(StreamingQueries.eventsStream(spark, replayDir)), "s_e4")
