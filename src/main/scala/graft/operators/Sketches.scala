@@ -142,4 +142,39 @@ object Sketches {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** IVF (inverted-file) ANN: seeded k-means coarse quantizer → per-vector
+    * list assignment; a query probes its `nprobe` nearest lists and refines
+    * with exact cosine. The partition-then-probe structure is the same idea
+    * as the reference's STR partitioning + global-index pruning, applied to
+    * vector space: at 100 TB the list id becomes the table's partition key
+    * so a query touches nprobe/nlist of the data.
+    */
+  def annIvfKnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((emb: Seq[Float]) => Vectors.dense(emb.map(_.toDouble).toArray))
+    val em = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("f"))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("f").setPredictionCol("list_id")
+      .fit(em.select(col("f")))
+    val assigned = model.transform(em).select(col("vec_id"), col("embedding"), col("list_id"))
+    val qEmb = Tables.table(s, dir, "embeddings")
+      .filter(col("vec_id") === queryId).select(col("embedding")).head().getSeq[Float](0)
+    val qArr = qEmb.map(_.toDouble).toArray
+    val probeLists = model.clusterCenters.zipWithIndex
+      .map { case (c: MlVector, i) =>
+        val d = c.toArray.zip(qArr).map { case (x, y) => val t = x - y; t * t }.sum
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+    assigned.filter(col("vec_id") =!= queryId && col("list_id").isInCollection(probeLists))
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
+          (sqrt(VectorOps.norm2Col("embedding")) * sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -59,6 +59,10 @@ object PipelineExtras {
       (s, dir) => Sketches.annCosineKnn(s, dir)
     },
 
+    DeclaredQuery.noOracle("p9_ann_ivf_knn") {
+      (s, dir) => Sketches.annIvfKnn(s, dir)
+    },
+
     // As-of join as a composable operator (union-tag + running last):
     // each event joined to the latest error event of the same user at or
     // before it.

@@ -39,6 +39,15 @@ class SketchesTest extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("ann IVF knn recall >= 0.7 of exact brute-force top-10") {
+    val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = Sketches.annIvfKnn(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall")
+  }
+
   test("ann LSH knn recall >= 0.7 of exact brute-force top-10") {
     val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
       .select($"vec_id").as[Long].collect().toSet
