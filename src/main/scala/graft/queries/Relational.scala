@@ -209,6 +209,27 @@ object Relational {
             grouping(col("o_orderpriority")).cast("long").as("g_p"))
           .orderBy(col("g_s"), col("g_p"),
             col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Exact continuous quantiles (linear interpolation — both engines use
+    // the standard (n-1)p rule; single-interpolation arithmetic is safe
+    // under ROUND(…,4) per §2.7b rule 5).
+    DeclaredQuery("r10_quantiles",
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |       ROUND(quantile_cont(l_quantity, 0.5), 4)  AS q50,
+        |       ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+            round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -121,6 +121,28 @@ object SetsAndFuncs {
             sum(abs(col("l_linenumber")).cast("long")).as("sum_abs_line"))
     },
 
+    // Statistical aggregates; ROUND(…,4) absorbs the ~1e-9 cross-engine
+    // algorithm noise (Welford vs sum-of-squares) per §2.7b rule 5.
+    DeclaredQuery("f5_stat_aggs",
+      """SELECT l_returnflag,
+        |       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       ROUND(var_samp(l_quantity), 4)    AS var_qty,
+        |       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+    },
+
     DeclaredQuery("f4_case_nulls",
       s"""SELECT CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < 5000 THEN 'mid'
          |            ELSE 'high' END AS band,
