@@ -230,6 +230,42 @@ object Relational {
             round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag"))
+    },
+
+    // Pivot (wide reshape): order counts by priority × status.
+    DeclaredQuery("r11_pivot",
+      """SELECT o_orderpriority,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN 1 END), 0) AS BIGINT) AS F,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN 1 END), 0) AS BIGINT) AS O,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN 1 END), 0) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    // Unpivot (long reshape): one row of exact cent sums melted to
+    // (metric, value) pairs.
+    DeclaredQuery("r12_unpivot",
+      s"""SELECT 'disc' AS metric, CAST(SUM(${centsS("l_discount")}) AS BIGINT) AS value FROM lineitem
+         |UNION ALL SELECT 'price', CAST(SUM(${centsS("l_extendedprice")}) AS BIGINT) FROM lineitem
+         |UNION ALL SELECT 'qty', CAST(SUM(${centsS("l_quantity")}) AS BIGINT) FROM lineitem
+         |ORDER BY metric""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .agg(
+            sum(cents(col("l_discount"))).as("disc"),
+            sum(cents(col("l_extendedprice"))).as("price"),
+            sum(cents(col("l_quantity"))).as("qty"))
+          .unpivot(Array.empty, Array(col("disc"), col("price"), col("qty")), "metric", "value")
+          .orderBy(col("metric"))
     }
   )
 }
