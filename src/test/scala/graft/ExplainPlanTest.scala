@@ -40,6 +40,14 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("v2: refine UDF stays OUT of the pair-join condition (bound prunes first)") {
+    val p = plan("v2_near_dup_vectors")
+    val joinCond = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    // if the asNondeterministic barrier is ever removed, Catalyst pushes the
+    // exact-dot UDF into the BNLJ condition and the prune is dead code
+    assert(!joinCond.contains("UDF"), joinCond)
+  }
+
   test("d3: mask-path near-dup join has no token-level shuffle join") {
     val p = plan("d3_jaccard_pairs")
     // the pair join keys on lang with mask residual — a hash/sort-merge join;
