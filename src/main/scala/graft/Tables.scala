@@ -22,7 +22,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoization contract: inputs under sfDir are immutable for the life of
+  // the session (true for the driver's fixtures). resetCaches() exists for
+  // tests that need to force re-execution.
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop all memoized/persisted frames (tests only). */
+  def resetCaches(): Unit = {
+    cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cache.clear()
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name), {

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * covers the semantics, so no custom plan node is warranted.)
   *
   * `left` and `right` must share `keys` ++ `order` columns; `right`'s
-  * `payload` columns must not collide with left's. Right rows sort before
+  * `payload` columns must not collide with left's. `order` MUST be a total
+  * order within each key group on the right side (include a unique
+  * tie-breaker column) — tied right rows would otherwise make the picked
+  * payload partition-order dependent. Right rows sort before
   * left rows at an identical order key, so the match is inclusive (a right
   * row matches a left row with the exact same (order) value).
   */

@@ -31,6 +31,12 @@ object DocSimilarity {
 
   private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop memoized pair sets (tests only; inputs are immutable per session). */
+  def resetCaches(): Unit = {
+    memo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    memo.clear()
+  }
+
   /** All same-lang doc pairs (d1 < d2) with 5·|∩| ≥ 3·|∪| (Jaccard ≥ 0.6
     * in exact integer arithmetic): columns (d1, d2, lang, jaccard). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =

@@ -100,7 +100,8 @@ object Sketches {
   }
 
   /** Random-projection LSH ANN: 8 seeded hyperplanes → 256-bucket space;
-    * multiprobe the query bucket plus all 1- and 2-bit flips (37 buckets);
+    * multiprobe the query bucket plus all 1-, 2- and 3-bit flips (93 buckets
+    * — a recall/cost point chosen for the weakly clustered fixture);
     * exact cosine on candidates only. Approximate analog of v1_vector_knn.
     * The single query point is collected to the driver (bounded, one row —
     * the same way the reference broadcasts the query trajectory). */

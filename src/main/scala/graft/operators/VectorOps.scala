@@ -53,7 +53,10 @@ object VectorOps {
     */
   def cosineSelfJoin(em: DataFrame, idCol: String, embCol: String, t: Double,
                      headDim: Int = 16): DataFrame = {
-    val heads = (0 until headDim).map(i => expr(s"CAST($embCol[$i] AS DOUBLE)").as(s"h$i"))
+    // out-of-range head slots (dim < headDim) contribute 0 to the head dot;
+    // the tail slice is then empty so the bound stays exact
+    val heads = (0 until headDim).map(i =>
+      expr(s"COALESCE(CAST($embCol[$i] AS DOUBLE), 0.0)").as(s"h$i"))
     val tailSq = s"aggregate(transform(slice($embCol, ${headDim + 1}, 1000000), " +
       "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)"
     val stats = em.select(
@@ -77,13 +80,7 @@ object VectorOps {
     // ahead of the cheap bound — the function itself is pure. Without this,
     // the optimizer evaluates the full dot for every pair and the prune is
     // dead code.
-    val refineDot = udf((x: Seq[Float], y: Seq[Float]) => {
-      val n = math.min(x.length, y.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-      s
-    }).asNondeterministic()
+    val refineDot = dot.asNondeterministic()
 
     a.join(b, col("a_vid") < col("b_vid") && keep)
       .select(col("a_vid").as("id1"), col("b_vid").as("id2"),

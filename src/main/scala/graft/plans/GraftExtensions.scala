@@ -16,12 +16,15 @@ import graft.functions.FloatDotProduct
   * `FloatDotProduct(x, x)`, so the rewrite below is value-preserving. */
 case class FloatNorm2(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  // same null semantics as FloatDotProduct(x, x): a null element -> NULL
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     while (i < a.numElements()) {
+      if (a.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       s += x * x
       i += 1
@@ -37,10 +40,11 @@ case class FloatNorm2(child: Expression) extends UnaryExpression {
       s"""
          |double $s = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = (double) $a.getFloat($i);
          |  $s += $x * $x;
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) ${ev.value} = $s;
        """.stripMargin
     })
 

@@ -114,7 +114,11 @@ object PipelineExtras {
         val shingles = Tables.table(s, dir, "documents")
           .filter(col("doc_id") < 500)
           .select(col("doc_id"), col("lang"),
-            explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("tok"))
+            explode(expr(
+              // sequence(1, n) runs DESCENDING when n < 1, so short docs must
+              // yield an empty shingle list (matching DuckDB's range())
+              "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) " +
+                "ELSE CAST(array() AS ARRAY<STRING>) END")).as("tok"))
           .distinct()
         graft.operators.DocSimilarity.invertedIndexPairs(shingles, 1, 2)
           .orderBy(col("jaccard").desc, col("d1"), col("d2"))

@@ -129,7 +129,10 @@ object Trajectories {
         // 3×3 neighborhood and equi-joining on the cell key finds every
         // qualifying pair exactly once (the build side keeps its single home
         // cell). Turns O(n²) BNLJ into a shuffle hash join — SURVEY §4.3c.
-        val eps = 1.0
+        // cell size covers the post-rounding effective epsilon: the filter
+        // admits true distances up to 1.0000005, which must still be at most
+        // one cell apart per axis
+        val eps = 1.000001
         val p = Tables.pts(s, dir, "error")
           .select(col("user_id"), col("x"), col("y"),
             floor(col("x") / eps).cast("long").as("cx"),

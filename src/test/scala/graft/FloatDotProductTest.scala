@@ -30,15 +30,25 @@ class FloatDotProductTest extends AnyFunSuite {
     }
   }
 
-  test("null and length-mismatch behavior") {
+  test("null and length-mismatch behavior matches the zip_with/aggregate form") {
     FloatDotProduct.register(spark)
     val df = Seq(
-      (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f))),
+      (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f))), // mismatch: zip_with pads with null -> NULL
       (None, Some(Seq(1f))),
-      (Some(Seq(1f)), None)
+      (Some(Seq(1f)), None),
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f)))
     ).toDF("a", "b")
-    val out = df.select(expr("graft_dot(a, b)")).collect()
-    assert(out(0).getDouble(0) == 1f.toDouble * 4f.toDouble + 2f.toDouble * 5f.toDouble)
-    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+    val out = df.select(
+      expr("graft_dot(a, b)"),
+      expr("aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+    // element-level null nullifies the fold in both forms
+    val withNullElem = spark.sql(
+      "SELECT graft_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(2 AS FLOAT), CAST(3 AS FLOAT))) AS d")
+    assert(withNullElem.collect()(0).isNullAt(0))
   }
 }
