@@ -88,6 +88,52 @@ object DocSimilarity {
     cross.unionAll(same)
   }
 
+  /** Prefix-filtered exact set-similarity join (PPJoin-family, public
+    * algorithm): for Jaccard ≥ t = num/den, two sets must share a token in
+    * each one's PREFIX — the first `|d| − ceil(t·|d|) + 1` tokens under a
+    * global rarest-first token order. Only prefixes enter the inverted-index
+    * join (a large constant-factor cut over indexing every token), then
+    * candidates are verified exactly against the full sets via
+    * `array_intersect`. Identical results to [[invertedIndexPairs]]
+    * (OperatorsTest), with far fewer join rows — the generic scale path
+    * when the vocabulary exceeds the 64-bit mask.
+    */
+  def prefixFilteredPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    // global rarest-first token ranks (ties by token). Locally a single
+    // window over the vocab; at cluster scale this is a range-partitioned
+    // sort — the dictionary is |V| rows either way.
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val dict = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("f"), col("tok"))))
+    val ranked = toks.join(dict.select(col("tok"), col("rank")), "tok")
+
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("rank"))
+    val withPos = ranked
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix length = c - ceil(t*c) + 1; ceil(num*c/den) in exact ints
+    val prefix = withPos.filter(
+      col("rn") <= col("c") - expr(s"(c * $num + $den - 1) DIV $den") + 1)
+
+    val a = prefix.select(col("doc_id").as("d1"), col("lang"), col("tok"))
+    val b = prefix.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("tok").as("tok_b"))
+    val cands = a.join(b,
+        col("tok") === col("tok_b") && col("lang") === col("lang_b") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("lang"))
+      .distinct()
+
+    // exact verification against full sets
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(collect_set(col("tok")).as("set"), count(lit(1)).as("c"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("set").as("s1"), col("c").as("c1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("set").as("s2"), col("c").as("c2")), "d2")
+      .withColumn("i", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(lit(den) * col("i") >= lit(num) * (col("c1") + col("c2") - col("i")))
+      .select(col("d1"), col("d2"), col("lang"),
+        round(col("i").cast("double") / (col("c1") + col("c2") - col("i")), 6).as("jaccard"))
+  }
+
   /** Generic path: inverted-index self-join on (tok, lang) → per-pair
     * intersection counts → exact integer Jaccard >= num/den threshold. */
   def invertedIndexPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {

@@ -120,7 +120,9 @@ object PipelineExtras {
               "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) " +
                 "ELSE CAST(array() AS ARRAY<STRING>) END")).as("tok"))
           .distinct()
-        graft.operators.DocSimilarity.invertedIndexPairs(shingles, 1, 2)
+        // prefix-filtered (PPJoin-style) — exact-equal to the inverted
+        // index (OperatorsTest) with far fewer candidate join rows
+        graft.operators.DocSimilarity.prefixFilteredPairs(shingles, 1, 2)
           .orderBy(col("jaccard").desc, col("d1"), col("d2"))
           .limit(50)
     },

@@ -98,6 +98,17 @@ class OperatorsTest extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered set-similarity join equals inverted-index join") {
+    val toks = DocSimilarity.distinctTokens(spark, TestSpark.sf0001)
+    for ((num, den) <- Seq((3, 5), (1, 2))) {
+      val inverted = DocSimilarity.invertedIndexPairs(toks, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      val prefixed = DocSimilarity.prefixFilteredPairs(toks, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      assert(prefixed == inverted, s"threshold $num/$den")
+    }
+  }
+
   test("salted join equals unsalted join") {
     val li = Tables.table(spark, TestSpark.sf0001, "lineitem")
       .select($"l_orderkey", $"l_quantity")
