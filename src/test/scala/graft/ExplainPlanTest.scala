@@ -70,6 +70,28 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("day=19725")), files.mkString(","))
   }
 
+  test("bucketed tables: co-located join needs no shuffle exchange (SCALE.md)") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.table(spark, TestSpark.sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.table(spark, TestSpark.sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+    val joined = spark.table("li_b").join(
+      spark.table("ord_b").hint("merge"),
+      $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(joined.count() == Tables.table(spark, TestSpark.sf0001, "lineitem").count())
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+
   test("r8: range-residual outer join stays a hash join on the equi key") {
     val p = plan("r8_shipped_within_90d")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
