@@ -30,6 +30,24 @@ class FloatDotProductTest extends AnyFunSuite {
     }
   }
 
+  test("doGenCode actually compiles (no silent interpreted fallback)") {
+    FloatDotProduct.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+      val q = em.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+      // graft_dot in a whole-stage-codegen projection
+      val n = em.crossJoin(broadcast(q))
+        .select(expr("graft_dot(embedding, q_emb)").as("d"))
+        .filter($"d" > -1e9).count()
+      assert(n == em.count())
+      // FloatNorm2 via the optimizer rewrite inside codegen
+      val self = em.select(expr("graft_dot(embedding, embedding)").as("n2"))
+        .filter($"n2" > 0).count()
+      assert(self == em.count())
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("null and length-mismatch behavior matches the zip_with/aggregate form") {
     FloatDotProduct.register(spark)
     val df = Seq(
