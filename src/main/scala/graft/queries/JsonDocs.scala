@@ -42,6 +42,27 @@ object JsonDocs {
           .orderBy(col("event_type"))
     },
 
+    // Same field as j1 but through the schema-full parser path
+    // (from_json → StructType → field access), the shape used when JSON
+    // columns have a declared schema at scale.
+    DeclaredQuery("j4_json_struct",
+      """SELECT event_type,
+        |       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "events")
+          .select(col("event_type"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("k") > 50, 1).otherwise(0)).cast("long").as("n_big"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+    },
+
     DeclaredQuery("j2_embedding_norms",
       s"""SELECT label, COUNT(*) AS n, CAST(MIN(sz) AS BIGINT) AS dim,
          |       ROUND(CAST(SUM(CAST(FLOOR(SQRT(norm2)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*)/1e6, 4) AS avg_norm

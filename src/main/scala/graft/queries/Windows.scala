@@ -111,6 +111,40 @@ object Windows {
           .orderBy(col("c_custkey"))
     },
 
+    // first/last/nth value window functions over the per-customer order
+    // history (frame = whole partition so last/nth are well-defined).
+    DeclaredQuery("w7_first_last_nth",
+      """SELECT o_custkey,
+        |       CAST(MIN(first_ord) AS BIGINT) AS first_ord,
+        |       CAST(MIN(last_ord) AS BIGINT) AS last_ord,
+        |       CAST(MIN(second_ord) AS BIGINT) AS second_ord,
+        |       COUNT(*) AS n
+        |FROM (SELECT o_custkey,
+        |             FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+        |             LAST_VALUE(o_orderkey) OVER w AS last_ord,
+        |             COALESCE(NTH_VALUE(o_orderkey, 2) OVER w, -1) AS second_ord
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.table(s, dir, "orders")
+          .select(col("o_custkey"),
+            first(col("o_orderkey")).over(w).as("fo"),
+            last(col("o_orderkey")).over(w).as("lo"),
+            coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L)).as("so"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            min(col("fo")).as("first_ord"),
+            min(col("lo")).as("last_ord"),
+            min(col("so")).as("second_ord"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_custkey"))
+    },
+
     DeclaredQuery("w6_asof_last_error",
       s"""SELECT user_id, COUNT(*) AS n_after_err,
          |       ROUND(CAST(SUM(ts_us - last_err) AS DOUBLE)/COUNT(*)/1e6, 3) AS avg_since_err_s
