@@ -16,22 +16,31 @@ object Bench {
     Tables.names.foreach(n => Tables.table(spark, sfDir, n).schema)
     Tables.cacheHot(spark, sfDir)
     // This box shows intermittent 2-3x slowdown spikes (BASELINE.md noise
-    // note); only a clear outlier (first run > 8s — no query's steady state
-    // is that slow) is re-run once with the minimum reported, so one-time
-    // materialization costs still land in the total.
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // note), so every query runs 3x and the reported number is the MEDIAN
+    // (min also emitted). A query that throws is reported as -1 and listed
+    // under "failed" — never silently counted as a timing.
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"bench query failed: $e"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
+    val runsPer = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = once(fn)
-      name -> (if (t1 > 8.0) math.min(t1, once(fn)) else t1)
+      val runs = (1 to runsPer).map(_ => once(fn))
+      if (runs.exists(!_._2)) (name, -1.0, -1.0)
+      else {
+        val ts = runs.map(_._1).sorted
+        (name, ts(runsPer / 2), ts.head)
+      }
     }
-    val qs = results.toMap.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(sel: ((String, Double, Double)) => Double): String =
+      results.map(t => s"\"" + t._1 + "\":" + sel(t)).mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"failed":$failed,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

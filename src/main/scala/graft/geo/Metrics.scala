@@ -42,10 +42,12 @@ object Metrics {
     cmax
   }
 
-  /** Discrete Hausdorff H(A,B) = max(h(A,B), h(B,A)). */
+  /** Discrete Hausdorff H(A,B) = max(h(A,B), h(B,A)). Empty inputs are
+    * undefined — returns NaN, matching [[discreteFrechet]]. */
   def hausdorff(xa: Array[Double], ya: Array[Double],
                 xb: Array[Double], yb: Array[Double]): Double =
-    math.sqrt(math.max(directedSq(xa, ya, xb, yb), directedSq(xb, yb, xa, ya)))
+    if (xa.length == 0 || xb.length == 0) Double.NaN
+    else math.sqrt(math.max(directedSq(xa, ya, xb, yb), directedSq(xb, yb, xa, ya)))
 
   /** Discrete Fréchet distance via the standard O(n·m) dynamic program
     * (Eiter & Mannila 1994), rolling single-row buffer (O(m) space):

@@ -55,8 +55,12 @@ object DocSimilarity {
     Tables.docTokens(s, dir).distinct()
 
   def maskPairs(toks: DataFrame, vocab: DataFrame, num: Int, den: Int): DataFrame = {
-    // ≤64 rows: a global row_number is fine (single tiny partition).
-    val dict = vocab.withColumn("tid", row_number().over(Window.orderBy(col("tok"))) - 1)
+    // This path only runs when vocab ≤ 64 (checked by the caller), so the
+    // token→bit dictionary is a bounded driver-side artifact, broadcast back
+    // — no global sort anywhere in the plan.
+    val sp = toks.sparkSession
+    import sp.implicits._
+    val dict = vocab.collect().map(_.getString(0)).sorted.zipWithIndex.toSeq.toDF("tok", "tid")
     val sets = toks.join(broadcast(dict), "tok")
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").as("mask"),
@@ -97,17 +101,27 @@ object DocSimilarity {
     * `array_intersect`. Identical results to [[invertedIndexPairs]]
     * (OperatorsTest), with far fewer join rows — the generic scale path
     * when the vocabulary exceeds the 64-bit mask.
+    *
+    * PRECONDITION: `toks` must be DISTINCT (doc_id, lang, tok) rows (as
+    * produced by [[distinctTokens]]) — per-doc set size is `count(*)`, so
+    * duplicate occurrence rows would overcount `c` and corrupt the exact
+    * Jaccard filter. Same contract as [[invertedIndexPairs]].
     */
   def prefixFilteredPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
-    // global rarest-first token ranks (ties by token). Locally a single
-    // window over the vocab; at cluster scale this is a range-partitioned
-    // sort — the dictionary is |V| rows either way.
+    // Global rarest-first token order. Prefix filtering needs SOME total
+    // order on the vocabulary, not a dense rank permutation — so order by
+    // the tuple (f, xxhash64(tok), tok) directly and skip the dictionary
+    // window entirely. (A `row_number() OVER (ORDER BY ...)` here would pull
+    // the whole vocabulary through ONE task — a single-reducer sort that a
+    // billion-term shingle vocabulary cannot survive. The tuple order needs
+    // no shuffle at all beyond the freq groupBy.) The hash decorrelates the
+    // sort key from lexicographic skew; `tok` breaks hash ties so the order
+    // stays deterministic and total.
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val dict = freq.withColumn("rank",
-      row_number().over(Window.orderBy(col("f"), col("tok"))))
-    val ranked = toks.join(dict.select(col("tok"), col("rank")), "tok")
+    val ranked = toks.join(freq, "tok")
 
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("rank"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), xxhash64(col("tok")), col("tok"))
     val withPos = ranked
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -135,7 +149,9 @@ object DocSimilarity {
   }
 
   /** Generic path: inverted-index self-join on (tok, lang) → per-pair
-    * intersection counts → exact integer Jaccard >= num/den threshold. */
+    * intersection counts → exact integer Jaccard >= num/den threshold.
+    * PRECONDITION: `toks` must be DISTINCT (doc_id, lang, tok) rows — see
+    * [[prefixFilteredPairs]]. */
   def invertedIndexPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val a = toks.select(col("doc_id").as("d1"), col("lang"), col("tok"))

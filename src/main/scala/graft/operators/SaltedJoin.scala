@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   def join(large: DataFrame, small: DataFrame, key: String, salts: Int = 8): DataFrame = {
-    // deterministic salt: stable hash of the whole large-side row would need
-    // a row id; hashing the key alone is useless (constant per key), so use
-    // a uniform spread from monotonically_increasing_id — routing only,
-    // never in results.
-    val l = large.withColumn("_salt", (monotonically_increasing_id() % salts).cast("int"))
+    // Deterministic salt: hash ALL large-side columns (hashing the key alone
+    // would be constant per key and spread nothing). Rows identical in every
+    // column land on one salt — acceptable routing skew in exchange for
+    // stage-retry determinism: a recomputed partition routes each row to the
+    // same reducer, avoiding the classic nondeterministic-repartition hazard.
+    val l = large.withColumn("_salt",
+      pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val sm = small.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
     l.join(sm, Seq(key, "_salt")).drop("_salt")
   }

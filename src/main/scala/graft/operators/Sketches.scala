@@ -1,7 +1,10 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -17,6 +20,17 @@ import graft.Tables
   * buckets, never from a cartesian product.
   */
 object Sketches {
+
+  /** Query embedding lookup — one bounded row to the driver (the same way
+    * the reference broadcasts its query trajectory). Fails with a clear
+    * error when the id is absent. */
+  private def queryEmbedding(s: SparkSession, dir: String, queryId: Long): Seq[Float] =
+    Tables.table(s, dir, "embeddings")
+      .filter(col("vec_id") === queryId).select(col("embedding"))
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"queryId $queryId not found in embeddings under $dir"))
+      .getSeq[Float](0)
 
   /** 64-bit SimHash over the token multiset (two seeded 32-bit murmurs). */
   private def simhash64(tokens: Seq[String]): Long = {
@@ -127,9 +141,7 @@ object Sketches {
     val sigUdf = udf((emb: Seq[Float]) => sign(emb))
     val em = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), sigUdf(col("embedding")).as("sig"))
-    val qRow = Tables.table(s, dir, "embeddings")
-      .filter(col("vec_id") === queryId).select(col("embedding")).head()
-    val qEmb = qRow.getSeq[Float](0)
+    val qEmb = queryEmbedding(s, dir, queryId)
     val qSig = sign(qEmb)
     val probes: Seq[Int] = (Seq(qSig)
       ++ (0 until nPlanes).map(i => qSig ^ (1 << i))
@@ -144,34 +156,61 @@ object Sketches {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN: seeded k-means coarse quantizer → per-vector
-    * list assignment; a query probes its `nprobe` nearest lists and refines
-    * with exact cosine. The partition-then-probe structure is the same idea
-    * as the reference's STR partitioning + global-index pruning, applied to
-    * vector space: at 100 TB the list id becomes the table's partition key
-    * so a query touches nprobe/nlist of the data.
+  /** IVF coarse index: quantizer centroid array (bounded, nlist rows) plus
+    * the per-vector list assignment table. Built ONCE per (session, dir,
+    * nlist) and memoized — the reference's "construct index once (minutes),
+    * answer many queries (seconds)" lifecycle. At 100 TB `assigned` is a
+    * table partitioned by `list_id`; `centers` is driver-resident metadata
+    * (nlist·dim doubles). */
+  final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame)
+
+  private val ivfMemo = TrieMap.empty[(SparkSession, String, Int), IvfIndex]
+
+  /** Drop memoized IVF indexes (tests only). */
+  def resetCaches(): Unit = {
+    ivfMemo.values.foreach(ix => try ix.assigned.unpersist() catch { case _: Throwable => () })
+    ivfMemo.clear()
+  }
+
+  /** Build (or return the memoized) IVF index: seeded k-means over the
+    * embedding table, then one pass assigning each vector to its list. */
+  def buildIvfIndex(s: SparkSession, dir: String, nlist: Int = 16): IvfIndex =
+    ivfMemo.getOrElseUpdate((s, dir, nlist), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.linalg.Vectors
+      val toVec = udf((emb: Seq[Float]) => Vectors.dense(emb.map(_.toDouble).toArray))
+      val em = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("f"))
+      val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("f").setPredictionCol("list_id")
+        .fit(em.select(col("f")))
+      val assigned = model.transform(em)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+    })
+
+  /** IVF (inverted-file) ANN: the query ranks the index's centroids on the
+    * driver (nlist bounded scalars — no data scan), probes its `nprobe`
+    * nearest lists, and refines with exact cosine. The partition-then-probe
+    * structure is the same idea as the reference's STR partitioning +
+    * global-index pruning, applied to vector space: at 100 TB the list id
+    * becomes the table's partition key so a query touches nprobe/nlist of
+    * the data — and the quantizer is NOT refit per query (build-once via
+    * [[buildIvfIndex]]).
     */
   def annIvfKnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
                 nlist: Int = 16, nprobe: Int = 8): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
-    val toVec = udf((emb: Seq[Float]) => Vectors.dense(emb.map(_.toDouble).toArray))
-    val em = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("f"))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("f").setPredictionCol("list_id")
-      .fit(em.select(col("f")))
-    val assigned = model.transform(em).select(col("vec_id"), col("embedding"), col("list_id"))
-    val qEmb = Tables.table(s, dir, "embeddings")
-      .filter(col("vec_id") === queryId).select(col("embedding")).head().getSeq[Float](0)
+    val index = buildIvfIndex(s, dir, nlist)
+    val qEmb = queryEmbedding(s, dir, queryId)
     val qArr = qEmb.map(_.toDouble).toArray
-    val probeLists = model.clusterCenters.zipWithIndex
-      .map { case (c: MlVector, i) =>
-        val d = c.toArray.zip(qArr).map { case (x, y) => val t = x - y; t * t }.sum
+    val probeLists = index.centers.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qArr).map { case (x, y) => val t = x - y; t * t }.sum
         (i, d)
       }
       .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
-    assigned.filter(col("vec_id") =!= queryId && col("list_id").isInCollection(probeLists))
+    index.assigned.filter(col("vec_id") =!= queryId && col("list_id").isInCollection(probeLists))
       .select(col("vec_id"),
         round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
           (sqrt(VectorOps.norm2Col("embedding")) * sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum))), 6).as("cos_sim"))

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level scale guards: anti-patterns that stay invisible in
+  * small-fixture runs but break at cluster scale are banned statically.
+  */
+class StaticChecksTest extends AnyFunSuite {
+
+  private def mainSources: Seq[(String, String)] = {
+    val root = Paths.get("src/main/scala")
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map(p => (p.toString, new String(Files.readAllBytes(p), "UTF-8")))
+      .toSeq
+  }
+
+  test("no unpartitioned global window (Window.orderBy without partitionBy) in src/main") {
+    // `Window.orderBy(...)` (the static form) sorts the whole input through
+    // ONE reducer task — a single-partition global sort that cannot survive
+    // 100 TB. Per-key windows must be `Window.partitionBy(...).orderBy(...)`.
+    val offenders = mainSources.collect {
+      case (path, text) if text.contains("Window.orderBy(") => path
+    }
+    assert(offenders.isEmpty, s"unpartitioned global windows in: $offenders")
+  }
+
+  test("no rdd.collect() on unbounded data in src/main (bounded collects are annotated)") {
+    // Driver-side collects are only allowed on provably bounded rows (top-k
+    // seeds, <=64-token vocab, nlist centroids, 1-row query lookups). Each
+    // allowed site must mention its bound nearby; this guard just keeps the
+    // count from silently growing.
+    val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
+    assert(n <= 6, s"collect() call count grew to $n — audit new driver-side collects")
+  }
+}
