@@ -62,24 +62,70 @@ object Tables {
         ((col("ts_us") - lit(1704067200000000L)).cast("double") / lit(86400e6)).as("x"),
         col("value").as("y"))
 
+  /** Default per-user point cap in [[trajArrays]] — bounds task memory: one
+    * row never exceeds ~2·8·10⁵ bytes of coordinate data regardless of how
+    * skewed a single user's history is. */
+  val MaxTrajPoints: Int = 100000
+
+  /** Time slices per trajectory in [[trajArrays]]'s `boxes` column. */
+  val TrajSlices: Int = 8
+
   /** Per-user point arrays ordered by (ts_us, event_id) — the input shape for
     * the array-based trajectory metrics (Hausdorff / Fréchet UDFs). Kept as
     * two primitive DOUBLE arrays (not ARRAY<STRUCT>) so the UDF path avoids
     * row boxing (SURVEY §4.3a).
+    *
+    * Also carries `boxes`: [[TrajSlices]] time-contiguous MBRs per user —
+    * the reference's segment-level decomposition (O4/O7), used as the cheap
+    * lower bound that keeps exact kernels out of pair joins
+    * (TrajectorySearch.slicedBoxLb).
+    *
+    * CONTRACT (capped, not exact, beyond [[MaxTrajPoints]]): a user's array
+    * is the FIRST `maxPoints` points in (ts_us, event_id) order; points past
+    * the cap are dropped so one mega-user cannot exceed task memory (SURVEY
+    * §7.5 risk 5). No fixture user is anywhere near the cap, so capped ≡
+    * exact for the declared oracles.
     */
   def trajArrays(spark: SparkSession, sfDir: String, eventType: String = "purchase"): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, s"trajArrays:$eventType"), {
-      val p = pts(spark, sfDir, eventType)
-      p.groupBy(col("user_id"))
-        .agg(
-          sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("x"), col("y")))).as("pts"))
-        .select(
-          col("user_id"),
-          expr("transform(pts, p -> p.x)").as("xs"),
-          expr("transform(pts, p -> p.y)").as("ys"))
+      trajArraysOf(pts(spark, sfDir, eventType))
         // tiny (one row per user); shared by t2 (self-join both sides) and t3
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Core of [[trajArrays]] over any (user_id, ts_us, event_id, x, y) frame —
+    * exposed so tests can drive synthetic (e.g. mega-user) trajectories. */
+  def trajArraysOf(p: DataFrame, maxPoints: Int = MaxTrajPoints,
+                   slices: Int = TrajSlices): DataFrame =
+    withSliceBoxes(
+      p.groupBy(col("user_id"))
+        .agg(
+          slice(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("x"), col("y")))),
+            1, maxPoints).as("pts"))
+        .select(
+          col("user_id"),
+          expr("transform(pts, p -> p.x)").as("xs"),
+          expr("transform(pts, p -> p.y)").as("ys")),
+      slices)
+
+  /** Append `boxes`: per-row time-contiguous slice MBRs derived from the
+    * ordered `xs`/`ys` arrays. Contiguous slice i covers indices
+    * (i·n DIV k, (i+1)·n DIV k]; trajectories shorter than k leave some
+    * slices empty → their null boxes are dropped. Pure native array
+    * expressions — no UDF, no shuffle. */
+  def withSliceBoxes(ta: DataFrame, slices: Int = TrajSlices): DataFrame = {
+    def sliceArr(arr: String) = s"slice($arr, 1 + (i * size($arr)) DIV $slices, " +
+      s"((i + 1) * size($arr)) DIV $slices - (i * size($arr)) DIV $slices)"
+    ta.withColumn("boxes",
+      expr(
+        s"""filter(
+           |  transform(sequence(0, ${slices - 1}), i -> named_struct(
+           |    'minx', array_min(${sliceArr("xs")}),
+           |    'maxx', array_max(${sliceArr("xs")}),
+           |    'miny', array_min(${sliceArr("ys")}),
+           |    'maxy', array_max(${sliceArr("ys")}))),
+           |  b -> b.minx IS NOT NULL)""".stripMargin))
+  }
 
   /** Tokenized documents — (doc_id, lang, tok), empty tokens dropped, one
     * row per token OCCURRENCE (not distinct). Shared (memoized + persisted)

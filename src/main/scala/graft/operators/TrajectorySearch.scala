@@ -43,22 +43,120 @@ object TrajectorySearch {
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
-  /** Per-user bounding boxes plus the cheap lower bound against the query's
-    * box: `d(boxA, boxB) ≤ min-point-distance ≤ Hausdorff ≤ Fréchet`.
-    * Pure scalar arithmetic — evaluated inside codegen, no kernel calls. */
-  private def withLowerBound(ta: DataFrame, queryUser: Long): (DataFrame, DataFrame) = {
-    val boxed = ta.select(col("user_id"), col("xs"), col("ys"),
-      array_min(col("xs")).as("minx"), array_max(col("xs")).as("maxx"),
-      array_min(col("ys")).as("miny"), array_max(col("ys")).as("maxy"))
-    val q = boxed.filter(col("user_id") === queryUser)
-      .select(col("xs").as("qxs"), col("ys").as("qys"),
-        col("minx").as("qminx"), col("maxx").as("qmaxx"),
-        col("miny").as("qminy"), col("maxy").as("qmaxy"))
-    val dx = greatest(lit(0.0), col("minx") - col("qmaxx"), col("qminx") - col("maxx"))
-    val dy = greatest(lit(0.0), col("miny") - col("qmaxy"), col("qminy") - col("maxy"))
-    val cands = boxed.filter(col("user_id") =!= queryUser)
+  private def boxDistSql(b1: String, b2: String): String =
+    s"sqrt(pow(greatest(0d, $b1.minx - $b2.maxx, $b2.minx - $b1.maxx), 2) + " +
+      s"pow(greatest(0d, $b1.miny - $b2.maxy, $b2.miny - $b1.maxy), 2))"
+
+  /** Time-sliced MBR lower bound (reference O4/O11 carried to pairs): with
+    * A partitioned into time slices {Aᵢ} and B into {Bⱼ}, every a ∈ Aᵢ has
+    * `min_b d(a,b) ≥ min_j boxdist(Aᵢ, Bⱼ)`, so the directed Hausdorff
+    * `h(A,B) = max_a min_b d(a,b) ≥ max_i min_j boxdist(Aᵢ, Bⱼ)`, and
+    * `LB = max(h⃗_bound(A,B), h⃗_bound(B,A)) ≤ Hausdorff(A,B) ≤ Fréchet(A,B)`.
+    * Pure scalar/array arithmetic over k≈8 boxes a side — native Catalyst
+    * higher-order expressions, no kernel, no UDF. Whole-trajectory boxes
+    * (k=1 degenerate case) prune nothing when users cover the same overall
+    * region; time slicing recovers the bound exactly the way the reference's
+    * segment-level decomposition does. */
+  def slicedBoxLb(boxes1: String, boxes2: String): org.apache.spark.sql.Column =
+    expr(
+      s"""greatest(
+         |  array_max(transform($boxes1, b1 -> array_min(transform($boxes2, b2 -> ${boxDistSql("b1", "b2")})))),
+         |  array_max(transform($boxes2, b2 -> array_min(transform($boxes1, b1 -> ${boxDistSql("b1", "b2")})))))""".stripMargin)
+
+  /** The k smallest-distance pairs over ALL trajectory pairs (t2 surface),
+    * bound-then-refine:
+    *
+    *  1. SEED: exact kernel on the `seedFactor·k` pairs with the smallest
+    *     sliced-box lower bound → the k-th exact distance is an upper bound
+    *     `r` on the answer's k-th distance.
+    *  2. REFINE: the join CONDITION is `u1 < u2 AND lb ≤ r` — the scalar
+    *     bound prunes inside the join, and the exact kernel runs only on
+    *     surviving pairs in the projection. Every discarded pair has
+    *     distance ≥ lb > r, so the result is exactly the unpruned top-k
+    *     (OperatorsTest asserts equality at two SFs and that pruning fires).
+    *
+    * The seed collect is k bounded rows — the reference's bound-seeding
+    * driver footprint.
+    */
+  def allPairsTopK(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+                   seedFactor: Int = 3): DataFrame = {
+    val ta = ensureBoxes(ta0)
+    val fn = metricFn(metric)
+    val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"),
+      col("ys").as("ys1"), col("boxes").as("boxes1"))
+    val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"),
+      col("ys").as("ys2"), col("boxes").as("boxes2"))
+    val lb = slicedBoxLb("boxes1", "boxes2")
+    val exact = round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6)
+
+    val seeds = a.join(b, col("u1") < col("u2"))
+      .withColumn("lb", lb)
+      .orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k)
+      .select(exact.as("d"))
+      .orderBy(col("d")).limit(k)
+      .collect()
+    val unpruned = a.join(b, col("u1") < col("u2"))
+      .select(col("u1"), col("u2"), exact.as(metric))
+      .orderBy(col(metric), col("u1"), col("u2"))
+      .limit(k)
+    if (seeds.length < k) return unpruned // tiny data: fewer pairs than k
+    val r = seeds.last.getDouble(0)
+
+    a.join(b, col("u1") < col("u2") && lb <= r + 1e-6)
+      .select(col("u1"), col("u2"), exact.as(metric))
+      .orderBy(col(metric), col("u1"), col("u2"))
+      .limit(k)
+  }
+
+  /** Reference-workload batch form of O15: top-k most similar trajectories
+    * for EACH query in a query set, one job. The bounded query set is
+    * broadcast (like the reference broadcasts its query trajectories),
+    * distances are computed partition-local against the candidate table, and
+    * per-query top-k is a window ranked within `q_user` — a single shuffle
+    * keyed by query, no driver-side loop over queries.
+    */
+  def topKBatch(ta0: DataFrame, queryUsers: Seq[Long], k: Int,
+                metric: String = "hausdorff"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ta = ensureBoxes(ta0)
+    val fn = metricFn(metric)
+    val q = ta.filter(col("user_id").isInCollection(queryUsers))
+      .select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
+    val w = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
+    ta.select(col("user_id"), col("xs"), col("ys"))
+      .join(broadcast(q), col("user_id") =!= col("q_user"))
+      .select(col("q_user"), col("user_id"),
+        round(fn(col("xs"), col("ys"), col("qxs"), col("qys")), 6).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_user"), col("user_id"), col("dist"))
+      .orderBy(col("q_user"), col("dist"), col("user_id"))
+  }
+
+  /** Survivor count of the sliced-box bound at threshold r over all pairs —
+    * exposed for tests asserting that pruning actually fires. */
+  def allPairsSurvivorCount(ta0: DataFrame, r: Double): Long = {
+    val ta = ensureBoxes(ta0)
+    val a = ta.select(col("user_id").as("u1"), col("boxes").as("boxes1"))
+    val b = ta.select(col("user_id").as("u2"), col("boxes").as("boxes2"))
+    a.join(b, col("u1") < col("u2") && slicedBoxLb("boxes1", "boxes2") <= r).count()
+  }
+
+  /** Frames built by Tables.trajArrays carry `boxes`; synthetic xs/ys
+    * frames get them derived on the fly. */
+  private def ensureBoxes(ta: DataFrame): DataFrame =
+    if (ta.columns.contains("boxes")) ta else graft.Tables.withSliceBoxes(ta)
+
+  /** Sliced-box lower bound of every candidate against ONE query user:
+    * `d_box ≤ min-point-distance ≤ Hausdorff ≤ Fréchet`. Pure scalar/array
+    * arithmetic — no kernel calls. */
+  private def withLowerBound(ta0: DataFrame, queryUser: Long): (DataFrame, DataFrame) = {
+    val ta = ensureBoxes(ta0)
+    val q = ta.filter(col("user_id") === queryUser)
+      .select(col("xs").as("qxs"), col("ys").as("qys"), col("boxes").as("qboxes"))
+    val cands = ta.filter(col("user_id") =!= queryUser)
       .crossJoin(broadcast(q))
-      .withColumn("lb", sqrt(dx * dx + dy * dy))
+      .withColumn("lb", slicedBoxLb("boxes", "qboxes"))
     (cands, q)
   }
 

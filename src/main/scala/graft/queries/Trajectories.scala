@@ -20,7 +20,6 @@ import graft.geo.Metrics
   */
 object Trajectories {
 
-  private val hausdorffUdf = graft.functions.MetricUdfs.hausdorff
   private val frechetUdf = graft.functions.MetricUdfs.frechet
 
   import graft.Fns.ptsViewS
@@ -64,14 +63,11 @@ object Trajectories {
          |FROM hab JOIN hba ON hab.u1=hba.u1 AND hab.u2=hba.u2
          |ORDER BY ROUND(GREATEST(hab.h, hba.h),6) ASC, hab.u1, hab.u2 LIMIT 20""".stripMargin) {
       (s, dir) =>
-        val ta = Tables.trajArrays(s, dir, "purchase")
-        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
-        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
-        a.join(b, col("u1") < col("u2"))
-          .select(col("u1"), col("u2"),
-            round(hausdorffUdf(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("hausdorff"))
-          .orderBy(col("hausdorff"), col("u1"), col("u2"))
-          .limit(20)
+        // Bound-then-refine all-pairs search: the time-sliced MBR lower
+        // bound sits in the join condition; the exact Hausdorff kernel runs
+        // only on surviving pairs (~1/3 of the pair space on this fixture).
+        graft.operators.TrajectorySearch.allPairsTopK(
+          Tables.trajArrays(s, dir, "purchase"), 20, "hausdorff")
     },
 
     // Discrete Fréchet DP is not practically expressible in SQL — oracle-
@@ -171,12 +167,36 @@ object Trajectories {
          |SELECT hoq.u AS user_id, ROUND(GREATEST(hoq.h, hqo.h),6) AS dist
          |FROM hoq JOIN hqo ON hoq.u = hqo.u
          |ORDER BY ROUND(GREATEST(hoq.h, hqo.h),6), hoq.u LIMIT 10""".stripMargin) {
-      (s, dir) => graft.operators.TrajectorySearch.topK(s, dir, 0L, 10, "hausdorff")
+      (s, dir) => graft.operators.TrajectorySearch.topKPruned(
+        Tables.trajArrays(s, dir, "purchase"), 0L, 10, "hausdorff")
     },
 
     // Same search under discrete Fréchet — oracle-exempt like t3.
     DeclaredQuery.noOracle("t8_topk_search_frechet") {
-      (s, dir) => graft.operators.TrajectorySearch.topK(s, dir, 0L, 10, "frechet")
+      (s, dir) => graft.operators.TrajectorySearch.topKPruned(
+        Tables.trajArrays(s, dir, "purchase"), 0L, 10, "frechet")
+    },
+
+    // Batch form of O15: the reference workload is query SETS, not single
+    // queries — top-10 per query for queries {0..4}, one job.
+    DeclaredQuery("t9_topk_batch",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |q AS (SELECT * FROM pts WHERE user_id IN (0,1,2,3,4)),
+         |d AS (SELECT q.user_id qu, o.user_id u, o.event_id eo, q.event_id eq,
+         |             SQRT((o.x-q.x)*(o.x-q.x)+(o.y-q.y)*(o.y-q.y)) AS dist
+         |      FROM pts o JOIN q ON o.user_id <> q.user_id),
+         |hoq AS (SELECT qu, u, MAX(md) AS h FROM
+         |        (SELECT qu, u, eo, MIN(dist) AS md FROM d GROUP BY qu,u,eo) q1 GROUP BY qu,u),
+         |hqo AS (SELECT qu, u, MAX(md) AS h FROM
+         |        (SELECT qu, u, eq, MIN(dist) AS md FROM d GROUP BY qu,u,eq) q2 GROUP BY qu,u),
+         |hh AS (SELECT hoq.qu, hoq.u, ROUND(GREATEST(hoq.h, hqo.h),6) AS dist
+         |       FROM hoq JOIN hqo ON hoq.qu=hqo.qu AND hoq.u=hqo.u),
+         |rk AS (SELECT qu, u, dist,
+         |              row_number() OVER (PARTITION BY qu ORDER BY dist, u) AS rn FROM hh)
+         |SELECT qu AS q_user, u AS user_id, dist FROM rk WHERE rn <= 10
+         |ORDER BY q_user, dist, user_id""".stripMargin) {
+      (s, dir) => graft.operators.TrajectorySearch.topKBatch(
+        Tables.trajArrays(s, dir, "purchase"), Seq(0L, 1L, 2L, 3L, 4L), 10, "hausdorff")
     }
   )
 }

@@ -48,6 +48,16 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!joinCond.contains("UDF"), joinCond)
   }
 
+  test("t2: exact kernel stays OUT of the all-pairs join condition (sliced-box bound prunes)") {
+    val p = plan("t2_hausdorff_pairs")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    // the Hausdorff UDF must only appear in the projection over survivors;
+    // the join condition carries the native sliced-box bound (transform/
+    // array_min over the boxes arrays)
+    assert(!joinLines.contains("UDF"), joinLines)
+    assert(joinLines.contains("transform"), joinLines)
+  }
+
   test("d3: mask-path near-dup join has no token-level shuffle join") {
     val p = plan("d3_jaccard_pairs")
     // the pair join keys on lang with mask residual — a hash/sort-merge join;

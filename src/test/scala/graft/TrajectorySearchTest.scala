@@ -46,4 +46,48 @@ class TrajectorySearchTest extends AnyFunSuite {
     val nCand = TrajectorySearch.prunedCandidateCount(ta, 0L, r + 1e-6)
     assert(nCand <= 19, s"expected only near-cluster candidates, got $nCand")
   }
+
+  test("allPairsTopK (t2 surface) equals the unpruned all-pairs top-k at two SFs") {
+    val h = graft.functions.MetricUdfs.hausdorff
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val ta = Tables.trajArrays(spark, dir)
+      val pruned = TrajectorySearch.allPairsTopK(ta, 20, "hausdorff")
+        .collect().map(_.toString).toSeq
+      val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+      val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+      val naive = a.join(b, col("u1") < col("u2"))
+        .select(col("u1"), col("u2"),
+          round(h(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("hausdorff"))
+        .orderBy(col("hausdorff"), col("u1"), col("u2")).limit(20)
+        .collect().map(_.toString).toSeq
+      assert(pruned == naive, dir)
+    }
+  }
+
+  test("sliced-box bound prunes a real share of the pair space on the fixture") {
+    val ta = Tables.trajArrays(spark, TestSpark.sf001)
+    val r = TrajectorySearch.allPairsTopK(ta, 20, "hausdorff")
+      .agg(max($"hausdorff")).as[Double].head()
+    val n = ta.count()
+    val pairs = n * (n - 1) / 2
+    val survivors = TrajectorySearch.allPairsSurvivorCount(ta, r + 1e-6)
+    assert(survivors >= 20, s"bound must keep the answer: $survivors")
+    assert(survivors < pairs / 2,
+      s"expected >50% pruning on the fixture, got $survivors of $pairs")
+  }
+
+  test("trajArraysOf caps a mega-user (SURVEY §7.5 risk 5) and search completes") {
+    val mega = (0 until 200000).map(i =>
+      (999L, i.toLong, i.toLong, i * 0.001, math.sin(i * 0.01) * 10))
+    val normal = (0 until 5).flatMap(u => (0 until 50).map(i =>
+      (u.toLong, (i + 1000000).toLong, i.toLong, i * 0.5, u * 20.0 + (i % 7))))
+    val p = (mega ++ normal).toDF("user_id", "ts_us", "event_id", "x", "y")
+    val ta = Tables.trajArraysOf(p)
+    val megaRow = ta.filter($"user_id" === 999L)
+      .select(size($"xs"), size($"boxes")).head()
+    assert(megaRow.getInt(0) == Tables.MaxTrajPoints, "cap applied")
+    assert(megaRow.getInt(1) == Tables.TrajSlices)
+    val res = TrajectorySearch.allPairsTopK(ta, 5, "hausdorff").collect()
+    assert(res.length == 5)
+  }
 }
