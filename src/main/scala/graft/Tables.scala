@@ -88,7 +88,14 @@ object Tables {
     */
   def trajArrays(spark: SparkSession, sfDir: String, eventType: String = "purchase"): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, s"trajArrays:$eventType"), {
-      trajArraysOf(pts(spark, sfDir, eventType))
+      // persisted index artifact (arrays + slice boxes): a later session
+      // reads the parquet instead of re-aggregating the event stream
+      // name carries the layout version (f4 = flat 4-double boxes) so a code
+      // change can never read an old-layout artifact
+      graft.sources.IndexStore
+        .materialize(spark, sfDir, s"traj_${eventType}_f4") {
+          trajArraysOf(pts(spark, sfDir, eventType))
+        }._1
         // tiny (one row per user); shared by t2 (self-join both sides) and t3
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
@@ -109,22 +116,22 @@ object Tables {
       slices)
 
   /** Append `boxes`: per-row time-contiguous slice MBRs derived from the
-    * ordered `xs`/`ys` arrays. Contiguous slice i covers indices
+    * ordered `xs`/`ys` arrays, FLAT layout [minx,maxx,miny,maxy]·k — the
+    * input shape of the codegen'd `graft_boxlb` bound expression
+    * (functions.SlicedBoxLb). Contiguous slice i covers indices
     * (i·n DIV k, (i+1)·n DIV k]; trajectories shorter than k leave some
-    * slices empty → their null boxes are dropped. Pure native array
-    * expressions — no UDF, no shuffle. */
+    * slices empty → dropped. The HOFs here run once per USER at build time
+    * (never per pair). */
   def withSliceBoxes(ta: DataFrame, slices: Int = TrajSlices): DataFrame = {
     def sliceArr(arr: String) = s"slice($arr, 1 + (i * size($arr)) DIV $slices, " +
       s"((i + 1) * size($arr)) DIV $slices - (i * size($arr)) DIV $slices)"
     ta.withColumn("boxes",
       expr(
-        s"""filter(
-           |  transform(sequence(0, ${slices - 1}), i -> named_struct(
-           |    'minx', array_min(${sliceArr("xs")}),
-           |    'maxx', array_max(${sliceArr("xs")}),
-           |    'miny', array_min(${sliceArr("ys")}),
-           |    'maxy', array_max(${sliceArr("ys")}))),
-           |  b -> b.minx IS NOT NULL)""".stripMargin))
+        s"""flatten(filter(
+           |  transform(sequence(0, ${slices - 1}), i ->
+           |    array(array_min(${sliceArr("xs")}), array_max(${sliceArr("xs")}),
+           |          array_min(${sliceArr("ys")}), array_max(${sliceArr("ys")}))),
+           |  b -> b[0] IS NOT NULL))""".stripMargin))
   }
 
   /** Tokenized documents — (doc_id, lang, tok), empty tokens dropped, one

@@ -49,6 +49,42 @@ object Metrics {
     if (xa.length == 0 || xb.length == 0) Double.NaN
     else math.sqrt(math.max(directedSq(xa, ya, xb, yb), directedSq(xb, yb, xa, ya)))
 
+  /** Hausdorff with early ABANDON at `bound` (reference O13 refinement):
+    * exact whenever the true distance ≤ bound; once the running directed max
+    * provably exceeds bound² the scan stops and returns that partial max —
+    * a LOWER bound on the true distance that is still > bound, so a top-k
+    * consumer filtering at `bound` ranks such pairs out identically. Cuts
+    * the refine kernel from O(n·m) to O(few points) for far pairs. */
+  def hausdorffBounded(xa: Array[Double], ya: Array[Double],
+                       xb: Array[Double], yb: Array[Double],
+                       bound: Double): Double = {
+    if (xa.length == 0 || xb.length == 0) return Double.NaN
+    val b2 = bound * bound
+    var cmax = 0.0
+    var dir = 0
+    while (dir < 2) {
+      val (x1, y1, x2, y2) =
+        if (dir == 0) (xa, ya, xb, yb) else (xb, yb, xa, ya)
+      var i = 0
+      while (i < x1.length) {
+        var cmin = Double.PositiveInfinity
+        var j = 0
+        while (j < x2.length && cmin > cmax) {
+          val d = d2(x1(i), y1(i), x2(j), y2(j))
+          if (d < cmin) cmin = d
+          j += 1
+        }
+        if (cmin > cmax && cmin != Double.PositiveInfinity) {
+          cmax = cmin
+          if (cmax > b2) return math.sqrt(cmax) // provably beyond the bound
+        }
+        i += 1
+      }
+      dir += 1
+    }
+    math.sqrt(cmax)
+  }
+
   /** Discrete Fréchet distance via the standard O(n·m) dynamic program
     * (Eiter & Mannila 1994), rolling single-row buffer (O(m) space):
     * c(i,j) = max(d(i,j), min(c(i-1,j), c(i,j-1), c(i-1,j-1))).

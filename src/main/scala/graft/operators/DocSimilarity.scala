@@ -37,33 +37,54 @@ object DocSimilarity {
     memo.clear()
   }
 
+  /** Vocabulary bound for the bitmap strategy: 64 words × 64 bits. Above
+    * this the dictionary stops being a cheap broadcast and the prefix-
+    * filtered inverted index takes over. */
+  val MaxMaskVocab: Int = 4096
+
   /** All same-lang doc pairs (d1 < d2) with 5·|∩| ≥ 3·|∪| (Jaccard ≥ 0.6
     * in exact integer arithmetic): columns (d1, d2, lang, jaccard). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir), {
       // persisted: consumed by the vocab probe plus two branches of the DAG
       val toks = distinctTokens(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val vocab = toks.select(col("tok")).distinct()
-      val pairs =
-        if (vocab.count() <= 64) maskPairs(toks, vocab, 3, 5)
-        else invertedIndexPairs(toks, 3, 5)
-      pairs.persist(StorageLevel.MEMORY_AND_DISK)
+      jaccardPairs(toks, 3, 5).persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Strategy chooser on MEASURED vocabulary size: a corpus whose distinct
+    * token set fits [[MaxMaskVocab]] bits gets the bitmap join (popcount
+    * arithmetic over ≤64 longs per pair — no token-level join at all); a
+    * larger vocabulary gets the prefix-filtered inverted index. The probe
+    * collect is bounded at MaxMaskVocab+1 rows by construction. */
+  def jaccardPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    val vocab = toks.select(col("tok")).distinct()
+      .limit(MaxMaskVocab + 1).collect().map(_.getString(0))
+    if (vocab.length <= MaxMaskVocab) maskPairs(toks, vocab, num, den)
+    else prefixFilteredPairs(toks, num, den)
+  }
 
   /** Distinct (doc_id, lang, tok), empty tokens dropped. */
   def distinctTokens(s: SparkSession, dir: String): DataFrame =
     Tables.docTokens(s, dir).distinct()
 
-  def maskPairs(toks: DataFrame, vocab: DataFrame, num: Int, den: Int): DataFrame = {
-    // This path only runs when vocab ≤ 64 (checked by the caller), so the
-    // token→bit dictionary is a bounded driver-side artifact, broadcast back
-    // — no global sort anywhere in the plan.
+  /** Bitmap strategy, generalized to multi-word masks: each document's
+    * token set is packed into `ceil(|V|/64)` longs via a broadcast
+    * dictionary; documents sharing (mask, lang) collapse into one group, and
+    * pair similarity is exact popcount arithmetic
+    * `Σ_w bit_count(m1[w] & m2[w])` — native HOF expressions, no token-level
+    * shuffle, no kernel UDF. Intersection/union counts are identical
+    * integers to the inverted-index form, so results hash-match exactly. */
+  def maskPairs(toks: DataFrame, vocabTokens: Array[String], num: Int, den: Int): DataFrame = {
+    val nWords = math.max(1, (vocabTokens.length + 63) / 64)
     val sp = toks.sparkSession
     import sp.implicits._
-    val dict = vocab.collect().map(_.getString(0)).sorted.zipWithIndex.toSeq.toDF("tok", "tid")
+    val dict = vocabTokens.sorted.zipWithIndex.toSeq.toDF("tok", "tid")
     val sets = toks.join(broadcast(dict), "tok")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").as("mask"),
+      .agg(
+        array((0 until nWords).map(w => expr(
+          s"bit_or(CASE WHEN tid DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), tid % 64) ELSE CAST(0 AS BIGINT) END)")): _*
+        ).as("mask"),
         count(lit(1)).as("c"))
     val groups = sets.groupBy(col("mask"), col("lang"), col("c"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
@@ -71,7 +92,8 @@ object DocSimilarity {
     val g1 = groups.select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
     val g2 = groups.select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
     val cross = g1.join(g2, col("lang") === col("lang2") && col("m1") < col("m2"))
-      .withColumn("i", expr("CAST(bit_count(m1 & m2) AS BIGINT)"))
+      .withColumn("i",
+        expr("CAST(aggregate(zip_with(m1, m2, (a, b) -> bit_count(a & b)), 0, (acc, x) -> acc + x) AS BIGINT)"))
       .withColumn("u", col("c1") + col("c2") - col("i"))
       .filter(lit(den) * col("i") >= lit(num) * col("u"))
       .select(col("lang"), col("i"), col("u"), explode(col("docs1")).as("da"), col("docs2"))

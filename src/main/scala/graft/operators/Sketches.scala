@@ -158,36 +158,61 @@ object Sketches {
 
   /** IVF coarse index: quantizer centroid array (bounded, nlist rows) plus
     * the per-vector list assignment table. Built ONCE per (session, dir,
-    * nlist) and memoized — the reference's "construct index once (minutes),
-    * answer many queries (seconds)" lifecycle. At 100 TB `assigned` is a
-    * table partitioned by `list_id`; `centers` is driver-resident metadata
-    * (nlist·dim doubles). */
-  final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame)
+    * nlist), memoized in-session AND persisted as a parquet artifact via
+    * [[graft.sources.IndexStore]] — the reference's "construct index once
+    * (minutes), answer many queries (seconds)" lifecycle, surviving across
+    * sessions. At 100 TB `assigned` is a table partitioned by `list_id`;
+    * `centers` is driver-resident metadata (nlist·dim doubles). */
+  final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame,
+                            fromArtifact: Boolean)
 
   private val ivfMemo = TrieMap.empty[(SparkSession, String, Int), IvfIndex]
 
-  /** Drop memoized IVF indexes (tests only). */
+  /** Drop memoized IVF indexes (tests only; disk artifacts stay). */
   def resetCaches(): Unit = {
     ivfMemo.values.foreach(ix => try ix.assigned.unpersist() catch { case _: Throwable => () })
     ivfMemo.clear()
   }
 
-  /** Build (or return the memoized) IVF index: seeded k-means over the
-    * embedding table, then one pass assigning each vector to its list. */
+  /** Build (or load) the IVF index: if the (centers, assigned) parquet
+    * artifacts are complete, read them — no k-means scan at all; otherwise
+    * run the seeded k-means fit once, assign each vector to its list, and
+    * write both artifacts for the next session. */
   def buildIvfIndex(s: SparkSession, dir: String, nlist: Int = 16): IvfIndex =
     ivfMemo.getOrElseUpdate((s, dir, nlist), {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.linalg.Vectors
-      val toVec = udf((emb: Seq[Float]) => Vectors.dense(emb.map(_.toDouble).toArray))
-      val em = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("f"))
-      val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
-        .setFeaturesCol("f").setPredictionCol("list_id")
-        .fit(em.select(col("f")))
-      val assigned = model.transform(em)
-        .select(col("vec_id"), col("embedding"), col("list_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+      import graft.sources.IndexStore
+      val cPath = IndexStore.artifactPath(s, dir, s"ivf${nlist}_centers")
+      val aPath = IndexStore.artifactPath(s, dir, s"ivf${nlist}_assigned")
+      val canLoad = IndexStore.persistEnabled(s) &&
+        IndexStore.exists(s, cPath) && IndexStore.exists(s, aPath)
+      if (canLoad) {
+        val centers = s.read.parquet(cPath).orderBy(col("list_id")).collect()
+          .map(_.getSeq[Double](1).toArray)
+        val assigned = s.read.parquet(aPath).persist(StorageLevel.MEMORY_AND_DISK)
+        IvfIndex(centers, assigned, fromArtifact = true)
+      } else {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.linalg.Vectors
+        val toVec = udf((emb: Seq[Float]) => Vectors.dense(emb.map(_.toDouble).toArray))
+        val em = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("f"))
+        val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+          .setFeaturesCol("f").setPredictionCol("list_id")
+          .fit(em.select(col("f")))
+        val centers = model.clusterCenters.map(_.toArray)
+        var assigned = model.transform(em)
+          .select(col("vec_id"), col("embedding"), col("list_id"))
+        if (IndexStore.persistEnabled(s)) {
+          import s.implicits._
+          centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("list_id", "center")
+            .write.mode("overwrite").parquet(cPath)
+          assigned.write.mode("overwrite").parquet(aPath)
+          assigned = s.read.parquet(aPath)
+        }
+        IvfIndex(centers, assigned.persist(StorageLevel.MEMORY_AND_DISK),
+          fromArtifact = false)
+      }
     })
 
   /** IVF (inverted-file) ANN: the query ranks the index's centroids on the

@@ -43,25 +43,17 @@ object TrajectorySearch {
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
-  private def boxDistSql(b1: String, b2: String): String =
-    s"sqrt(pow(greatest(0d, $b1.minx - $b2.maxx, $b2.minx - $b1.maxx), 2) + " +
-      s"pow(greatest(0d, $b1.miny - $b2.maxy, $b2.miny - $b1.maxy), 2))"
-
   /** Time-sliced MBR lower bound (reference O4/O11 carried to pairs): with
     * A partitioned into time slices {Aᵢ} and B into {Bⱼ}, every a ∈ Aᵢ has
     * `min_b d(a,b) ≥ min_j boxdist(Aᵢ, Bⱼ)`, so the directed Hausdorff
     * `h(A,B) = max_a min_b d(a,b) ≥ max_i min_j boxdist(Aᵢ, Bⱼ)`, and
     * `LB = max(h⃗_bound(A,B), h⃗_bound(B,A)) ≤ Hausdorff(A,B) ≤ Fréchet(A,B)`.
-    * Pure scalar/array arithmetic over k≈8 boxes a side — native Catalyst
-    * higher-order expressions, no kernel, no UDF. Whole-trajectory boxes
-    * (k=1 degenerate case) prune nothing when users cover the same overall
-    * region; time slicing recovers the bound exactly the way the reference's
-    * segment-level decomposition does. */
+    * Evaluated by the codegen'd native expression `graft_boxlb`
+    * (functions.SlicedBoxLb) over the flat box arrays — a HOF formulation
+    * of the same bound runs interpreted and is ~100× slower per pair, which
+    * an all-pairs join cannot afford. */
   def slicedBoxLb(boxes1: String, boxes2: String): org.apache.spark.sql.Column =
-    expr(
-      s"""greatest(
-         |  array_max(transform($boxes1, b1 -> array_min(transform($boxes2, b2 -> ${boxDistSql("b1", "b2")})))),
-         |  array_max(transform($boxes2, b2 -> array_min(transform($boxes1, b1 -> ${boxDistSql("b1", "b2")})))))""".stripMargin)
+    expr(s"graft_boxlb($boxes1, $boxes2)")
 
   /** The k smallest-distance pairs over ALL trajectory pairs (t2 surface),
     * bound-then-refine:
@@ -78,32 +70,65 @@ object TrajectorySearch {
     * The seed collect is k bounded rows — the reference's bound-seeding
     * driver footprint.
     */
+  /** Slim all-pairs bound frame (u1, u2, lb): the nested-loop pair scan
+    * runs over (user_id, boxes) ONLY — 4k doubles a side, never the full
+    * coordinate arrays — with the codegen'd `graft_boxlb` bound in the
+    * join projection and the streamed side repartitioned so the scan
+    * parallelizes across all cores. Exposed for the plan-shape test. */
+  def allPairsLb(ta0: DataFrame): DataFrame = {
+    graft.functions.SlicedBoxLb.register(ta0.sparkSession)
+    val ta = ensureBoxes(ta0)
+    // explicit partition count: AQE would coalesce this ~50 KB shuffle to
+    // ONE partition and serialize the whole quadratic scan; the join OUTPUT
+    // is |users|² rows, so fan the streamed side to every core
+    val sa = ta.select(col("user_id").as("u1"), col("boxes").as("boxes1"))
+      .repartition(ta.sparkSession.sparkContext.defaultParallelism, col("u1"))
+    val sb = ta.select(col("user_id").as("u2"), col("boxes").as("boxes2"))
+    sa.join(broadcast(sb), col("u1") < col("u2"))
+      .select(col("u1"), col("u2"), slicedBoxLb("boxes1", "boxes2").as("lb"))
+  }
+
   def allPairsTopK(ta0: DataFrame, k: Int, metric: String = "hausdorff",
                    seedFactor: Int = 3): DataFrame = {
     val ta = ensureBoxes(ta0)
     val fn = metricFn(metric)
-    val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"),
-      col("ys").as("ys1"), col("boxes").as("boxes1"))
-    val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"),
-      col("ys").as("ys2"), col("boxes").as("boxes2"))
-    val lb = slicedBoxLb("boxes1", "boxes2")
+    val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+    val fat2 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
     val exact = round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6)
+    def withArrays(pairs: DataFrame): DataFrame =
+      pairs.join(broadcast(fat1), "u1").join(broadcast(fat2), "u2")
 
-    val seeds = a.join(b, col("u1") < col("u2"))
-      .withColumn("lb", lb)
-      .orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k)
+    // ONE pair scan: the 24-byte (u1, u2, lb) rows are materialized via
+    // localCheckpoint and serve both the seed TakeOrdered and the refine
+    // filter (the executor-storage copy is GC-cleaned with the plan).
+    val lbs = allPairsLb(ta).localCheckpoint()
+
+    val seeds = withArrays(
+      lbs.orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k))
       .select(exact.as("d"))
       .orderBy(col("d")).limit(k)
       .collect()
-    val unpruned = a.join(b, col("u1") < col("u2"))
-      .select(col("u1"), col("u2"), exact.as(metric))
-      .orderBy(col(metric), col("u1"), col("u2"))
-      .limit(k)
-    if (seeds.length < k) return unpruned // tiny data: fewer pairs than k
+    if (seeds.length < k) // tiny data: fewer pairs than k — no bound needed
+      return withArrays(lbs.select(col("u1"), col("u2")))
+        .select(col("u1"), col("u2"), exact.as(metric))
+        .orderBy(col(metric), col("u1"), col("u2"))
+        .limit(k)
     val r = seeds.last.getDouble(0)
 
-    a.join(b, col("u1") < col("u2") && lb <= r + 1e-6)
-      .select(col("u1"), col("u2"), exact.as(metric))
+    // Refinement kernel abandons once a pair is provably beyond r — such a
+    // pair cannot enter the top-k (≥ k seed pairs sit at ≤ r). The abandon
+    // margin 1e-5 ≫ the 6-dp rounding granularity, so every pair that could
+    // tie at rounded r is still computed exactly. Codegen static call — a
+    // UDF here would box 4 × |traj| doubles per pair, dominating the kernel.
+    val refine = metric match {
+      case "hausdorff" =>
+        graft.functions.HausdorffCodegen.register(ta.sparkSession)
+        round(graft.functions.HausdorffCodegen(
+          col("xs1"), col("ys1"), col("xs2"), col("ys2"), lit(r + 1e-5)), 6)
+      case _ => exact
+    }
+    withArrays(lbs.filter(col("lb") <= r + 1e-6).select(col("u1"), col("u2")))
+      .select(col("u1"), col("u2"), refine.as(metric))
       .orderBy(col(metric), col("u1"), col("u2"))
       .limit(k)
   }
@@ -135,12 +160,8 @@ object TrajectorySearch {
 
   /** Survivor count of the sliced-box bound at threshold r over all pairs —
     * exposed for tests asserting that pruning actually fires. */
-  def allPairsSurvivorCount(ta0: DataFrame, r: Double): Long = {
-    val ta = ensureBoxes(ta0)
-    val a = ta.select(col("user_id").as("u1"), col("boxes").as("boxes1"))
-    val b = ta.select(col("user_id").as("u2"), col("boxes").as("boxes2"))
-    a.join(b, col("u1") < col("u2") && slicedBoxLb("boxes1", "boxes2") <= r).count()
-  }
+  def allPairsSurvivorCount(ta0: DataFrame, r: Double): Long =
+    allPairsLb(ta0).filter(col("lb") <= r).count()
 
   /** Frames built by Tables.trajArrays carry `boxes`; synthetic xs/ys
     * frames get them derived on the fly. */
@@ -151,6 +172,7 @@ object TrajectorySearch {
     * `d_box ≤ min-point-distance ≤ Hausdorff ≤ Fréchet`. Pure scalar/array
     * arithmetic — no kernel calls. */
   private def withLowerBound(ta0: DataFrame, queryUser: Long): (DataFrame, DataFrame) = {
+    graft.functions.SlicedBoxLb.register(ta0.sparkSession)
     val ta = ensureBoxes(ta0)
     val q = ta.filter(col("user_id") === queryUser)
       .select(col("xs").as("qxs"), col("ys").as("qys"), col("boxes").as("qboxes"))

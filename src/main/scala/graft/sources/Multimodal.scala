@@ -1,17 +1,26 @@
 package graft.sources
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (builder charter): media blobs are opaque
   * BINARY columns with a typed metadata struct; decode / feature-extract
-  * runs batched per partition so a real decoder amortizes model/codec init
-  * per task, not per row — the Scala analog of a `mapInPandas` batch UDF.
+  * runs batched per partition so codec init amortizes per task, not per row
+  * — the Scala analog of a `mapInPandas` batch UDF.
   *
-  * The decode step is a STUB: image/audio codecs are not available in this
-  * container, so `decodeStub` derives deterministic fake features from the
-  * raw bytes. The Spark-side plumbing — schema, binary handling, partition
-  * batching, feature schema — is real and tested (MultimodalTest).
+  * Decoders are REAL pure-JVM parsers (no external codec libs needed):
+  *  - `audio/wav`  — RIFF/WAVE chunk walker + 16-bit PCM sample decode
+  *    (channels, sample rate, amplitude stats, zero-crossing rate)
+  *  - `image/bmp`  — BITMAPINFOHEADER parse + 24-bpp BGR pixel scan with
+  *    4-byte row padding (dimensions, per-channel means, luma)
+  *  - `text/plain` (and unknown kinds) — byte-level content statistics
+  *    (ascii/whitespace/digit ratios, order-0 entropy)
+  * The fixture ships no real media bytes, so WAV/BMP rows are SYNTHESIZED
+  * deterministically per media_id (a sine tone / a gradient bitmap) — the
+  * bytes are valid files any external tool could read; the decoders never
+  * see the generator, only the bytes.
   */
 object Multimodal {
 
@@ -20,9 +29,205 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, lang: String,
       n_bytes: Long, checksum: Long, feature: Array[Double])
 
-  /** Synthetic media table: document text bytes stand in for opaque blobs
-    * (testdata ships no real media). At scale this is a parquet/Lance-style
-    * table with a BINARY column and row-group-sized blobs. */
+  // ---------------------------------------------------------------- fixtures
+
+  /** Valid 16-bit mono PCM WAV: 8 kHz sine tone whose frequency and length
+    * derive from the id. */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val sampleRate = 8000
+    val n = 256 + (math.abs(id) % 16).toInt * 16
+    val freq = 220.0 + (math.abs(id) % 24) * 55.0
+    val dataLen = n * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(1.toShort) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2.toShort) // block align
+      .putShort(16.toShort) // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Valid 24-bpp BMP (BITMAPINFOHEADER, bottom-up, 4-byte row padding)
+    * with a deterministic per-id pixel gradient. */
+  def synthBmpBytes(id: Long): Array[Byte] = {
+    val w = 8 + (math.abs(id) % 5).toInt
+    val h = 6 + (math.abs(id) % 4).toInt
+    val rowLen = (w * 3 + 3) / 4 * 4
+    val dataLen = rowLen * h
+    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h) // info header size, dims
+      .putShort(1.toShort).putShort(24.toShort) // planes, bpp
+      .putInt(0).putInt(dataLen) // no compression
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        buf.put(((id * 31 + x * 7 + y * 13) % 256).toByte) // B
+          .put(((id * 17 + x * 11 + y * 3) % 256).toByte) // G
+          .put(((id * 23 + x * 5 + y * 19) % 256).toByte) // R
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowLen) { buf.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  // ---------------------------------------------------------------- decoders
+
+  private def polyChecksum(bytes: Array[Byte]): Long = {
+    var c = 0L
+    var i = 0
+    while (i < bytes.length) { c = (c * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    c
+  }
+
+  /** RIFF/WAVE walker: locates `fmt ` and `data` chunks, decodes 16-bit PCM
+    * samples. Features: [channels, sampleRate, nSamples, mean, rms, peak,
+    * zeroCrossRate, durationSec]. */
+  def decodeWav(bytes: Array[Byte]): Array[Double] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(8) == 'W' && bytes(9) == 'A', "not a RIFF/WAVE file")
+    var channels = 1
+    var sampleRate = 0
+    var bits = 16
+    var dataOff = -1
+    var dataLen = 0
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = buf.getInt(pos + 4)
+      if (cid == "fmt ") {
+        channels = buf.getShort(pos + 10).toInt
+        sampleRate = buf.getInt(pos + 12)
+        bits = buf.getShort(pos + 22).toInt
+      } else if (cid == "data") {
+        dataOff = pos + 8; dataLen = clen
+      }
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    require(dataOff > 0 && bits == 16, "no 16-bit PCM data chunk")
+    val n = dataLen / 2
+    var i = 0
+    var sum = 0.0
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0
+    var prev = 0.0
+    while (i < n) {
+      val s = buf.getShort(dataOff + i * 2).toDouble
+      sum += s; sumSq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) crossings += 1
+      prev = s
+      i += 1
+    }
+    val nn = math.max(n, 1)
+    Array(channels.toDouble, sampleRate.toDouble, n.toDouble,
+      sum / nn, math.sqrt(sumSq / nn), peak,
+      if (n > 1) crossings.toDouble / (n - 1) else 0.0,
+      if (sampleRate > 0) n.toDouble / sampleRate / math.max(channels, 1) else 0.0)
+  }
+
+  /** BITMAPINFOHEADER parse + 24-bpp pixel scan (bottom-up rows, 4-byte
+    * padding). Features: [width, height, bpp, meanB, meanG, meanR, meanLuma,
+    * nPixels]. */
+  def decodeBmp(bytes: Array[Byte]): Array[Double] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP file")
+    val pixelOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    require(bpp == 24, s"unsupported bpp $bpp")
+    val rowLen = (w * 3 + 3) / 4 * 4
+    var sb = 0.0; var sg = 0.0; var sr = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val base = pixelOff + y * rowLen
+      while (x < w) {
+        sb += (bytes(base + x * 3) & 0xff)
+        sg += (bytes(base + x * 3 + 1) & 0xff)
+        sr += (bytes(base + x * 3 + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val np = math.max(w * h, 1)
+    val (mb, mg, mr) = (sb / np, sg / np, sr / np)
+    Array(w.toDouble, h.toDouble, bpp.toDouble, mb, mg, mr,
+      0.114 * mb + 0.587 * mg + 0.299 * mr, (w * h).toDouble)
+  }
+
+  /** Byte-level content statistics for text (or unknown) payloads:
+    * [asciiPrintableRatio, whitespaceRatio, digitRatio, upperRatio,
+    * order-0 entropy (bits/byte), distinctByteFrac, meanByte, length]. */
+  def decodeByteStats(bytes: Array[Byte]): Array[Double] = {
+    val counts = new Array[Int](256)
+    var ws = 0; var digit = 0; var upper = 0; var printable = 0
+    var sum = 0.0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      counts(b) += 1
+      sum += b
+      if (b == ' ' || b == '\t' || b == '\n' || b == '\r') ws += 1
+      if (b >= '0' && b <= '9') digit += 1
+      if (b >= 'A' && b <= 'Z') upper += 1
+      if (b >= 32 && b < 127) printable += 1
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    var entropy = 0.0
+    var distinct = 0
+    var j = 0
+    while (j < 256) {
+      if (counts(j) > 0) {
+        distinct += 1
+        val p = counts(j).toDouble / n
+        entropy -= p * math.log(p) / math.log(2)
+      }
+      j += 1
+    }
+    Array(printable.toDouble / n, ws.toDouble / n, digit.toDouble / n,
+      upper.toDouble / n, entropy, distinct / 256.0, sum / n, bytes.length.toDouble)
+  }
+
+  /** Kind-dispatched decode; malformed bytes degrade to byte statistics
+    * (real pipelines flag, not fail, on corrupt media). */
+  def decode(kind: String, bytes: Array[Byte]): (Long, Array[Double]) = {
+    val feat =
+      try {
+        kind match {
+          case "audio/wav" => decodeWav(bytes)
+          case "image/bmp" => decodeBmp(bytes)
+          case _ => decodeByteStats(bytes)
+        }
+      } catch { case _: IllegalArgumentException => decodeByteStats(bytes) }
+    (polyChecksum(bytes), feat)
+  }
+
+  // ----------------------------------------------------------------- tables
+
+  /** Text-only media table: document text bytes as opaque blobs. At scale
+    * this is a parquet/Lance-style table with a BINARY column and
+    * row-group-sized blobs. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.table(spark, dir, "documents")
       .select(
@@ -32,17 +237,24 @@ object Multimodal {
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
         col("lang"))
 
-  /** STUB decoder: a real implementation would decode image/audio frames
-    * here (per-partition codec init, batched decode). The fake is
-    * deterministic in the bytes so tests can golden-check the plumbing. */
-  private def decodeStub(bytes: Array[Byte]): (Long, Array[Double]) = {
-    var checksum = 0L
-    var i = 0
-    while (i < bytes.length) { checksum = (checksum * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-    val feat = new Array[Double](8)
-    i = 0
-    while (i < bytes.length) { feat(i % 8) += (bytes(i) & 0xff) / 255.0; i += 1 }
-    (checksum, feat)
+  private val wavUdf = udf((id: Long) => synthWavBytes(id))
+  private val bmpUdf = udf((id: Long) => synthBmpBytes(id))
+
+  /** Mixed-modality media table: one text/plain row per document plus a
+    * synthesized-but-valid WAV and BMP row each (ids offset per modality so
+    * media_id stays unique). */
+  def mediaTableMultiKind(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.table(spark, dir, "documents")
+    val wav = docs.select(
+      (col("doc_id") + 1000000L).as("media_id"), lit("audio/wav").as("kind"),
+      wavUdf(col("doc_id")).as("media"), col("lang"))
+    val bmp = docs.select(
+      (col("doc_id") + 2000000L).as("media_id"), lit("image/bmp").as("kind"),
+      bmpUdf(col("doc_id")).as("media"), col("lang"))
+    mediaTable(spark, dir).unionByName(
+      wav.unionByName(bmp)
+        .select(col("media_id"), col("kind"), col("media"),
+          octet_length(col("media")).cast("long").as("n_bytes"), col("lang")))
   }
 
   /** Batched per-partition feature extraction over the binary column. */
@@ -50,9 +262,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init of the (stubbed) decoder happens here
+      // per-partition decoder/codec init would happen here
       rows.map { r =>
-        val (checksum, feat) = decodeStub(r.media)
+        val (checksum, feat) = decode(r.kind, r.media)
         MediaFeatures(r.media_id, r.kind, r.lang, r.n_bytes, checksum, feat)
       }
     }

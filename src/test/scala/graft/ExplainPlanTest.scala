@@ -48,14 +48,24 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!joinCond.contains("UDF"), joinCond)
   }
 
-  test("t2: exact kernel stays OUT of the all-pairs join condition (sliced-box bound prunes)") {
+  test("t2: exact kernel stays OUT of every join; pair scan carries only the codegen'd bound") {
+    // final t2 plan: the Hausdorff UDF may only appear in a projection over
+    // bound-filtered survivors, never inside a join
     val p = plan("t2_hausdorff_pairs")
     val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
-    // the Hausdorff UDF must only appear in the projection over survivors;
-    // the join condition carries the native sliced-box bound (transform/
-    // array_min over the boxes arrays)
     assert(!joinLines.contains("UDF"), joinLines)
-    assert(joinLines.contains("transform"), joinLines)
+    // the pair scan itself: slim nested-loop join evaluating the native
+    // graft_boxlb expression, no UDF anywhere, no coordinate arrays
+    val ta = Tables.trajArrays(TestSpark.spark, TestSpark.sf0001)
+    val lbPlan = graft.operators.TrajectorySearch.allPairsLb(ta)
+      .queryExecution.executedPlan.toString
+    assert(lbPlan.contains("graft_boxlb"), lbPlan)
+    assert(!lbPlan.contains("UDF"), lbPlan)
+    // the joined pair rows carry (user_id, boxes) only — coordinate arrays
+    // stay out of the quadratic scan
+    val joined = lbPlan.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+    assert(joined.isDefined, lbPlan)
+    assert(!lbPlan.contains("xs1") && !lbPlan.contains("ys1"), lbPlan)
   }
 
   test("d3: mask-path near-dup join has no token-level shuffle join") {

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+import graft.sources.IndexStore
+
+/** Build-once/query-many index artifacts: a second "session" (memo cleared)
+  * must LOAD the parquet artifact instead of re-running the build scan, and
+  * the loaded index must be byte-identical to the built one. */
+class IndexStoreTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("IVF artifact: cold session loads centers+assignment, skipping the k-means fit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      Sketches.resetCaches()
+      val (idx1, cold) = timed {
+        val i = Sketches.buildIvfIndex(spark, TestSpark.sf001)
+        i.assigned.count() // force the assignment pass
+        i
+      }
+      assert(!idx1.fromArtifact, "first build must fit")
+      Sketches.resetCaches() // simulate a new session: in-memory memo gone
+      val (idx2, warm) = timed {
+        val i = Sketches.buildIvfIndex(spark, TestSpark.sf001)
+        i.assigned.count()
+        i
+      }
+      assert(idx2.fromArtifact, "second session must load the artifact")
+      assert(idx2.centers.map(_.toSeq).toSeq == idx1.centers.map(_.toSeq).toSeq)
+      val a1 = idx1.assigned.select("vec_id", "list_id").orderBy("vec_id")
+        .collect().map(_.toString).toSeq
+      val a2 = idx2.assigned.select("vec_id", "list_id").orderBy("vec_id")
+        .collect().map(_.toString).toSeq
+      assert(a1 == a2)
+      assert(warm < cold, s"artifact load ($warm s) should beat k-means build ($cold s)")
+      // two queries against one memoized index: still a single build
+      val q1 = Sketches.annIvfKnn(spark, TestSpark.sf001, 0L).collect()
+      val q2 = Sketches.annIvfKnn(spark, TestSpark.sf001, 1L).collect()
+      assert(q1.nonEmpty && q2.nonEmpty)
+      assert(Sketches.buildIvfIndex(spark, TestSpark.sf001) eq idx2, "memo reused across queries")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
+  test("trajArrays artifact: reload serves identical arrays and boxes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx2").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      Tables.resetCaches()
+      val t1 = Tables.trajArrays(spark, TestSpark.sf0001).orderBy("user_id")
+        .collect().map(_.toString).toSeq
+      assert(IndexStore.exists(spark,
+        IndexStore.artifactPath(spark, TestSpark.sf0001, "traj_purchase_f4")))
+      Tables.resetCaches()
+      val t2 = Tables.trajArrays(spark, TestSpark.sf0001).orderBy("user_id")
+        .collect().map(_.toString).toSeq
+      assert(t1 == t2)
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Tables.resetCaches()
+    }
+  }
+
+  test("artifact key fingerprints the data dir: a changed dir is not served stale") {
+    val data = java.nio.file.Files.createTempDirectory("graft-data").toString
+    val f = new java.io.File(data, "x.parquet")
+    java.nio.file.Files.write(f.toPath, "a".getBytes)
+    val p1 = IndexStore.artifactPath(spark, data, "art")
+    java.nio.file.Files.write(f.toPath, "ab".getBytes) // size change
+    val p2 = IndexStore.artifactPath(spark, data, "art")
+    assert(p1 != p2, "fingerprint must change when source files change")
+  }
+}

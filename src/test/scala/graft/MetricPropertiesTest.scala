@@ -93,6 +93,22 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("bounded hausdorff: exact at/below the bound, a certificate above it") {
+    cases.foreach { case ((xa, ya), (xb, yb)) =>
+      val exact = Metrics.hausdorff(xa, ya, xb, yb)
+      // generous bound → identical to the exact kernel
+      assert(Metrics.hausdorffBounded(xa, ya, xb, yb, exact + 1.0) == exact)
+      // tight bound → either the exact value (<= bound) or an abandoned
+      // partial that is a valid lower bound strictly above the bound
+      for (bound <- Seq(exact * 0.25, exact * 0.75, exact)) {
+        val v = Metrics.hausdorffBounded(xa, ya, xb, yb, bound)
+        assert(v <= exact + 1e-12)
+        if (v <= bound) assert(v == exact, s"v=$v bound=$bound exact=$exact")
+        else assert(exact > bound)
+      }
+    }
+  }
+
   test("hausdorff equals brute-force max-of-min (no early-break effect)") {
     cases.take(60).foreach { case ((xa, ya), (xb, yb)) =>
       def brute(x1: Array[Double], y1: Array[Double], x2: Array[Double], y2: Array[Double]) =

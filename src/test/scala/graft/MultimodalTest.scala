@@ -5,11 +5,61 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Multimodal
 
-/** Plumbing tests for the multimodal binary-column pipeline (decode itself
-  * is a documented stub). */
+/** Multimodal binary-column pipeline: real pure-JVM decoders (WAV/BMP/byte
+  * stats) golden-tested on hand-built bytes, plus the Spark-side plumbing. */
 class MultimodalTest extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("WAV decoder: exact features from hand-built 16-bit PCM bytes") {
+    // 4 samples at 8 kHz mono: 0, 1000, -1000, 500
+    val samples = Seq[Short](0, 1000, -1000, 500)
+    val buf = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(8)
+    samples.foreach(buf.putShort)
+    val f = Multimodal.decodeWav(buf.array())
+    assert(f(0) == 1.0 && f(1) == 8000.0 && f(2) == 4.0)
+    assert(f(3) == 125.0) // mean = (0+1000-1000+500)/4
+    assert(math.abs(f(4) - math.sqrt((0.0 + 1000 * 1000 + 1000 * 1000 + 500 * 500) / 4)) < 1e-9)
+    assert(f(5) == 1000.0) // peak
+    assert(math.abs(f(6) - 2.0 / 3) < 1e-12) // crossings: 1000->-1000, -1000->500
+    assert(f(7) == 4.0 / 8000)
+  }
+
+  test("BMP decoder: exact channel means from hand-built 24-bpp bytes") {
+    // 2x2 bottom-up, rowLen = 8 (2 px * 3 B + 2 pad)
+    val pix = Array[Byte]( // row 0 (bottom): (B,G,R)=(10,20,30),(40,50,60)
+      10, 20, 30, 40, 50, 60, 0, 0,
+      // row 1 (top): (70,80,90),(100,110,120)
+      70, 80, 90, 100, 110, 120, 0, 0)
+    val buf = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + 16).putInt(0).putInt(54)
+      .putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      .put(pix)
+    val f = Multimodal.decodeBmp(buf.array())
+    assert(f(0) == 2.0 && f(1) == 2.0 && f(2) == 24.0)
+    assert(f(3) == (10 + 40 + 70 + 100) / 4.0) // mean B
+    assert(f(4) == (20 + 50 + 80 + 110) / 4.0) // mean G
+    assert(f(5) == (30 + 60 + 90 + 120) / 4.0) // mean R
+    assert(f(7) == 4.0)
+  }
+
+  test("synthesized fixtures decode as valid files with expected parameters") {
+    val wf = Multimodal.decodeWav(Multimodal.synthWavBytes(7L))
+    assert(wf(0) == 1.0 && wf(1) == 8000.0 && wf(2) == 256 + 7 * 16)
+    assert(wf(5) > 10000 && wf(5) <= 12000) // sine peak near amplitude
+    val bf = Multimodal.decodeBmp(Multimodal.synthBmpBytes(7L))
+    assert(bf(0) == 8 + 7 % 5 && bf(1) == 6 + 7 % 4 && bf(2) == 24.0)
+    // byte stats on pure ASCII text
+    val tf = Multimodal.decodeByteStats("abc 123 ABC".getBytes("US-ASCII"))
+    assert(tf(0) == 1.0) // all printable
+    assert(math.abs(tf(2) - 3.0 / 11) < 1e-12)
+    assert(tf(7) == 11.0)
+  }
 
   test("media table: binary column round-trips the utf-8 byte length") {
     val m = Multimodal.mediaTable(spark, TestSpark.sf0001)

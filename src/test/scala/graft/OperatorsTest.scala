@@ -98,6 +98,29 @@ class OperatorsTest extends AnyFunSuite {
     }
   }
 
+  test("multi-word bitmap join equals inverted-index join on a >64-token vocab") {
+    // synthetic corpus: 300-token vocabulary (forces 5 mask words), docs of
+    // 20 tokens with planted near-duplicates and exact duplicates
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 300).map(i => f"tok$i%03d")
+    def doc(): Seq[String] = rnd.shuffle(vocab).take(20)
+    val base = (0L until 40L).map(i => (i, doc()))
+    val planted = Seq(
+      (100L, base(0)._2.drop(2) ++ base(0)._2.take(2)), // identical set to 0
+      (101L, base(1)._2.tail :+ "tok299")) // 19/21 overlap with 1
+    val toks = (base ++ planted)
+      .flatMap { case (id, ts) => ts.distinct.map(t => (id, "en", t)) }
+      .toDF("doc_id", "lang", "tok")
+    for ((num, den) <- Seq((3, 5), (1, 2))) {
+      val inverted = DocSimilarity.invertedIndexPairs(toks, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      val masked = DocSimilarity.jaccardPairs(toks, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      assert(masked == inverted, s"threshold $num/$den")
+      if (num == 3 && den == 5) assert(inverted.nonEmpty, "planted dups must qualify")
+    }
+  }
+
   test("prefix-filtered set-similarity join equals inverted-index join") {
     val toks = DocSimilarity.distinctTokens(spark, TestSpark.sf0001)
     for ((num, den) <- Seq((3, 5), (1, 2))) {

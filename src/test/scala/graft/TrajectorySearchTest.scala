@@ -86,7 +86,7 @@ class TrajectorySearchTest extends AnyFunSuite {
     val megaRow = ta.filter($"user_id" === 999L)
       .select(size($"xs"), size($"boxes")).head()
     assert(megaRow.getInt(0) == Tables.MaxTrajPoints, "cap applied")
-    assert(megaRow.getInt(1) == Tables.TrajSlices)
+    assert(megaRow.getInt(1) == 4 * Tables.TrajSlices, "flat [minx,maxx,miny,maxy]*k layout")
     val res = TrajectorySearch.allPairsTopK(ta, 5, "hausdorff").collect()
     assert(res.length == 5)
   }
