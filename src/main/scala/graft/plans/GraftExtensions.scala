@@ -61,12 +61,13 @@ object RewriteSelfDot extends Rule[LogicalPlan] {
 }
 
 /** Session-extension entry point (`SparkSessionExtensions`): registers the
-  * native functions and the self-dot optimizer rule. Install via
+  * native functions, the self-dot rewrite, and the ε-distance-join rewrite
+  * ([[RewriteDistanceJoin]] — a whole-operator Catalyst rule). Install via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. The charter's
-  * plan-level extension surface — no custom Strategy/SparkPlan is needed for
-  * the declared operator set (everything lowered to existing operators), so
-  * this carries only the pieces that pay for themselves.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`; for an existing
+  * session use [[GraftRules.install]]. Everything still lowers to existing
+  * physical operators (hash joins, generate) — a custom SparkPlan would buy
+  * nothing the planner doesn't already do once the logical shape is right.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -74,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_within"),
+      new ExpressionInfo(classOf[graft.functions.GraftWithin].getName, "graft_within"),
+      (exprs: Seq[Expression]) => graft.functions.GraftWithin.build(exprs)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
+    ext.injectOptimizerRule(_ => RewriteDistanceJoin)
   }
 }

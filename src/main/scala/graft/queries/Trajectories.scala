@@ -120,32 +120,18 @@ object Trajectories {
          |WHERE ROUND(SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)),6) <= 1.0
          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) {
       (s, dir) =>
-        // Grid-cell blocking (ε=1.0): points within rounded distance 1.0 are
-        // at most one cell apart per axis, so expanding the probe side to its
-        // 3×3 neighborhood and equi-joining on the cell key finds every
-        // qualifying pair exactly once (the build side keeps its single home
-        // cell). Turns O(n²) BNLJ into a shuffle hash join — SURVEY §4.3c.
-        // cell size covers the post-rounding effective epsilon: the filter
-        // admits true distances up to 1.0000005, which must still be at most
-        // one cell apart per axis
-        val eps = 1.000001
+        // Declarative ε-distance join: the graft_within predicate is the
+        // whole query; graft.plans.RewriteDistanceJoin recognizes it on the
+        // inner-join condition and rewrites the O(n²) theta join into the
+        // 3×3-neighborhood grid-cell equi-join (cell = eps + rounding slack,
+        // each qualifying pair meets in exactly one cell) — SURVEY §4.3c,
+        // plan-asserted non-cartesian in ExplainPlanTest.
+        graft.plans.GraftRules.install(s)
         val p = Tables.pts(s, dir, "error")
-          .select(col("user_id"), col("x"), col("y"),
-            floor(col("x") / eps).cast("long").as("cx"),
-            floor(col("y") / eps).cast("long").as("cy"))
-        val offsets = array((-1 to 1).map(lit): _*)
-        val a = p
-          .select(col("user_id").as("ua"), col("x").as("xa"), col("y").as("ya"),
-            col("cx"), col("cy"), explode(offsets).as("dx"))
-          .select(col("ua"), col("xa"), col("ya"),
-            (col("cx") + col("dx")).as("kx"), col("cy"), explode(offsets).as("dy"))
-          .select(col("ua"), col("xa"), col("ya"), col("kx"), (col("cy") + col("dy")).as("ky"))
-        val b = p.select(col("user_id").as("ub"), col("x").as("xb"), col("y").as("yb"),
-          col("cx").as("kx"), col("cy").as("ky"))
-        a.join(b, Seq("kx", "ky"))
-          .filter(col("ua") < col("ub") &&
-            round(sqrt((col("xa") - col("xb")) * (col("xa") - col("xb")) +
-                       (col("ya") - col("yb")) * (col("ya") - col("yb"))), 6) <= 1.0)
+        val a = p.select(col("user_id").as("ua"), col("x").as("xa"), col("y").as("ya"))
+        val b = p.select(col("user_id").as("ub"), col("x").as("xb"), col("y").as("yb"))
+        a.join(b, col("ua") < col("ub") &&
+            expr("graft_within(xa, ya, xb, yb, 1.0)"))
           .groupBy(col("ua").as("u1"))
           .agg(count(lit(1)).as("n_close"))
           .orderBy(col("u1"))

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HausdorffCodegen, SlicedBoxLb}
+import graft.geo.Metrics
+
+/** The native trajectory expressions (graft_boxlb, graft_hausdorff_bounded)
+  * must equal their JVM kernels exactly and must actually participate in
+  * codegen (no silent interpreted fallback). */
+class TrajectoryExprTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def flatBoxes(xs: Seq[Double], ys: Seq[Double], k: Int): Seq[Double] = {
+    val n = xs.length
+    (0 until k).flatMap { i =>
+      val from = i * n / k
+      val until = (i + 1) * n / k
+      if (until <= from) Nil
+      else {
+        val sx = xs.slice(from, until)
+        val sy = ys.slice(from, until)
+        Seq(sx.min, sx.max, sy.min, sy.max)
+      }
+    }
+  }
+
+  test("graft_boxlb equals a scala reference bound and lower-bounds hausdorff") {
+    SlicedBoxLb.register(spark)
+    val rnd = new scala.util.Random(5)
+    def traj(n: Int) =
+      (Seq.fill(n)(rnd.nextDouble() * 30), Seq.fill(n)(rnd.nextDouble() * 200))
+    val trajs = (0L until 30L).map { id =>
+      val (xs, ys) = traj(3 + rnd.nextInt(40)); (id, xs, ys, flatBoxes(xs, ys, 8))
+    }
+    def refLb(a: Seq[Double], b: Seq[Double]): Double = {
+      def boxdist(i: Int, j: Int): Double = {
+        val dx = math.max(0.0, math.max(a(i * 4) - b(j * 4 + 1), b(j * 4) - a(i * 4 + 1)))
+        val dy = math.max(0.0, math.max(a(i * 4 + 2) - b(j * 4 + 3), b(j * 4 + 2) - a(i * 4 + 3)))
+        math.sqrt(dx * dx + dy * dy)
+      }
+      val (n, m) = (a.length / 4, b.length / 4)
+      math.max(
+        (0 until n).map(i => (0 until m).map(j => boxdist(i, j)).min).max,
+        (0 until m).map(j => (0 until n).map(i => boxdist(i, j)).min).max)
+    }
+    val df = trajs.toDF("id", "xs", "ys", "boxes")
+    val a = df.select($"id".as("i1"), $"xs".as("xs1"), $"ys".as("ys1"), $"boxes".as("b1"))
+    val b = df.select($"id".as("i2"), $"xs".as("xs2"), $"ys".as("ys2"), $"boxes".as("b2"))
+    val rows = a.join(broadcast(b), $"i1" < $"i2")
+      .select($"i1", $"i2", expr("graft_boxlb(b1, b2)").as("lb"),
+        graft.functions.MetricUdfs.hausdorff($"xs1", $"ys1", $"xs2", $"ys2").as("h"))
+      .collect()
+    assert(rows.length == 30 * 29 / 2)
+    val byId = trajs.map(t => t._1 -> t).toMap
+    rows.foreach { r =>
+      val expected = refLb(byId(r.getLong(0))._4, byId(r.getLong(1))._4)
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12, s"pair ${r.getLong(0)},${r.getLong(1)}")
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9, "lb must lower-bound hausdorff")
+    }
+  }
+
+  test("graft_hausdorff_bounded equals Metrics.hausdorffBounded through the SQL path") {
+    HausdorffCodegen.register(spark)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 60).map { _ =>
+      val n = 1 + rnd.nextInt(25)
+      val m = 1 + rnd.nextInt(25)
+      (Seq.fill(n)(rnd.nextDouble() * 30), Seq.fill(n)(rnd.nextDouble() * 200),
+        Seq.fill(m)(rnd.nextDouble() * 30), Seq.fill(m)(rnd.nextDouble() * 200),
+        rnd.nextDouble() * 150)
+    }
+    val out = rows.toDF("xa", "ya", "xb", "yb", "bound")
+      .select(HausdorffCodegen($"xa", $"ya", $"xb", $"yb", $"bound").as("v"))
+      .collect().map(_.getDouble(0))
+    rows.zip(out).foreach { case ((xa, ya, xb, yb, bound), v) =>
+      assert(v == Metrics.hausdorffBounded(xa.toArray, ya.toArray, xb.toArray, yb.toArray, bound))
+    }
+  }
+
+  test("both expressions compile under codegen (fallback disabled)") {
+    SlicedBoxLb.register(spark)
+    HausdorffCodegen.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ta = Tables.trajArrays(spark, TestSpark.sf0001)
+      val a = ta.select($"user_id".as("u1"), $"boxes".as("b1"), $"xs".as("xs1"), $"ys".as("ys1"))
+      val b = ta.select($"user_id".as("u2"), $"boxes".as("b2"), $"xs".as("xs2"), $"ys".as("ys2"))
+      val n = a.join(broadcast(b), $"u1" < $"u2")
+        .select(expr("graft_boxlb(b1, b2)").as("lb"),
+          HausdorffCodegen($"xs1", $"ys1", $"xs2", $"ys2", lit(1e18)).as("h"))
+        .filter($"lb" >= 0 && $"h" >= $"lb" - 1e-9)
+        .count()
+      val users = ta.count()
+      assert(n == users * (users - 1) / 2, "bound must hold for every pair under codegen")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+}
