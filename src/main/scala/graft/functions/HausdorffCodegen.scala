@@ -22,17 +22,19 @@ object HausdorffKernelStatic {
 }
 
 object HausdorffCodegen {
-  /** Register `graft_hausdorff_bounded(xs1, ys1, xs2, ys2, bound)` — a
-    * whole-stage-codegen static call into the early-abandoning kernel
-    * (exact at/below the bound; a certificate value above it). */
+  /** Expression builder: a whole-stage-codegen static call into the
+    * early-abandoning kernel (exact at/below the bound; a certificate value
+    * above it). */
+  def build(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): StaticInvoke =
+    StaticInvoke(
+      HausdorffKernelStatic.getClass, DoubleType, "compute", exprs,
+      propagateNull = true, returnNullable = false)
+
+  /** Register `graft_hausdorff_bounded(xs1, ys1, xs2, ys2, bound)`. */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions._
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hausdorff_bounded",
-      exprs => StaticInvoke(
-        HausdorffKernelStatic.getClass, DoubleType, "compute", exprs,
-        propagateNull = true, returnNullable = false),
-      "built-in")
+      "graft_hausdorff_bounded", build, "built-in")
   }
 
   def apply(xs1: Column, ys1: Column, xs2: Column, ys2: Column, bound: Column): Column =

@@ -26,7 +26,7 @@ object TrajectorySearch {
     topKOf(Tables.trajArrays(s, dir, eventType), queryUser, k, metric)
 
   def topKOf(ta: DataFrame, queryUser: Long, k: Int, metric: String): DataFrame = {
-    val fn = metricFn(metric)
+    val fn = metricCol(metric, ta.sparkSession)
     val q = ta.filter(col("user_id") === queryUser)
       .select(col("xs").as("qxs"), col("ys").as("qys"))
     ta.filter(col("user_id") =!= queryUser)
@@ -37,11 +37,20 @@ object TrajectorySearch {
       .limit(k)
   }
 
-  private def metricFn(metric: String) = metric match {
-    case "hausdorff" => MetricUdfs.hausdorff
-    case "frechet" => MetricUdfs.frechet
-    case other => throw new IllegalArgumentException(s"unknown metric $other")
-  }
+  /** Exact metric as a Column builder. Hausdorff runs as the codegen static
+    * call (bulk array copy, no per-element boxing — the bounded kernel with
+    * an unreachable bound computes the identical max-of-both-directions
+    * value); Fréchet keeps its DP UDF. */
+  private def metricCol(metric: String, s: SparkSession):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+       org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    metric match {
+      case "hausdorff" =>
+        graft.functions.HausdorffCodegen.register(s)
+        (a, b, c, d) => graft.functions.HausdorffCodegen(a, b, c, d, lit(Double.MaxValue))
+      case "frechet" => (a, b, c, d) => MetricUdfs.frechet(a, b, c, d)
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
 
   /** Time-sliced MBR lower bound (reference O4/O11 carried to pairs): with
     * A partitioned into time slices {Aᵢ} and B into {Bⱼ}, every a ∈ Aᵢ has
@@ -55,21 +64,6 @@ object TrajectorySearch {
   def slicedBoxLb(boxes1: String, boxes2: String): org.apache.spark.sql.Column =
     expr(s"graft_boxlb($boxes1, $boxes2)")
 
-  /** The k smallest-distance pairs over ALL trajectory pairs (t2 surface),
-    * bound-then-refine:
-    *
-    *  1. SEED: exact kernel on the `seedFactor·k` pairs with the smallest
-    *     sliced-box lower bound → the k-th exact distance is an upper bound
-    *     `r` on the answer's k-th distance.
-    *  2. REFINE: the join CONDITION is `u1 < u2 AND lb ≤ r` — the scalar
-    *     bound prunes inside the join, and the exact kernel runs only on
-    *     surviving pairs in the projection. Every discarded pair has
-    *     distance ≥ lb > r, so the result is exactly the unpruned top-k
-    *     (OperatorsTest asserts equality at two SFs and that pruning fires).
-    *
-    * The seed collect is k bounded rows — the reference's bound-seeding
-    * driver footprint.
-    */
   /** Slim all-pairs bound frame (u1, u2, lb): the nested-loop pair scan
     * runs over (user_id, boxes) ONLY — 4k doubles a side, never the full
     * coordinate arrays — with the codegen'd `graft_boxlb` bound in the
@@ -88,10 +82,25 @@ object TrajectorySearch {
       .select(col("u1"), col("u2"), slicedBoxLb("boxes1", "boxes2").as("lb"))
   }
 
+  /** The k smallest-distance pairs over ALL trajectory pairs (t2 surface),
+    * bound-then-refine:
+    *
+    *  1. SEED: exact kernel on the `seedFactor·k` pairs with the smallest
+    *     sliced-box lower bound → the k-th exact distance is an upper bound
+    *     `r` on the answer's k-th distance.
+    *  2. REFINE: pairs surviving `lb ≤ r` (read back from the checkpointed
+    *     bound frame) get the early-abandoning exact kernel. Every discarded
+    *     pair has distance ≥ lb > r, so the result is exactly the unpruned
+    *     top-k (OperatorsTest asserts equality at two SFs and that pruning
+    *     fires).
+    *
+    * The seed collect is k bounded rows — the reference's bound-seeding
+    * driver footprint.
+    */
   def allPairsTopK(ta0: DataFrame, k: Int, metric: String = "hausdorff",
                    seedFactor: Int = 3): DataFrame = {
     val ta = ensureBoxes(ta0)
-    val fn = metricFn(metric)
+    val fn = metricCol(metric, ta.sparkSession)
     val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
     val fat2 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
     val exact = round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6)
@@ -144,7 +153,7 @@ object TrajectorySearch {
                 metric: String = "hausdorff"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ta = ensureBoxes(ta0)
-    val fn = metricFn(metric)
+    val fn = metricCol(metric, ta.sparkSession)
     val q = ta.filter(col("user_id").isInCollection(queryUsers))
       .select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
     val w = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
@@ -197,7 +206,7 @@ object TrajectorySearch {
     */
   def topKPruned(ta: DataFrame, queryUser: Long, k: Int, metric: String,
                  seedFactor: Int = 3): DataFrame = {
-    val fn = metricFn(metric)
+    val fn = metricCol(metric, ta.sparkSession)
     val (cands, _) = withLowerBound(ta, queryUser)
     val exact = fn(col("xs"), col("ys"), col("qxs"), col("qys"))
 

@@ -79,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_within"),
       new ExpressionInfo(classOf[graft.functions.GraftWithin].getName, "graft_within"),
       (exprs: Seq[Expression]) => graft.functions.GraftWithin.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_boxlb"),
+      new ExpressionInfo(classOf[graft.functions.SlicedBoxLb].getName, "graft_boxlb"),
+      (exprs: Seq[Expression]) => graft.functions.SlicedBoxLb(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hausdorff_bounded"),
+      new ExpressionInfo(graft.functions.HausdorffKernelStatic.getClass.getName, "graft_hausdorff_bounded"),
+      (exprs: Seq[Expression]) => graft.functions.HausdorffCodegen.build(exprs)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectOptimizerRule(_ => RewriteDistanceJoin)
   }
