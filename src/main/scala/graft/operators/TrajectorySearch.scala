@@ -167,6 +167,71 @@ object TrajectorySearch {
       .orderBy(col("q_user"), col("dist"), col("user_id"))
   }
 
+  /** Bound-seeded batch top-k — the fully RELATIONAL form of the reference's
+    * bound seeding, with no driver-side threshold at all: per query,
+    *
+    *  1. rank candidates by the sliced-box lower bound (window over q_user),
+    *  2. exact-evaluate the `seedFactor·k` best-bound seeds; the k-th exact
+    *     distance per query is that query's threshold r_q (max over ≤ k
+    *     seed rows — a windowed aggregate, not a collect),
+    *  3. refine candidates with `lb ≤ r_q` using the early-abandoning
+    *     kernel (per-ROW bound: r_q + margin), rank, keep k.
+    *
+    * Identical results to [[topKBatch]] (asserted at two SFs). At 10⁸
+    * trajectories this shape runs any number of queries in one job with the
+    * kernel evaluated only on per-query survivors. */
+  def topKBatchPruned(ta0: DataFrame, queryUsers: Seq[Long], k: Int,
+                      metric: String = "hausdorff", seedFactor: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SlicedBoxLb.register(ta0.sparkSession)
+    val ta = ensureBoxes(ta0)
+    val fn = metricCol(metric, ta.sparkSession)
+
+    val qSlim = ta.filter(col("user_id").isInCollection(queryUsers))
+      .select(col("user_id").as("q_user"), col("boxes").as("qboxes"))
+    val qFat = ta.filter(col("user_id").isInCollection(queryUsers))
+      .select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
+    val fat = ta.select(col("user_id"), col("xs"), col("ys"))
+    val exact = round(fn(col("xs"), col("ys"), col("qxs"), col("qys")), 6)
+
+    // slim bound pass: (q_user, user_id, lb)
+    val lbs = ta.select(col("user_id"), col("boxes"))
+      .join(broadcast(qSlim), col("user_id") =!= col("q_user"))
+      .select(col("q_user"), col("user_id"), slicedBoxLb("boxes", "qboxes").as("lb"))
+
+    val wLb = Window.partitionBy(col("q_user")).orderBy(col("lb"), col("user_id"))
+    val seeds = lbs.withColumn("lrn", row_number().over(wLb))
+      .filter(col("lrn") <= seedFactor * k)
+      .select(col("q_user"), col("user_id"))
+
+    // per-query threshold r_q = k-th smallest exact seed distance (or the
+    // max seed distance when a query has fewer than k candidates)
+    val wSeed = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
+    val rq = seeds
+      .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+      .select(col("q_user"), col("user_id"), exact.as("dist"))
+      .withColumn("srn", row_number().over(wSeed))
+      .filter(col("srn") <= k)
+      .groupBy(col("q_user")).agg(max(col("dist")).as("r"))
+
+    val refine = metric match {
+      case "hausdorff" =>
+        graft.functions.HausdorffCodegen.register(ta.sparkSession)
+        round(graft.functions.HausdorffCodegen(
+          col("xs"), col("ys"), col("qxs"), col("qys"), col("r") + 1e-5), 6)
+      case _ => exact
+    }
+    val wOut = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
+    lbs.join(broadcast(rq), "q_user")
+      .filter(col("lb") <= col("r") + 1e-6)
+      .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+      .select(col("q_user"), col("user_id"), refine.as("dist"))
+      .withColumn("rk", row_number().over(wOut))
+      .filter(col("rk") <= k)
+      .select(col("q_user"), col("user_id"), col("dist"))
+      .orderBy(col("q_user"), col("dist"), col("user_id"))
+  }
+
   /** Survivor count of the sliced-box bound at threshold r over all pairs —
     * exposed for tests asserting that pruning actually fires. */
   def allPairsSurvivorCount(ta0: DataFrame, r: Double): Long =

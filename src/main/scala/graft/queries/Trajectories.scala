@@ -181,7 +181,7 @@ object Trajectories {
          |              row_number() OVER (PARTITION BY qu ORDER BY dist, u) AS rn FROM hh)
          |SELECT qu AS q_user, u AS user_id, dist FROM rk WHERE rn <= 10
          |ORDER BY q_user, dist, user_id""".stripMargin) {
-      (s, dir) => graft.operators.TrajectorySearch.topKBatch(
+      (s, dir) => graft.operators.TrajectorySearch.topKBatchPruned(
         Tables.trajArrays(s, dir, "purchase"), Seq(0L, 1L, 2L, 3L, 4L), 10, "hausdorff")
     }
   )

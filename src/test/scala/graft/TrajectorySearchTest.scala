@@ -76,6 +76,18 @@ class TrajectorySearchTest extends AnyFunSuite {
       s"expected >50% pruning on the fixture, got $survivors of $pairs")
   }
 
+  test("relational bound-seeded batch top-k equals the exact batch search at two SFs") {
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val ta = Tables.trajArrays(spark, dir)
+      val qs = Seq(0L, 1L, 2L, 3L, 4L)
+      val exact = TrajectorySearch.topKBatch(ta, qs, 10, "hausdorff")
+        .collect().map(_.toString).toSeq
+      val pruned = TrajectorySearch.topKBatchPruned(ta, qs, 10, "hausdorff")
+        .collect().map(_.toString).toSeq
+      assert(pruned == exact, dir)
+    }
+  }
+
   test("trajArraysOf caps a mega-user (SURVEY §7.5 risk 5) and search completes") {
     val mega = (0 until 200000).map(i =>
       (999L, i.toLong, i.toLong, i * 0.001, math.sin(i * 0.01) * 10))
