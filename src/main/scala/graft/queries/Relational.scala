@@ -266,6 +266,32 @@ object Relational {
             sum(cents(col("l_quantity"))).as("qty"))
           .unpivot(Array.empty, Array(col("disc"), col("price"), col("qty")), "metric", "value")
           .orderBy(col("metric"))
+    },
+
+    // Correlated-aggregate semantics ("orders above their customer's
+    // average") with an exact integer comparison: p·n > Σp in cents, so no
+    // float division ever happens — portable across engines and shuffle
+    // orders. One window, no self-join.
+    DeclaredQuery("r13_above_cust_avg",
+      s"""WITH oc AS (SELECT o_custkey, ${centsS("o_totalprice")} AS p_cents FROM orders),
+         |st AS (SELECT o_custkey, SUM(p_cents) AS s, COUNT(*) AS n
+         |       FROM oc GROUP BY o_custkey)
+         |SELECT oc.o_custkey, COUNT(*) AS n_above
+         |FROM oc JOIN st ON oc.o_custkey = st.o_custkey
+         |WHERE oc.p_cents * st.n > st.s
+         |GROUP BY oc.o_custkey ORDER BY oc.o_custkey LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+        Tables.table(s, dir, "orders")
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("p_cents"))
+          .withColumn("s", sum(col("p_cents")).over(w))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("p_cents") * col("n") > col("s"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy(col("o_custkey"))
+          .limit(100)
     }
   )
 }

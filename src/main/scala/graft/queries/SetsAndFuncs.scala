@@ -162,6 +162,52 @@ object SetsAndFuncs {
             count(lit(1)).as("n"),
             msum(coalesce(nullif(col("s_acctbal"), lit(0.0)), lit(0.0))).as("bal"))
           .orderBy(col("band"))
+    },
+
+    // Arbitrary GROUPING SETS (beyond r5 rollup / r9 cube): two independent
+    // single-column sets plus the grand total, disambiguated by GROUPING().
+    // Ordering never compares the NULL placeholder columns within a set
+    // (they are constant per set), so NULLS FIRST/LAST divergence between
+    // engines cannot bite.
+    DeclaredQuery("s5_grouping_sets",
+      s"""SELECT CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+         |       CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+         |       c_mktsegment, c_nationkey,
+         |       COUNT(*) AS n, ${msumS("c_acctbal")} AS sum_bal
+         |FROM customer
+         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+         |ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "customer")
+          .groupingSets(
+            Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+            col("c_mktsegment"), col("c_nationkey"))
+          .agg(
+            grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+            grouping(col("c_nationkey")).cast("long").as("g_nat"),
+            count(lit(1)).as("n"),
+            msum(col("c_acctbal")).as("sum_bal"))
+          .select(col("g_seg"), col("g_nat"), col("c_mktsegment"), col("c_nationkey"),
+            col("n"), col("sum_bal"))
+          .orderBy(col("g_seg"), col("g_nat"), col("c_mktsegment"), col("c_nationkey"))
+    },
+
+    // Regexp scalar functions. The oracle's regexp_replace carries DuckDB's
+    // 'g' flag — Spark's replaces all matches by default (dialect text may
+    // differ; semantics must match).
+    DeclaredQuery("f6_regexp",
+      """SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT regexp_replace(p_type, '[aeiou]', '', 'g')) AS n_types
+        |FROM part GROUP BY regexp_extract(p_name, '^([a-z]+)', 1)
+        |ORDER BY first_word""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "part")
+          .groupBy(regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(regexp_replace(col("p_type"), "[aeiou]", "")).as("n_types"))
+          .orderBy(col("first_word"))
     }
   )
 }

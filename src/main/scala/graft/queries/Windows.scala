@@ -168,6 +168,30 @@ object Windows {
             round(sum(col("ts_us") - col("last_err")).cast("double") / count(lit(1)) / lit(1e6), 3)
               .as("avg_since_err_s"))
           .orderBy(col("user_id"))
+    },
+
+    // RANGE frame (value-based, not row-based): rolling 24h purchase sum per
+    // user keyed on the integer µs timestamp. RANGE includes PEERS, so tied
+    // timestamps get identical sums in every engine regardless of tie order.
+    DeclaredQuery("w8_range_frame",
+      s"""WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |                    ${centsS("value")} AS v_cents
+         |             FROM events WHERE event_type = 'purchase')
+         |SELECT user_id, event_id, ts_us,
+         |       CAST(SUM(v_cents) OVER (PARTITION BY user_id ORDER BY ts_us
+         |            RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+         |         AS sum_24h
+         |FROM pts ORDER BY user_id, ts_us, event_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-86400000000L, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            cents(col("value")).as("v_cents"))
+          .withColumn("sum_24h", sum(col("v_cents")).over(w).cast("double") / lit(100.0))
+          .drop("v_cents")
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }
   )
 }
