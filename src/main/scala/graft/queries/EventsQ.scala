@@ -86,6 +86,25 @@ object EventsQ {
             countDistinct(col("event_id")).as("n_ids"),
             countDistinct(concat(col("user_id").cast("string"), lit("|"), col("event_type")))
               .as("n_user_type"))
+    },
+
+    // Stream-static enrichment join surface: events keyed to the customer
+    // dimension (user_id ⊆ c_custkey in the fixture). The streaming twin
+    // broadcast-joins the static dim per micro-batch
+    // (StreamingQueries.streamStaticSegments, equivalence-tested).
+    DeclaredQuery("e5_stream_static_join",
+      s"""SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+         |       ${msumS("e.value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c.c_mktsegment, e.event_type
+         |ORDER BY c.c_mktsegment, e.event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "events")
+          .join(broadcast(Tables.table(s, dir, "customer")),
+            col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+          .orderBy(col("c_mktsegment"), col("event_type"))
     }
   )
 }

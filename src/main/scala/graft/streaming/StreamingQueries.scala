@@ -77,6 +77,19 @@ object StreamingQueries {
   def dedupCount(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id").groupBy().agg(count(lit(1)).as("n_ids"))
 
+  /** e5 counterpart: stream-static enrichment — each micro-batch broadcast-
+    * joins the STATIC customer dimension (re-read per batch, no state), then
+    * feeds the running aggregation. At 100 TB the static side is the
+    * dimension snapshot; only the aggregation keeps state. */
+  def streamStaticSegments(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        (col("value_cents").cast("double") / lit(100.0)).as("sum_value"))
+
   /** One emitted session: (user_id, session start µs, event count, duration µs). */
   final case class Session(user_id: Long, start_us: Long, n_ev: Long, dur_us: Long)
   /** Open-session state carried between micro-batches. */

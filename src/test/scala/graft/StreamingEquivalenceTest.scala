@@ -170,6 +170,18 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(back.select($"event_id").distinct().count() == want)
   }
 
+  test("e5 stream-static join == batch enrichment join") {
+    val got = runComplete(
+      StreamingQueries.streamStaticSegments(
+        StreamingQueries.eventsStream(spark, replayDir),
+        Tables.table(spark, TestSpark.sf0001, "customer")), "s_e5")
+      .orderBy($"c_mktsegment", $"event_type").collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("e5_stream_static_join")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("e4 streaming dedup == batch distinct count") {
     val got = runComplete(
       StreamingQueries.dedupCount(StreamingQueries.eventsStream(spark, replayDir)), "s_e4")
