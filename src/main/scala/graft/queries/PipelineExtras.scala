@@ -45,6 +45,23 @@ object PipelineExtras {
           .orderBy(col("lang"), col("kind"))
     },
 
+    // Media transform pipeline: resize BMPs to 4x4, frame-sample WAVs to 64
+    // samples, then re-featurize — decode -> transform -> featurize, all
+    // per-partition batched. Per-byte parsing is not SQL-expressible
+    // cross-engine; transforms are golden-tested in MultimodalTest.
+    DeclaredQuery.noOracle("m3_media_transform") {
+      (s, dir) =>
+        Multimodal.extractFeatures(
+          Multimodal.transformMedia(Multimodal.mediaTableMultiKind(s, dir)).toDF())
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum(col("n_bytes")).as("sum_bytes"),
+            round(sum(expr("feature[0]")), 4).as("f0_sum"),
+            round(sum(expr("feature[7]")), 4).as("f7_sum"))
+          .orderBy(col("kind"))
+    },
+
     DeclaredQuery.noOracle("p5_simhash_neardups") {
       (s, dir) => Sketches.simhashNearDups(s, dir)
     },

@@ -132,6 +132,25 @@ object TextPipeline {
             countDistinct(col("text")).as("n_distinct_text"),
             sum(col("fp") % 10007).as("fp_checksum"))
           .orderBy(col("lang"))
+    },
+
+    // BPE-ish sub-word segmentation via regex (vowel clusters vs consonant
+    // runs) — a genuinely different token count from p1's whitespace split;
+    // pure char-class pattern, portable across Java and RE2 regex dialects.
+    DeclaredQuery("p10_subword_pieces",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0))) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(regexp_extract_all(col("text"),
+              lit("[aeiou]+|[^aeiou ]+"), lit(0)))).cast("long").as("n_pieces"),
+            sum(length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_chars"))
+          .orderBy(col("lang"))
     }
   )
 }

@@ -209,6 +209,74 @@ object Multimodal {
       upper.toDouble / n, entropy, distinct / 256.0, sum / n, bytes.length.toDouble)
   }
 
+  /** Nearest-neighbor resample of a 24-bpp BMP to (outW, outH): a REAL
+    * image-resize over the parsed pixel grid, emitting valid BMP bytes
+    * (the media-pipeline "resize" stage, pure JVM). */
+  def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP file")
+    val pixelOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(buf.getShort(28).toInt == 24, "unsupported bpp")
+    val inRow = (w * 3 + 3) / 4 * 4
+    val outRow = (outW * 3 + 3) / 4 * 4
+    val out = ByteBuffer.allocate(54 + outRow * outH).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + outRow * outH)
+      .putInt(0).putInt(54).putInt(40).putInt(outW).putInt(outH)
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(outRow * outH).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        val src = pixelOff + sy * inRow + sx * 3
+        out.put(bytes(src)).put(bytes(src + 1)).put(bytes(src + 2))
+        x += 1
+      }
+      var pad = outW * 3
+      while (pad < outRow) { out.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    out.array()
+  }
+
+  /** Uniform frame sampling from 16-bit PCM WAV: keep every (n/outFrames)-th
+    * sample and emit a valid, shorter WAV (the media-pipeline
+    * "frame-sample" stage — for video this is the keyframe analog). */
+  def sampleWavFrames(bytes: Array[Byte], outFrames: Int): Array[Byte] = {
+    val feats = decodeWav(bytes) // validates structure
+    val n = feats(2).toInt
+    val take = math.min(outFrames, n)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // locate the data chunk again (decodeWav proved it exists)
+    var pos = 12
+    var dataOff = -1
+    while (pos + 8 <= bytes.length && dataOff < 0) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = buf.getInt(pos + 4)
+      if (cid == "data") dataOff = pos + 8
+      else pos += 8 + clen + (clen & 1)
+    }
+    val sampleRate = feats(1).toInt
+    val out = ByteBuffer.allocate(44 + take * 2).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + take * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(take * 2)
+    var i = 0
+    while (i < take) {
+      out.putShort(buf.getShort(dataOff + (i.toLong * n / take).toInt * 2))
+      i += 1
+    }
+    out.array()
+  }
+
   /** Kind-dispatched decode; malformed bytes degrade to byte statistics
     * (real pipelines flag, not fail, on corrupt media). */
   def decode(kind: String, bytes: Array[Byte]): (Long, Array[Double]) = {
@@ -255,6 +323,26 @@ object Multimodal {
       wav.unionByName(bmp)
         .select(col("media_id"), col("kind"), col("media"),
           octet_length(col("media")).cast("long").as("n_bytes"), col("lang")))
+  }
+
+  /** Media transform stage (resize images, frame-sample audio, pass
+    * everything else through), batched per partition — composes with
+    * [[extractFeatures]] downstream exactly like a production
+    * decode→transform→featurize pipeline. */
+  def transformMedia(media: DataFrame, outW: Int = 4, outH: Int = 4,
+                     frames: Int = 64): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val nb = r.kind match {
+          case "image/bmp" => resizeBmp(r.media, outW, outH)
+          case "audio/wav" => sampleWavFrames(r.media, frames)
+          case _ => r.media
+        }
+        MediaRow(r.media_id, r.kind, nb, nb.length.toLong, r.lang)
+      }
+    }
   }
 
   /** Batched per-partition feature extraction over the binary column. */

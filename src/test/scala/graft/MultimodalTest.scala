@@ -48,6 +48,43 @@ class MultimodalTest extends AnyFunSuite {
     assert(f(7) == 4.0)
   }
 
+  test("BMP resize: nearest-neighbor resample emits a valid BMP with exact picked pixels") {
+    val src = Multimodal.synthBmpBytes(3L) // 11x9
+    val small = Multimodal.resizeBmp(src, 2, 2)
+    val f = Multimodal.decodeBmp(small)
+    assert(f(0) == 2.0 && f(1) == 2.0 && f(2) == 24.0 && f(7) == 4.0)
+    // 1x1 resize picks source pixel (0,0) (bottom-left row): means == pixel
+    val one = Multimodal.decodeBmp(Multimodal.resizeBmp(src, 1, 1))
+    val id = 3L
+    assert(one(3) == ((id * 31 + 0 + 0) % 256).toDouble) // B at (0,0)
+    assert(one(4) == ((id * 17 + 0 + 0) % 256).toDouble) // G
+    assert(one(5) == ((id * 23 + 0 + 0) % 256).toDouble) // R
+  }
+
+  test("WAV frame-sample: shorter valid WAV, rate preserved, frames uniform") {
+    val src = Multimodal.synthWavBytes(5L)
+    val n0 = Multimodal.decodeWav(src)(2).toInt
+    val sampled = Multimodal.sampleWavFrames(src, 64)
+    val f = Multimodal.decodeWav(sampled)
+    assert(f(1) == 8000.0 && f(2) == 64.0)
+    assert(64 < n0)
+    // first kept sample is the source's first sample
+    val b0 = java.nio.ByteBuffer.wrap(src).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val b1 = java.nio.ByteBuffer.wrap(sampled).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(b1.getShort(44) == b0.getShort(44))
+  }
+
+  test("transformMedia composes with extractFeatures (decode->transform->featurize)") {
+    val out = Multimodal.extractFeatures(
+      Multimodal.transformMedia(
+        Multimodal.mediaTableMultiKind(spark, TestSpark.sf0001)).toDF())
+      .collect()
+    val byKind = out.groupBy(_.kind)
+    byKind("image/bmp").foreach(r => assert(r.feature(0) == 4.0 && r.feature(1) == 4.0))
+    byKind("audio/wav").foreach(r => assert(r.feature(2) == 64.0))
+    byKind("text/plain").foreach(r => assert(r.n_bytes > 0)) // passthrough
+  }
+
   test("synthesized fixtures decode as valid files with expected parameters") {
     val wf = Multimodal.decodeWav(Multimodal.synthWavBytes(7L))
     assert(wf(0) == 1.0 && wf(1) == 8000.0 && wf(2) == 256 + 7 * 16)
