@@ -118,6 +118,50 @@ object Metrics {
     math.sqrt(row(m - 1))
   }
 
+  /** Discrete Fréchet with early ABANDON at `bound`: every monotone
+    * coupling passes through each DP row, and c-values are non-decreasing
+    * along a coupling, so `final ≥ min_j c(i, j)` for every row i — once a
+    * whole row's minimum exceeds bound² the scan stops and returns that
+    * row-min, a LOWER bound on the true distance that is still > bound.
+    * Exact whenever the true distance ≤ bound (same contract as
+    * [[hausdorffBounded]]). */
+  def frechetBounded(xa: Array[Double], ya: Array[Double],
+                     xb: Array[Double], yb: Array[Double],
+                     bound: Double): Double = {
+    val n = xa.length
+    val m = xb.length
+    if (n == 0 || m == 0) return Double.NaN
+    val b2 = bound * bound
+    val row = new Array[Double](m)
+    var rowMin = Double.PositiveInfinity
+    var j = 0
+    while (j < m) {
+      val d = d2(xa(0), ya(0), xb(j), yb(j))
+      row(j) = if (j == 0) d else math.max(row(j - 1), d)
+      if (row(j) < rowMin) rowMin = row(j)
+      j += 1
+    }
+    if (rowMin > b2) return math.sqrt(rowMin)
+    var i = 1
+    while (i < n) {
+      var diag = row(0)
+      row(0) = math.max(row(0), d2(xa(i), ya(i), xb(0), yb(0)))
+      rowMin = row(0)
+      j = 1
+      while (j < m) {
+        val up = row(j)
+        val best = math.min(math.min(up, row(j - 1)), diag)
+        row(j) = math.max(best, d2(xa(i), ya(i), xb(j), yb(j)))
+        if (row(j) < rowMin) rowMin = row(j)
+        diag = up
+        j += 1
+      }
+      if (rowMin > b2) return math.sqrt(rowMin)
+      i += 1
+    }
+    math.sqrt(row(m - 1))
+  }
+
   /** Point→segment distance (reference O2): distance from p to the closest
     * point of segment [a,b] via projection clamp. */
   def pointSegDist(px: Double, py: Double, ax: Double, ay: Double,

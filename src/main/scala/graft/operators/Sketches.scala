@@ -242,4 +242,45 @@ object Sketches {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Batch IVF ANN — top-k per query for a query-id SET, one job, with the
+    * probe-list selection fully relational: queries × centroids is a
+    * bounded (|q|·nlist) broadcast cross join ranked per query; candidates
+    * come from ONE equi-join on `list_id` against the shared build-once
+    * index; exact cosine (codegen `graft_dot`) refines, ranked per query.
+    * No driver-side threshold or per-query loop — the reference's
+    * query-set workload in a single plan. */
+  def annIvfKnnBatch(s: SparkSession, dir: String, queryIds: Seq[Long], k: Int = 10,
+                     nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.FloatDotProduct.register(s)
+    val index = buildIvfIndex(s, dir, nlist)
+    val cdf = index.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("list_id", "center")
+
+    val q = Tables.table(s, dir, "embeddings")
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("list_id"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(q_emb, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("list_id"))
+
+    val wOut = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    index.assigned.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("graft_dot(embedding, q_emb)") /
+          (sqrt(VectorOps.norm2Col("embedding")) * sqrt(expr("graft_dot(q_emb, q_emb)"))), 6)
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(wOut))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
 }

@@ -129,13 +129,8 @@ object TrajectorySearch {
     // margin 1e-5 ≫ the 6-dp rounding granularity, so every pair that could
     // tie at rounded r is still computed exactly. Codegen static call — a
     // UDF here would box 4 × |traj| doubles per pair, dominating the kernel.
-    val refine = metric match {
-      case "hausdorff" =>
-        graft.functions.HausdorffCodegen.register(ta.sparkSession)
-        round(graft.functions.HausdorffCodegen(
-          col("xs1"), col("ys1"), col("xs2"), col("ys2"), lit(r + 1e-5)), 6)
-      case _ => exact
-    }
+    val refine = round(boundedMetricCol(metric, ta.sparkSession)(
+      col("xs1"), col("ys1"), col("xs2"), col("ys2"), lit(r + 1e-5)), 6)
     withArrays(lbs.filter(col("lb") <= r + 1e-6).select(col("u1"), col("u2")))
       .select(col("u1"), col("u2"), refine.as(metric))
       .orderBy(col(metric), col("u1"), col("u2"))
@@ -214,13 +209,8 @@ object TrajectorySearch {
       .filter(col("srn") <= k)
       .groupBy(col("q_user")).agg(max(col("dist")).as("r"))
 
-    val refine = metric match {
-      case "hausdorff" =>
-        graft.functions.HausdorffCodegen.register(ta.sparkSession)
-        round(graft.functions.HausdorffCodegen(
-          col("xs"), col("ys"), col("qxs"), col("qys"), col("r") + 1e-5), 6)
-      case _ => exact
-    }
+    val refine = round(boundedMetricCol(metric, ta.sparkSession)(
+      col("xs"), col("ys"), col("qxs"), col("qys"), col("r") + 1e-5), 6)
     val wOut = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
     lbs.join(broadcast(rq), "q_user")
       .filter(col("lb") <= col("r") + 1e-6)
@@ -282,11 +272,31 @@ object TrajectorySearch {
     if (seeds.length < k) return topKOf(ta, queryUser, k, metric) // tiny data
     val r = seeds.last.getDouble(0)
 
+    // early-abandoning refine at r (+ margin above the 6-dp rounding
+    // granularity) — both metrics have a bounded codegen kernel
+    val refine = boundedMetricCol(metric, ta.sparkSession)(
+      col("xs"), col("ys"), col("qxs"), col("qys"), lit(r + 1e-5))
     cands.filter(col("lb") <= r + 1e-6)
-      .select(col("user_id"), round(exact, 6).as("dist"))
+      .select(col("user_id"), round(refine, 6).as("dist"))
       .orderBy(col("dist"), col("user_id"))
       .limit(k)
   }
+
+  /** Early-abandoning metric kernels (exact at/below the bound, certificate
+    * above it) as codegen static calls. */
+  private def boundedMetricCol(metric: String, s: SparkSession):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+       org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+       org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    metric match {
+      case "hausdorff" =>
+        graft.functions.HausdorffCodegen.register(s)
+        graft.functions.HausdorffCodegen.apply
+      case "frechet" =>
+        graft.functions.FrechetCodegen.register(s)
+        graft.functions.FrechetCodegen.apply
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
 
   /** Candidate count after bound pruning at threshold r — exposed for tests
     * and for explain-level visibility of pruning power. */

@@ -78,6 +78,12 @@ object PipelineExtras {
       (s, dir) => Sketches.annCosineKnn(s, dir)
     },
 
+    // Batch form of p9: top-10 per query for a 5-query set in one job,
+    // probe selection fully relational against the shared IVF index.
+    DeclaredQuery.noOracle("p11_ann_ivf_batch") {
+      (s, dir) => Sketches.annIvfKnnBatch(s, dir, Seq(0L, 1L, 2L, 3L, 4L))
+    },
+
     DeclaredQuery.noOracle("p9_ann_ivf_knn") {
       (s, dir) => Sketches.annIvfKnn(s, dir)
     },

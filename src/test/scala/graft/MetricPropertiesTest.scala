@@ -109,6 +109,19 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("bounded frechet: exact at/below the bound, a certificate above it") {
+    cases.foreach { case ((xa, ya), (xb, yb)) =>
+      val exact = Metrics.discreteFrechet(xa, ya, xb, yb)
+      assert(Metrics.frechetBounded(xa, ya, xb, yb, exact + 1.0) == exact)
+      for (bound <- Seq(exact * 0.25, exact * 0.75, exact)) {
+        val v = Metrics.frechetBounded(xa, ya, xb, yb, bound)
+        assert(v <= exact + 1e-12)
+        if (v <= bound) assert(v == exact, s"v=$v bound=$bound exact=$exact")
+        else assert(exact > bound)
+      }
+    }
+  }
+
   test("hausdorff equals brute-force max-of-min (no early-break effect)") {
     cases.take(60).foreach { case ((xa, ya), (xb, yb)) =>
       def brute(x1: Array[Double], y1: Array[Double], x2: Array[Double], y2: Array[Double]) =

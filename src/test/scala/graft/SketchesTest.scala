@@ -48,6 +48,31 @@ class SketchesTest extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("batch IVF knn: singleton batch equals single-query IVF; per-query recall holds") {
+    val single = Sketches.annIvfKnn(spark, TestSpark.sf0001, 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batchOne = Sketches.annIvfKnnBatch(spark, TestSpark.sf0001, Seq(0L))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batchOne == single, "relational probe selection must match driver-side selection")
+
+    // multi-query: every query's ANN set overlaps its exact brute-force set
+    val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val batch = Sketches.annIvfKnnBatch(spark, TestSpark.sf0001, Seq(0L, 1L, 2L))
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val qEmb = em.filter($"vec_id" === qid).select($"embedding").head().getSeq[Float](0)
+      val exact = em.filter($"vec_id" =!= qid)
+        .select($"vec_id",
+          (graft.operators.VectorOps.dot($"embedding", typedLit(qEmb)) /
+            (sqrt(graft.operators.VectorOps.norm2Col("embedding")) *
+              sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum)))).as("cs"))
+        .orderBy($"cs".desc, $"vec_id").limit(10)
+        .select($"vec_id").as[Long].collect().toSet
+      val recall = exact.count(batch(qid).contains).toDouble / exact.size
+      assert(recall >= 0.7, s"query $qid recall $recall")
+    }
+  }
+
   test("ann LSH knn recall >= 0.7 of exact brute-force top-10") {
     val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
       .select($"vec_id").as[Long].collect().toSet
