@@ -15,9 +15,12 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.table(spark, sfDir, n).schema)
     Tables.cacheHot(spark, sfDir)
-    // This box shows intermittent 2-3x slowdown spikes (BASELINE.md noise
-    // note), so every query runs 3x and the reported number is the MEDIAN
-    // (min also emitted). A query that throws is reported as -1 and listed
+    // This box shows intermittent multi-second slowdown phases (BASELINE.md
+    // noise note), so every query runs 3x and the reported number is the
+    // MEDIAN (min also emitted). The 3 samples come from 3 ROUND-ROBIN
+    // passes over the whole suite — back-to-back samples of one query would
+    // all land inside the same noise phase; a full pass between samples
+    // decorrelates them. A query that throws is reported as -1 and listed
     // under "failed" — never silently counted as a timing.
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -27,8 +30,10 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val runsPer = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to runsPer).map(_ => once(fn))
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to runsPer).map(_ => ordered.map { case (name, fn) => name -> once(fn) }.toMap)
+    val results = ordered.map { case (name, _) =>
+      val runs = passes.map(_(name))
       if (runs.exists(!_._2)) (name, -1.0, -1.0)
       else {
         val ts = runs.map(_._1).sorted
