@@ -86,13 +86,18 @@ object TextPipeline {
       (s, dir) =>
         // frequency-based language ID: score(doc, cand) = Σ_tok corpus
         // frequency of tok in cand; prediction = argmax (integer scores,
-        // lexicographic tie-break) — a deterministic n-gram-style classifier
+        // lexicographic tie-break) — a deterministic n-gram-style classifier.
+        // Occurrences pre-aggregate to (doc, tok, occ) BELOW the freq join
+        // (score = Σ occ·cnt, exact integers), so the join and the score
+        // shuffle move distinct doc-token pairs, not raw occurrences.
         val toks = Tables.docTokens(s, dir)
         val freq = toks.groupBy(col("tok").as("ftok"), col("lang").as("cand"))
           .agg(count(lit(1)).as("cnt"))
-        val scores = toks.join(freq, col("tok") === col("ftok"))
+        val docTok = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
+          .agg(count(lit(1)).as("occ"))
+        val scores = docTok.join(freq, col("tok") === col("ftok"))
           .groupBy(col("doc_id"), col("lang"), col("cand"))
-          .agg(sum(col("cnt")).as("score"))
+          .agg(sum(col("occ") * col("cnt")).as("score"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
         scores
           .withColumn("rn", row_number().over(w))
