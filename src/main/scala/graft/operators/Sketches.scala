@@ -270,15 +270,16 @@ object Sketches {
       .filter(col("prn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("list_id"))
 
-    val wOut = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    index.assigned.join(broadcast(probes), "list_id")
+    val cands = index.assigned.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(expr("graft_dot(embedding, q_emb)") /
           (sqrt(VectorOps.norm2Col("embedding")) * sqrt(expr("graft_dot(q_emb, q_emb)"))), 6)
           .as("cos_sim"))
-      .withColumn("rk", row_number().over(wOut))
-      .filter(col("rk") <= k)
+    // per-query candidates are an nprobe/nlist fraction of the table — still
+    // unbounded at scale, so the final pick is the two-stage top-k
+    Rank.topKPerGroup(cands, Seq(col("q_id")),
+        Seq(col("cos_sim").desc, col("vec_id")), k, bucketKey = col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("cos_sim"))
       .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
   }

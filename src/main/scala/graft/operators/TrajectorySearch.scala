@@ -146,18 +146,18 @@ object TrajectorySearch {
     */
   def topKBatch(ta0: DataFrame, queryUsers: Seq[Long], k: Int,
                 metric: String = "hausdorff"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ta = ensureBoxes(ta0)
     val fn = metricCol(metric, ta.sparkSession)
     val q = ta.filter(col("user_id").isInCollection(queryUsers))
       .select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
-    val w = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
-    ta.select(col("user_id"), col("xs"), col("ys"))
+    val dists = ta.select(col("user_id"), col("xs"), col("ys"))
       .join(broadcast(q), col("user_id") =!= col("q_user"))
       .select(col("q_user"), col("user_id"),
         round(fn(col("xs"), col("ys"), col("qxs"), col("qys")), 6).as("dist"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // two-stage top-k: a query's candidate set is the whole table — never
+    // pull it through one reducer (Rank.topKPerGroup)
+    Rank.topKPerGroup(dists, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k,
+        bucketKey = col("user_id"))
       .select(col("q_user"), col("user_id"), col("dist"))
       .orderBy(col("q_user"), col("dist"), col("user_id"))
   }
@@ -194,9 +194,11 @@ object TrajectorySearch {
       .join(broadcast(qSlim), col("user_id") =!= col("q_user"))
       .select(col("q_user"), col("user_id"), slicedBoxLb("boxes", "qboxes").as("lb"))
 
-    val wLb = Window.partitionBy(col("q_user")).orderBy(col("lb"), col("user_id"))
-    val seeds = lbs.withColumn("lrn", row_number().over(wLb))
-      .filter(col("lrn") <= seedFactor * k)
+    // two-stage seed selection — the pre-pruning candidate set per query is
+    // the whole table, so the best-bound pick must not be a single-reducer
+    // window (Rank.topKPerGroup)
+    val seeds = Rank.topKPerGroup(lbs, Seq(col("q_user")),
+        Seq(col("lb"), col("user_id")), seedFactor * k, bucketKey = col("user_id"))
       .select(col("q_user"), col("user_id"))
 
     // per-query threshold r_q = k-th smallest exact seed distance (or the
@@ -211,13 +213,14 @@ object TrajectorySearch {
 
     val refine = round(boundedMetricCol(metric, ta.sparkSession)(
       col("xs"), col("ys"), col("qxs"), col("qys"), col("r") + 1e-5), 6)
-    val wOut = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
-    lbs.join(broadcast(rq), "q_user")
+    val refined = lbs.join(broadcast(rq), "q_user")
       .filter(col("lb") <= col("r") + 1e-6)
       .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
       .select(col("q_user"), col("user_id"), refine.as("dist"))
-      .withColumn("rk", row_number().over(wOut))
-      .filter(col("rk") <= k)
+    // survivors per query are bound-pruned but can still be large at scale —
+    // final top-k is the same two-stage selection
+    Rank.topKPerGroup(refined, Seq(col("q_user")),
+        Seq(col("dist"), col("user_id")), k, bucketKey = col("user_id"))
       .select(col("q_user"), col("user_id"), col("dist"))
       .orderBy(col("q_user"), col("dist"), col("user_id"))
   }

@@ -132,6 +132,26 @@ class OperatorsTest extends AnyFunSuite {
     }
   }
 
+  test("two-stage per-group top-k equals the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(21)
+    val df = (0 until 5000).map(_ =>
+      (rnd.nextInt(7).toLong, rnd.nextLong(), rnd.nextInt(100)))
+      .toDF("g", "id", "v")
+    for (k <- Seq(1, 5, 40)) {
+      val twoStage = graft.operators.Rank.topKPerGroup(
+        df, Seq($"g"), Seq($"v", $"id"), k, bucketKey = $"id", buckets = 4)
+        .select($"g", $"id", $"v").orderBy($"g", $"v", $"id")
+        .collect().map(_.toString).toSeq
+      val single = df
+        .withColumn("rk", row_number().over(Window.partitionBy($"g").orderBy($"v", $"id")))
+        .filter($"rk" <= k)
+        .select($"g", $"id", $"v").orderBy($"g", $"v", $"id")
+        .collect().map(_.toString).toSeq
+      assert(twoStage == single, s"k=$k")
+    }
+  }
+
   test("salted join equals unsalted join") {
     val li = Tables.table(spark, TestSpark.sf0001, "lineitem")
       .select($"l_orderkey", $"l_quantity")
