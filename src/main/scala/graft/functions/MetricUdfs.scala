@@ -16,6 +16,10 @@ object MetricUdfs {
     udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
       Metrics.discreteFrechet(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
     }
+  val dtw: UserDefinedFunction =
+    udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
+      Metrics.dtw(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
+    }
   /** Early-abandoning Hausdorff (exact below the bound — see
     * Metrics.hausdorffBounded). */
   val hausdorffBounded: UserDefinedFunction =

@@ -162,6 +162,55 @@ object Metrics {
     math.sqrt(row(m - 1))
   }
 
+  /** Dynamic Time Warping distance (classic O(n·m) DP, rolling O(m) space):
+    * `c(i,j) = d(aᵢ,bⱼ) + min(c(i−1,j), c(i,j−1), c(i−1,j−1))` with
+    * EUCLIDEAN step cost (sqrt per cell — sums don't commute with sqrt, so
+    * no squared-space trick here). Completes the trajectory metric family
+    * next to max-based Hausdorff/Fréchet: DTW penalizes total deviation,
+    * not worst-case deviation. */
+  def dtw(xa: Array[Double], ya: Array[Double],
+          xb: Array[Double], yb: Array[Double]): Double = {
+    val n = xa.length
+    val m = xb.length
+    if (n == 0 || m == 0) return Double.NaN
+    val row = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val d = math.sqrt(d2(xa(0), ya(0), xb(j), yb(j)))
+      row(j) = if (j == 0) d else row(j - 1) + d
+      j += 1
+    }
+    var i = 1
+    while (i < n) {
+      var diag = row(0)
+      row(0) = row(0) + math.sqrt(d2(xa(i), ya(i), xb(0), yb(0)))
+      j = 1
+      while (j < m) {
+        val up = row(j)
+        row(j) = math.sqrt(d2(xa(i), ya(i), xb(j), yb(j))) +
+          math.min(math.min(up, row(j - 1)), diag)
+        diag = up
+        j += 1
+      }
+      i += 1
+    }
+    row(m - 1)
+  }
+
+  /** Naive memoized-recursion DTW — property-test oracle for the DP. */
+  def dtwNaive(xa: Array[Double], ya: Array[Double],
+               xb: Array[Double], yb: Array[Double]): Double = {
+    val memo = collection.mutable.HashMap.empty[(Int, Int), Double]
+    def c(i: Int, j: Int): Double = memo.getOrElseUpdate((i, j), {
+      val d = math.sqrt(d2(xa(i), ya(i), xb(j), yb(j)))
+      if (i == 0 && j == 0) d
+      else if (i == 0) c(0, j - 1) + d
+      else if (j == 0) c(i - 1, 0) + d
+      else d + math.min(math.min(c(i - 1, j), c(i, j - 1)), c(i - 1, j - 1))
+    })
+    c(xa.length - 1, xb.length - 1)
+  }
+
   /** Point→segment distance (reference O2): distance from p to the closest
     * point of segment [a,b] via projection clamp. */
   def pointSegDist(px: Double, py: Double, ax: Double, ay: Double,

@@ -163,6 +163,21 @@ object Trajectories {
         Tables.trajArrays(s, dir, "purchase"), 0L, 10, "frechet")
     },
 
+    // DTW completes the metric family (sum-of-deviation vs the max-based
+    // Hausdorff/Fréchet). DP is not SQL-expressible — oracle-exempt like
+    // t3; DP ≡ naive recursion property-tested in MetricPropertiesTest.
+    DeclaredQuery.noOracle("t10_dtw_pairs") {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase").filter(col("user_id") <= 20)
+        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            round(graft.functions.MetricUdfs.dtw(
+              col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("dtw"))
+          .orderBy(col("u1"), col("u2"))
+    },
+
     // Batch form of O15: the reference workload is query SETS, not single
     // queries — top-10 per query for queries {0..4}, one job.
     DeclaredQuery("t9_topk_batch",

@@ -109,6 +109,18 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("dtw: DP equals naive recursion; identity/symmetry; >= hausdorff never claimed") {
+    cases.foreach { case ((xa, ya), (xb, yb)) =>
+      val dp = Metrics.dtw(xa, ya, xb, yb)
+      assert(math.abs(dp - Metrics.dtwNaive(xa, ya, xb, yb)) < 1e-9)
+      assert(Metrics.dtw(xa, ya, xa, ya) == 0.0)
+      assert(Metrics.dtw(xa, ya, xb, yb) == Metrics.dtw(xb, yb, xa, ya))
+      // DTW sums step costs, so it dominates the single worst aligned step:
+      // dtw >= discrete frechet always holds on the same coupling structure
+      assert(dp >= Metrics.discreteFrechet(xa, ya, xb, yb) - 1e-9)
+    }
+  }
+
   test("bounded frechet: exact at/below the bound, a certificate above it") {
     cases.foreach { case ((xa, ya), (xb, yb)) =>
       val exact = Metrics.discreteFrechet(xa, ya, xb, yb)
