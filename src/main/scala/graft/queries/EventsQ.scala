@@ -88,6 +88,35 @@ object EventsQ {
               .as("n_user_type"))
     },
 
+    // Stream-stream join surface (batch form): purchases matched to error
+    // events of the SAME user within the preceding hour — the canonical
+    // watermarked interval join. The streaming twin joins two watermarked
+    // streams on (user, time-range) and is equivalence-tested by replay.
+    DeclaredQuery("e6_stream_stream_join",
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_us FROM events
+        |      WHERE event_type = 'error')
+        |SELECT p.user_id, COUNT(*) AS n_pairs,
+        |       COUNT(DISTINCT p.event_id) AS n_purchases_with_err
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e.err_us <= p.ts_us AND e.err_us > p.ts_us - 3600000000
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+            col("ts_us").as("err_us"))
+        p.join(e, col("user_id") === col("e_user") &&
+            col("err_us") <= col("ts_us") && col("err_us") > col("ts_us") - 3600000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("event_id")).as("n_purchases_with_err"))
+          .orderBy(col("user_id"))
+    },
+
     // Stream-static enrichment join surface: events keyed to the customer
     // dimension (user_id ⊆ c_custkey in the fixture). The streaming twin
     // broadcast-joins the static dim per micro-batch

@@ -90,6 +90,28 @@ object StreamingQueries {
       .select(col("c_mktsegment"), col("event_type"), col("n"),
         (col("value_cents").cast("double") / lit(100.0)).as("sum_value"))
 
+  /** e6 counterpart: STREAM-STREAM interval join — purchases matched to
+    * error events of the same user within the preceding hour. Both sides
+    * are watermarked so the join state is bounded: a buffered error row can
+    * be dropped once the purchase watermark passes its time + 1 h. Emits
+    * the matched PAIRS (append mode); the equivalence test aggregates both
+    * forms identically. */
+  def streamStreamErrors(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ev_time", "2 hours")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ev_time"))
+    val e = errors.filter(col("event_type") === "error")
+      .withWatermark("ev_time", "2 hours")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts_us").as("err_us"), col("ev_time").as("err_time"))
+    p.join(e,
+      col("user_id") === col("e_user") &&
+        col("err_time") <= col("ev_time") &&
+        col("err_time") >= col("ev_time") - expr("INTERVAL 1 HOUR") &&
+        col("err_us") <= col("ts_us") && col("err_us") > col("ts_us") - 3600000000L)
+      .select(col("user_id"), col("event_id"), col("err_id"))
+  }
+
   /** One emitted session: (user_id, session start µs, event count, duration µs). */
   final case class Session(user_id: Long, start_us: Long, n_ev: Long, dur_us: Long)
   /** Open-session state carried between micro-batches. */

@@ -61,6 +61,20 @@ class DistanceJoinRuleTest extends AnyFunSuite {
     }
   }
 
+  test("GeoWithinKernel rounding matches Spark's round(x, 6) exactly") {
+    GraftRules.install(spark)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 2000).map(_ =>
+      (rnd.nextDouble() * 50, rnd.nextDouble() * 50,
+        rnd.nextDouble() * 50, rnd.nextDouble() * 50, rnd.nextDouble() * 30))
+    val df = rows.toDF("x1", "y1", "x2", "y2", "eps")
+    val out = df.select(
+      expr("graft_within(x1, y1, x2, y2, eps)").as("k"),
+      (round(sqrt(($"x1" - $"x2") * ($"x1" - $"x2") + ($"y1" - $"y2") * ($"y1" - $"y2")), 6) <= $"eps").as("s"))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
   test("rule leaves non-spatial joins and already-keyed joins untouched") {
     GraftRules.install(spark)
     val pts = mkPoints(50, 13)

@@ -182,6 +182,24 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("e6 stream-stream interval join == batch (append mode, bounded state)") {
+    val joined = StreamingQueries.streamStreamErrors(
+      StreamingQueries.eventsStream(spark, replayDir),
+      StreamingQueries.eventsStream(spark, replayDir))
+    val q = joined.writeStream.format("memory").queryName("s_e6")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_e6")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"event_id").as("n_purchases_with_err"))
+      .orderBy($"user_id").collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("e6_stream_stream_join")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("e4 streaming dedup == batch distinct count") {
     val got = runComplete(
       StreamingQueries.dedupCount(StreamingQueries.eventsStream(spark, replayDir)), "s_e4")
