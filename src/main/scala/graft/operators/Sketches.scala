@@ -96,14 +96,31 @@ object Sketches {
   }
 
   // k=16, bands=8 (2 rows/band): P(candidate | J=0.6) = 1-(1-0.36)^8 ≈ 0.97
-  def minhashCandidates(s: SparkSession, dir: String, k: Int = 16, bands: Int = 8): DataFrame = {
+  //
+  // `maxBucketSize` is the production hot-bucket guard: an LSH bucket with B
+  // members contributes B² candidate pairs, and on duplicate-heavy corpora
+  // (the norm at web scale) a few degenerate buckets can dominate the whole
+  // join. Buckets above the cap are DROPPED from candidate generation —
+  // their members are either near-identical clusters (caught upstream by
+  // exact dedup d1/d3) or ubiquitous-shingle noise. The declared p6 keeps
+  // the uncapped default so its output is a deterministic contract.
+  def minhashCandidates(s: SparkSession, dir: String, k: Int = 16, bands: Int = 8,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = k / bands
     val sig = Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         minhashUdf(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))"), lit(k)).as("sig"))
-    val banded = sig.select(col("doc_id"), col("lang"),
+    val banded0 = sig.select(col("doc_id"), col("lang"),
       explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
       .withColumn("bkey", expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)"))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wB = Window.partitionBy(col("band"), col("bkey"), col("lang"))
+        banded0.withColumn("_bn", count(lit(1)).over(wB))
+          .filter(col("_bn") <= maxBucketSize).drop("_bn")
+      }
     val a = banded.select(col("band"), col("bkey"), col("lang"), col("doc_id").as("d1"))
     val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
       col("lang").as("lang_b"), col("doc_id").as("d2"))

@@ -68,6 +68,24 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!lbPlan.contains("xs1") && !lbPlan.contains("ys1"), lbPlan)
   }
 
+  test("r13: correlated-aggregate filter plans as one window, no self-join") {
+    val p = plan("r13_above_cust_avg")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "window form must not self-join\n" + p)
+  }
+
+  test("e6: stream-stream batch form keys the interval join on user (no BNLJ)") {
+    val p = plan("e6_stream_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s5: grouping sets lower to a single Expand, not a union of scans") {
+    val p = plan("s5_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("d3: mask-path near-dup join has no token-level shuffle join") {
     val p = plan("d3_jaccard_pairs")
     // the pair join keys on lang with mask residual — a hash/sort-merge join;

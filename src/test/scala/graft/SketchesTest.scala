@@ -48,6 +48,17 @@ class SketchesTest extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("minhash hot-bucket cap: generous cap changes nothing; tight cap only removes pairs") {
+    val uncapped = Sketches.minhashCandidates(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSet
+    val generous = Sketches.minhashCandidates(spark, TestSpark.sf0001, maxBucketSize = 100000)
+      .collect().map(_.toString).toSet
+    assert(generous == uncapped)
+    val tight = Sketches.minhashCandidates(spark, TestSpark.sf0001, maxBucketSize = 3)
+      .collect().map(_.toString).toSet
+    assert(tight.subsetOf(uncapped), "cap may only drop candidates, never invent them")
+  }
+
   test("batch IVF knn: singleton batch equals single-query IVF; per-query recall holds") {
     val single = Sketches.annIvfKnn(spark, TestSpark.sf0001, 0L)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
