@@ -118,6 +118,11 @@ class OperatorsTest extends AnyFunSuite {
         .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
       assert(masked == inverted, s"threshold $num/$den")
       if (num == 3 && den == 5) assert(inverted.nonEmpty, "planted dups must qualify")
+      // the huge-vocab route (prefix-filtered PPJoin) must agree on the
+      // same >64-token corpus, not just on the tiny-vocab fixture
+      val prefixed = DocSimilarity.prefixFilteredPairs(toks, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      assert(prefixed == inverted, s"prefix threshold $num/$den")
     }
   }
 
