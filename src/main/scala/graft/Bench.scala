@@ -30,7 +30,11 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val runsPer = 3
+    // optional args: restrict to the named queries (local iteration aid —
+    // the driver always runs the full set)
+    val only = args.toSet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
     val passes = (1 to runsPer).map(_ => ordered.map { case (name, fn) => name -> once(fn) }.toMap)
     val results = ordered.map { case (name, _) =>
       val runs = passes.map(_(name))

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference O8 — STR (Sort-Tile-Recursive) spatial partitioning — carried
+  * into the dataflow engine as a PRE-FILTER on the all-pairs trajectory
+  * search (the layer SCALE.md promises for the 10⁸-trajectory case).
+  *
+  * The reference bulk-loads an STR-partitioned R-tree and prunes whole
+  * partitions whose boxes are provably beyond the running top-k threshold.
+  * The Spark-first analog has no driver-resident tree: tile boundaries come
+  * from DISTRIBUTED approximate quantiles of trajectory centroids
+  * (`approxQuantile` / `percentile_approx` — the same bounded-sketch sampling
+  * STR bulk-loading does), each trajectory gets a tile id, and the pair
+  * ENUMERATION becomes an equi-join on surviving tile pairs instead of a
+  * quadratic scan. Driver state is nx·ny tile summaries — bounded scalars.
+  *
+  * Exactness of the tile-level prune: tile summaries carry the UNION of the
+  * member trajectories' whole MBRs, so for any pair (A ∈ tile i, B ∈ tile j)
+  *
+  *   metric(A,B) ≥ Hausdorff(A,B) ≥ min-point-dist(A,B)
+  *               ≥ boxdist(MBR(A), MBR(B)) ≥ boxdist(union_i, union_j)
+  *
+  * (a union box contains every member box, and growing boxes can only shrink
+  * their separation). A tile pair with union separation > r — the k-th exact
+  * distance of the seed pairs — therefore cannot contain a top-k pair and is
+  * never enumerated. Within surviving tile pairs the per-pair sliced-box
+  * bound (`graft_boxlb`) and the early-abandoning exact kernel run unchanged
+  * (TrajectorySearch.allPairsTopK's refine), so the result is exactly the
+  * unpruned top-k (asserted in StrPartitionTest at two SFs, and that tile
+  * pruning fires on spatially clustered data).
+  *
+  * On the bench fixture every user spans the same date range, so union boxes
+  * all overlap and no tile pair is pruned — the declared query t11 then
+  * degrades gracefully to the bound-then-refine scan with partitioned
+  * enumeration. The pruning power appears exactly when data is spatially
+  * clustered — the 10⁸-trajectory OSM/taxi case the reference targets.
+  */
+object StrPartition {
+
+  /** Centroid + whole-trajectory MBR per row (build-time, once per USER —
+    * never in a pair loop). */
+  private def withMbr(ta: DataFrame): DataFrame =
+    ta.withColumn("mnx", expr("array_min(xs)"))
+      .withColumn("mxx", expr("array_max(xs)"))
+      .withColumn("mny", expr("array_min(ys)"))
+      .withColumn("mxy", expr("array_max(ys)"))
+      .withColumn("cx", (col("mnx") + col("mxx")) / 2)
+      .withColumn("cy", (col("mny") + col("mxy")) / 2)
+
+  /** Fold a sorted cut array into a codegen-friendly bucket index:
+    * bucket = #cuts strictly below the value. */
+  private def bucketOf(v: Column, cuts: Seq[Double]): Column =
+    cuts.foldLeft(lit(0))((acc, c) => acc + when(v > lit(c), 1).otherwise(0))
+
+  /** Assign each trajectory an STR tile id in [0, nx·ny): nx x-slabs cut at
+    * distributed approximate quantiles of centroid-x, then ny y-cuts per
+    * slab at per-slab `percentile_approx` of centroid-y — the two sorted
+    * passes of STR bulk-loading, as two bounded-sketch aggregations. Driver
+    * state: (nx-1) + nx·(ny-1) doubles. Degenerate distributions simply
+    * yield duplicate cuts / empty tiles, which are harmless. */
+  def assignTiles(ta0: DataFrame, nx: Int, ny: Int): DataFrame = {
+    val ta = withMbr(ta0)
+    val xCuts: Seq[Double] =
+      if (nx <= 1) Seq.empty
+      else ta.stat.approxQuantile("cx", (1 until nx).map(_.toDouble / nx).toArray, 0.001).toSeq
+    val slabbed = ta.withColumn("slab", bucketOf(col("cx"), xCuts))
+    val yProbs = (1 until ny).map(_.toDouble / ny)
+    val yCutsBySlab: Map[Int, Seq[Double]] =
+      if (ny <= 1) Map.empty
+      else slabbed.groupBy(col("slab"))
+        .agg(percentile_approx(col("cy"), typedLit(yProbs), lit(10000)).as("cuts"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap
+    val yBucket = yCutsBySlab.foldLeft(lit(0)) { case (acc, (slab, cuts)) =>
+      when(col("slab") === slab, bucketOf(col("cy"), cuts)).otherwise(acc)
+    }
+    slabbed.withColumn("tile", col("slab") * ny + yBucket)
+      .drop("slab", "cx", "cy")
+  }
+
+  /** Separation distance between two boxes (driver-side tile arithmetic). */
+  private def boxDist(a: (Double, Double, Double, Double),
+                      b: (Double, Double, Double, Double)): Double = {
+    val dx = math.max(0.0, math.max(a._1 - b._2, b._1 - a._2))
+    val dy = math.max(0.0, math.max(a._3 - b._4, b._3 - a._4))
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  /** Tiled pair scan state: the slim checkpointed tile frame, the seed
+    * threshold r, and the surviving ORDERED tile pairs (diagonal once, each
+    * surviving off-diagonal pair in both orders so `u1 < u2` enumerates every
+    * cross pair exactly once). `None` when the data is too small to seed k
+    * pairs from within tiles — callers fall back to the unpartitioned scan. */
+  private case class TiledScan(taT: DataFrame, r: Double, tilePairs: Seq[(Int, Int)])
+
+  private def prepareScan(ta0: DataFrame, k: Int, metric: String,
+                          nx: Int, ny: Int, seedFactor: Int): Option[TiledScan] = {
+    val s = ta0.sparkSession
+    graft.functions.SlicedBoxLb.register(s)
+    val ta = TrajectorySearch.ensureBoxes(ta0)
+    // slim per-trajectory frame: id, tile, slice boxes, whole MBR — the fat
+    // coordinate arrays never enter the pair scan (round-2 BNLJ lesson)
+    val taT = assignTiles(ta, nx, ny)
+      .select(col("user_id"), col("tile"), col("boxes"),
+        col("mnx"), col("mxx"), col("mny"), col("mxy"))
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      .localCheckpoint()
+
+    // bounded tile summaries: union MBR + member count per tile
+    val tiles = taT.groupBy(col("tile"))
+      .agg(min(col("mnx")).as("mnx"), max(col("mxx")).as("mxx"),
+        min(col("mny")).as("mny"), max(col("mxy")).as("mxy"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0),
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)), r.getLong(5)))
+    val withinPairs = tiles.map { case (_, _, n) => n * (n - 1) / 2 }.sum
+    if (withinPairs < k) return None // tiny data: seed cannot fill k
+
+    // SEED from within-tile pairs (spatial neighbors → tight r): best-bound
+    // seedFactor·k pairs get the exact kernel; k-th exact distance = r
+    val a = taT.select(col("user_id").as("u1"), col("tile").as("t1"), col("boxes").as("boxes1"))
+    val b = taT.select(col("user_id").as("u2"), col("tile").as("t2"), col("boxes").as("boxes2"))
+    val fn = TrajectorySearch.metricCol(metric, s)
+    val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+    val fat2 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+    val exact = round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6)
+    // stream a across all cores, broadcast the slim b side: a 16-key
+    // shuffle join would serialize the scan onto ≤ nx·ny tasks
+    val seeds = a.join(broadcast(b), col("t1") === col("t2") && col("u1") < col("u2"))
+      .select(col("u1"), col("u2"),
+        TrajectorySearch.slicedBoxLb("boxes1", "boxes2").as("lb"))
+      .orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k)
+      .join(broadcast(fat1), "u1").join(broadcast(fat2), "u2")
+      .select(exact.as("d"))
+      .orderBy(col("d")).limit(k)
+      .collect()
+    if (seeds.length < k) return None
+    val r = seeds.last.getDouble(0)
+
+    // tile-level prune (driver arithmetic over ≤ nx·ny summaries)
+    val ids = tiles.map(_._1)
+    val boxOf = tiles.map(t => t._1 -> t._2).toMap
+    val tilePairs = (for {
+      i <- ids; j <- ids
+      if i < j && boxDist(boxOf(i), boxOf(j)) <= r + 1e-6
+      p <- Seq((i, j), (j, i))
+    } yield p) ++ ids.map(i => (i, i))
+    Some(TiledScan(taT, r, tilePairs.toSeq))
+  }
+
+  /** Candidate pairs (u1, u2, lb) enumerated via the tile-pair equi-join —
+    * the quadratic scan replaced by `Σ |tile_i|·|tile_j|` over surviving tile
+    * pairs. Exposed for the plan-shape and pruning tests. */
+  private def candidates(scan: TiledScan): DataFrame = {
+    val s = scan.taT.sparkSession
+    import s.implicits._
+    val tp = broadcast(scan.tilePairs.toDF("ti", "tj"))
+    val a = scan.taT.select(col("user_id").as("u1"), col("tile").as("t1"),
+      col("boxes").as("boxes1"))
+    val b = scan.taT.select(col("user_id").as("u2"), col("tile").as("t2"),
+      col("boxes").as("boxes2"))
+    // equi-joins on tile id, but keyed JOINS must not key the PARTITIONING:
+    // the streamed a side stays partitioned by user (all cores busy) while
+    // the tile-pair list and the slim b side broadcast — at cluster scale
+    // with a fat b side this becomes a shuffle join on (tile pair) salts;
+    // the enumeration bound Σ|tile_i|·|tile_j| is the same either way
+    a.join(tp, col("t1") === col("ti"))
+      .join(broadcast(b), col("t2") === col("tj") && col("u1") < col("u2"))
+      .select(col("u1"), col("u2"),
+        TrajectorySearch.slicedBoxLb("boxes1", "boxes2").as("lb"))
+  }
+
+  /** STR-partitioned all-pairs top-k — identical results to
+    * [[TrajectorySearch.allPairsTopK]] (asserted at two SFs), with the pair
+    * enumeration bounded by surviving tile pairs instead of n²/2. Falls back
+    * to the unpartitioned scan when the data is too small to seed. */
+  def allPairsTopKStr(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+                      nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): DataFrame =
+    prepareScan(ta0, k, metric, nx, ny, seedFactor) match {
+      case None => TrajectorySearch.allPairsTopK(ta0, k, metric, seedFactor)
+      case Some(scan) =>
+        val s = ta0.sparkSession
+        val ta = TrajectorySearch.ensureBoxes(ta0)
+        val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+        val fat2 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+        val refine = round(TrajectorySearch.boundedMetricCol(metric, s)(
+          col("xs1"), col("ys1"), col("xs2"), col("ys2"), lit(scan.r + 1e-5)), 6)
+        candidates(scan)
+          .filter(col("lb") <= scan.r + 1e-6)
+          .select(col("u1"), col("u2"))
+          .join(broadcast(fat1), "u1").join(broadcast(fat2), "u2")
+          .select(col("u1"), col("u2"), refine.as(metric))
+          .orderBy(col(metric), col("u1"), col("u2"))
+          .limit(k)
+    }
+
+  /** (enumerated candidate pairs, total pairs) for the same plan — lets
+    * tests assert that tile pruning actually fires on clustered data. */
+  def candidateStats(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+                     nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): (Long, Long) = {
+    val n = ta0.count()
+    val total = n * (n - 1) / 2
+    prepareScan(ta0, k, metric, nx, ny, seedFactor) match {
+      case None => (total, total)
+      case Some(scan) => (candidates(scan).count(), total)
+    }
+  }
+
+  /** The candidate-enumeration frame for plan-shape assertions (equi-join on
+    * tile ids — never a cartesian/nested-loop product). */
+  def candidateFrame(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+                     nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): Option[DataFrame] =
+    prepareScan(ta0, k, metric, nx, ny, seedFactor).map(candidates)
+}

@@ -41,7 +41,7 @@ object TrajectorySearch {
     * call (bulk array copy, no per-element boxing — the bounded kernel with
     * an unreachable bound computes the identical max-of-both-directions
     * value); Fréchet keeps its DP UDF. */
-  private def metricCol(metric: String, s: SparkSession):
+  private[operators] def metricCol(metric: String, s: SparkSession):
       (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
        org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
     metric match {
@@ -232,7 +232,7 @@ object TrajectorySearch {
 
   /** Frames built by Tables.trajArrays carry `boxes`; synthetic xs/ys
     * frames get them derived on the fly. */
-  private def ensureBoxes(ta: DataFrame): DataFrame =
+  private[operators] def ensureBoxes(ta: DataFrame): DataFrame =
     if (ta.columns.contains("boxes")) ta else graft.Tables.withSliceBoxes(ta)
 
   /** Sliced-box lower bound of every candidate against ONE query user:
@@ -287,7 +287,7 @@ object TrajectorySearch {
 
   /** Early-abandoning metric kernels (exact at/below the bound, certificate
     * above it) as codegen static calls. */
-  private def boundedMetricCol(metric: String, s: SparkSession):
+  private[operators] def boundedMetricCol(metric: String, s: SparkSession):
       (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
        org.apache.spark.sql.Column) => org.apache.spark.sql.Column =

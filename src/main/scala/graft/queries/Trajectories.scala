@@ -178,6 +178,30 @@ object Trajectories {
           .orderBy(col("u1"), col("u2"))
     },
 
+    // Reference O8 (STR partitioner) as a tile-level pre-filter on the
+    // all-pairs search: same answer as t2 (same oracle), but the pair
+    // enumeration is an equi-join on surviving STR tile pairs — the scan
+    // shape that survives 10⁸ spatially clustered trajectories. On this
+    // fixture all tile union-MBRs overlap (every user spans the same date
+    // range) so no tile pair is pruned; StrPartitionTest shows the prune
+    // firing on clustered data.
+    DeclaredQuery("t11_str_topk_pairs",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |d AS (SELECT a.user_id u1, b.user_id u2, a.event_id ea, b.event_id eb,
+         |             SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist
+         |      FROM pts a JOIN pts b ON a.user_id < b.user_id),
+         |hab AS (SELECT u1,u2, MAX(md) AS h FROM
+         |        (SELECT u1,u2,ea, MIN(dist) AS md FROM d GROUP BY u1,u2,ea) q1 GROUP BY u1,u2),
+         |hba AS (SELECT u1,u2, MAX(md) AS h FROM
+         |        (SELECT u1,u2,eb, MIN(dist) AS md FROM d GROUP BY u1,u2,eb) q2 GROUP BY u1,u2)
+         |SELECT hab.u1, hab.u2, ROUND(GREATEST(hab.h, hba.h),6) AS hausdorff
+         |FROM hab JOIN hba ON hab.u1=hba.u1 AND hab.u2=hba.u2
+         |ORDER BY ROUND(GREATEST(hab.h, hba.h),6) ASC, hab.u1, hab.u2 LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        graft.operators.StrPartition.allPairsTopKStr(
+          Tables.trajArrays(s, dir, "purchase"), 20, "hausdorff")
+    },
+
     // Batch form of O15: the reference workload is query SETS, not single
     // queries — top-10 per query for queries {0..4}, one job.
     DeclaredQuery("t9_topk_batch",

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{StrPartition, TrajectorySearch}
+
+/** STR tile pre-filter (reference O8 as a dataflow pre-filter): exact
+  * equality with the unpartitioned bound-then-refine scan, tile-level
+  * pruning power on clustered data, and the equi-join plan shape. */
+class StrPartitionTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("STR all-pairs top-k equals the unpartitioned scan at two SFs") {
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val ta = Tables.trajArrays(spark, dir)
+      val base = TrajectorySearch.allPairsTopK(ta, 20, "hausdorff")
+        .collect().map(_.toString).toSeq
+      val str = StrPartition.allPairsTopKStr(ta, 20, "hausdorff")
+        .collect().map(_.toString).toSeq
+      assert(str == base, dir)
+    }
+  }
+
+  /** Three clusters ~500 apart: within-cluster top-k distances are ≤ ~3, so
+    * every cross-cluster tile pair must be pruned at the tile level. */
+  private def clusteredTa = {
+    val rnd = new scala.util.Random(7)
+    def traj(cx: Double, cy: Double): (Seq[Double], Seq[Double]) = {
+      val n = 5 + rnd.nextInt(10)
+      (Seq.fill(n)(cx + rnd.nextDouble()), Seq.fill(n)(cy + rnd.nextDouble()))
+    }
+    val centers = Seq((0.0, 0.0), (500.0, 0.0), (0.0, 500.0))
+    val rows = (0L until 60L).map { i =>
+      val (cx, cy) = centers((i % 3).toInt)
+      val (xs, ys) = traj(cx, cy)
+      (i, xs, ys)
+    }
+    rows.toDF("user_id", "xs", "ys")
+  }
+
+  test("tile pruning fires on clustered data and the result stays exact") {
+    val ta = clusteredTa
+    val base = TrajectorySearch.allPairsTopK(ta, 10, "hausdorff")
+      .collect().map(_.toString).toSeq
+    val str = StrPartition.allPairsTopKStr(ta, 10, "hausdorff")
+      .collect().map(_.toString).toSeq
+    assert(str == base)
+
+    val (enumerated, total) = StrPartition.candidateStats(ta, 10, "hausdorff")
+    // 60 users in 3 far-apart clusters: cross-cluster pairs (3·20·20=1200 of
+    // 1770) must never be enumerated once tiles separate the clusters
+    assert(enumerated < total / 2,
+      s"expected tile-level pruning to fire: $enumerated of $total pairs enumerated")
+    assert(enumerated >= 10, s"candidates must cover the answer: $enumerated")
+  }
+
+  test("candidate enumeration is an equi-join on tiles, never a nested loop") {
+    val ta = clusteredTa
+    val frame = StrPartition.candidateFrame(ta, 10, "hausdorff")
+    assert(frame.isDefined, "clustered fixture must not fall back")
+    val plan = frame.get.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("falls back to the unpartitioned scan when data is too small to seed") {
+    val tiny = Seq(
+      (0L, Seq(0.0, 1.0), Seq(0.0, 1.0)),
+      (1L, Seq(5.0, 6.0), Seq(5.0, 6.0)),
+      (2L, Seq(9.0, 10.0), Seq(9.0, 10.0))
+    ).toDF("user_id", "xs", "ys")
+    val base = TrajectorySearch.allPairsTopK(tiny, 10, "hausdorff")
+      .collect().map(_.toString).toSeq
+    val str = StrPartition.allPairsTopKStr(tiny, 10, "hausdorff")
+      .collect().map(_.toString).toSeq
+    assert(str == base)
+    assert(str.length == 3) // all 3 pairs, fewer than k
+  }
+}
