@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the grouping step of
+  * near-duplicate deduplication: near-dup PAIRS (from the Jaccard / MinHash
+  * / SimHash joins) become dedup GROUPS, each keeping one canonical document
+  * (the minimum id, so the choice is deterministic).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14 — published
+  * method). Each round rewires every vertex's neighbors to the minimum of
+  * its closed neighborhood:
+  *
+  *  - large-star: every neighbor LARGER than u links to min(Γ⁺(u)),
+  *  - small-star: every neighbor ≤ u, and u itself, link to min(Γ⁺(u)),
+  *
+  * implemented as one groupBy (per-vertex neighborhood min) plus one
+  * broadcast join (rewire) over the current edge set. Near-dup graphs are
+  * DENSE clusters, so the first large-star round collapses each clique to a
+  * star and the edge set shrinks from |pairs| to ~|docs| — later rounds are
+  * trivial. Convergence is provably O(log² n) rounds on ANY graph (no
+  * dependence on component diameter — a naive min-propagation loop pays
+  * O(diameter) full-edge passes, which an adversarial path kills), and the
+  * converged edge set IS the answer: a star per component rooted at its
+  * minimum id. Nothing driver-side except the per-round convergence counter.
+  */
+object Components {
+
+  /** One contraction round over canonical (u > v) edges: rewire either the
+    * larger-than-x neighbors (large-star) or the ≤-x neighbors plus x itself
+    * (small-star) to m(x) = min of x's closed neighborhood. */
+  private def round(ge: DataFrame, largeStar: Boolean): DataFrame = {
+    val sym = ge.select(col("u").as("x"), col("v").as("y"))
+      .union(ge.select(col("v").as("x"), col("u").as("y")))
+    val mins = sym.groupBy(col("x")).agg(least(col("x"), min(col("y"))).as("m"))
+    val out =
+      if (largeStar)
+        sym.filter(col("y") > col("x")).join(broadcast(mins), "x")
+          .select(col("y").as("u"), col("m").as("v"))
+      else {
+        val rew = sym.filter(col("y") < col("x")).join(broadcast(mins), "x")
+        rew.select(col("y").as("u"), col("m").as("v"))
+          .union(rew.select(col("x").as("u"), col("m").as("v")))
+      }
+    out.filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** (id, component) for every vertex appearing in `edges` (cols a, b);
+    * component = min vertex id reachable. `assumeCanonical` skips the
+    * canonicalization shuffle when the caller guarantees distinct edges with
+    * a < b (true for the similarity-join outputs). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          assumeCanonical: Boolean = false): DataFrame = {
+    // canonical undirected form: (u, v) with u > v, self-loops dropped
+    val canon =
+      if (assumeCanonical)
+        edges.select(col("b").as("u"), col("a").as("v"))
+      else
+        edges.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+    var ge = canon.localCheckpoint()
+    var iter = 0
+    var converged = false
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    while (!converged && iter < maxIter) {
+      val mid = round(ge, largeStar = true)
+        .localCheckpoint() // truncate lineage — the loop must not build a deep plan
+      val next = round(mid, largeStar = false).localCheckpoint()
+      // converged when NEITHER round changes the edge set (the published
+      // stopping condition — the graph is then a star per component). After
+      // the first large-star the edge set is ~|vertices| rows, so the
+      // symmetric-difference probes are cheap.
+      converged = iter > 0 && same(mid, ge) && same(next, mid)
+      ge = next
+      iter += 1
+    }
+    require(converged || iter < maxIter,
+      s"connectedComponents did not converge in $maxIter rounds")
+    // converged graph is a star per component rooted at the component min
+    ge.select(col("u").as("id"), col("v").as("comp"))
+      .union(ge.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
+  /** Dedup groups from near-dup pairs: (group_id = min doc id in component,
+    * n_docs). Singleton documents (no near-dup edge) are not groups. */
+  def dedupGroups(pairs: DataFrame, d1: String = "d1", d2: String = "d2"): DataFrame =
+    // similarity joins emit distinct pairs with d1 < d2 — already canonical
+    connectedComponents(pairs.select(col(d1).as("a"), col(d2).as("b")),
+        assumeCanonical = true)
+      .groupBy(col("comp").as("group_id"))
+      .agg(count(lit(1)).as("n_docs"))
+}

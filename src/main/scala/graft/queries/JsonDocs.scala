@@ -214,6 +214,62 @@ object JsonDocs {
             sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0)).cast("long").as("n_len_mismatch"),
             countDistinct(col("source")).as("n_sources"))
           .orderBy(col("lang"))
+    },
+
+    // Benchmark decontamination (word 3-gram overlap vs a benchmark doc set,
+    // here doc_id % 50 = 0): the Bloom-prefiltered broadcast join — the
+    // corpus side never shuffles; the Bloom layer is exact-safe (false
+    // positives die in the exact join, equivalence asserted in
+    // DecontaminateTest).
+    DeclaredQuery("d5_decontaminate",
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |              FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)-1),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |       FROM toks WHERE len(ts) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits
+        |FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) {
+      (s, dir) =>
+        val sh = graft.operators.Decontaminate.wordShingles(
+          Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 3)
+        graft.operators.Decontaminate.hitsBloom(
+            sh.filter(col("doc_id") % 50 =!= 0),
+            sh.filter(col("doc_id") % 50 === 0))
+          .orderBy(col("doc_id"))
+    },
+
+    // Near-dup pairs → dedup GROUPS: connected components by distributed
+    // min-label propagation; group id = min doc_id (deterministic canonical
+    // representative). The oracle closes the same edge set with a recursive
+    // CTE.
+    DeclaredQuery("d6_dedup_groups",
+      """WITH RECURSIVE
+        |toks AS (SELECT DISTINCT doc_id, lang, tok
+        |         FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |         WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |          FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                  AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM inter JOIN sizes s1 ON s1.doc_id=d1
+        |          JOIN sizes s2 ON s2.doc_id=d2
+        |          WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |                WHERE e.b <> r.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a)
+        |SELECT group_id, COUNT(*) AS n_docs FROM comp
+        |GROUP BY group_id ORDER BY group_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Components.dedupGroups(
+            graft.operators.DocSimilarity.nearDupPairs(s, dir))
+          .orderBy(col("group_id"))
     }
   )
 
