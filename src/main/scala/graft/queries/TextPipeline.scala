@@ -156,6 +156,48 @@ object TextPipeline {
               lit("[aeiou]+|[^aeiou ]+"), lit(0)))).cast("long").as("n_pieces"),
             sum(length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_chars"))
           .orderBy(col("lang"))
+    },
+
+    // Repetition / boilerplate detection (the Gopher-style quality rule):
+    // per-doc duplicate-token and duplicate-bigram fractions, aggregated per
+    // lang in portable fixed-point (per-doc fraction is one IEEE division of
+    // exact ints → FLOOR(x*1e6+0.5) is bit-identical in both engines). Flag
+    // counts use exact integer cross-multiplication — no float compare.
+    DeclaredQuery("p12_repetition",
+      """WITH t AS (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |           FROM documents),
+        |f AS (SELECT lang,
+        |             len(ts) AS nt, len(list_distinct(ts)) AS dt,
+        |             len(ts)-1 AS nb,
+        |             len(list_distinct(list_transform(range(1, len(ts)),
+        |                 i -> ts[i] || ' ' || ts[i+1]))) AS db
+        |      FROM t WHERE len(ts) >= 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       ROUND(CAST(SUM(CAST(FLOOR((1.0 - CAST(dt AS DOUBLE)/nt)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*)/1e6, 4) AS avg_dup_tok,
+        |       ROUND(CAST(SUM(CAST(FLOOR((1.0 - CAST(db AS DOUBLE)/nb)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*)/1e6, 4) AS avg_dup_bigram,
+        |       CAST(SUM(CASE WHEN 2*(nb - db) > nb THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        val f = Tables.table(s, dir, "documents")
+          .withColumn("ts", expr("filter(split(text, ' '), x -> x <> '')"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("lang"),
+            size(col("ts")).as("nt"),
+            size(array_distinct(col("ts"))).as("dt"),
+            (size(col("ts")) - 1).as("nb"),
+            size(array_distinct(expr(
+              "transform(sequence(0, size(ts)-2), i -> concat(ts[i], ' ', ts[i+1]))"))).as("db"))
+        def avgFixed(fr: org.apache.spark.sql.Column) =
+          round(sum(floor(fr * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
+            count(lit(1)) / lit(1e6), 4)
+        f.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            avgFixed(lit(1.0) - col("dt").cast("double") / col("nt")).as("avg_dup_tok"),
+            avgFixed(lit(1.0) - col("db").cast("double") / col("nb")).as("avg_dup_bigram"),
+            sum(when(lit(2) * (col("nb") - col("db")) > col("nb"), 1).otherwise(0))
+              .cast("long").as("n_flagged"))
+          .orderBy(col("lang"))
     }
   )
 }

@@ -136,4 +136,10 @@ class ExplainPlanTest extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d5: decontamination joins the corpus by BROADCAST — the big side never sort-merges") {
+    val p = plan("d5_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

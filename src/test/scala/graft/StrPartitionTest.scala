@@ -23,6 +23,15 @@ class StrPartitionTest extends AnyFunSuite {
     }
   }
 
+  test("STR all-pairs works for the Fréchet metric too (bound ≤ Hausdorff ≤ Fréchet)") {
+    val ta = Tables.trajArrays(spark, TestSpark.sf0001)
+    val base = TrajectorySearch.allPairsTopK(ta, 10, "frechet")
+      .collect().map(_.toString).toSeq
+    val str = StrPartition.allPairsTopKStr(ta, 10, "frechet")
+      .collect().map(_.toString).toSeq
+    assert(str == base)
+  }
+
   /** Three clusters ~500 apart: within-cluster top-k distances are ≤ ~3, so
     * every cross-cluster tile pair must be pruned at the tile level. */
   private def clusteredTa = {
