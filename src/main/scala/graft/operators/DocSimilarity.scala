@@ -51,6 +51,14 @@ object DocSimilarity {
       jaccardPairs(toks, 3, 5).persist(StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** All ordered same-lang containment pairs at 10·|∩| ≥ 9·|S(d1)| —
+    * memoized + persisted per (session, dir) like [[nearDupPairs]]. */
+  def containmentNearDups(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, s"$dir#containment"), {
+      containmentPairs(distinctTokens(s, dir), 9, 10)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Strategy chooser on MEASURED vocabulary size: a corpus whose distinct
     * token set fits [[MaxMaskVocab]] bits gets the bitmap join (popcount
     * arithmetic over ≤64 longs per pair — no token-level join at all); a
@@ -130,27 +138,7 @@ object DocSimilarity {
     * Jaccard filter. Same contract as [[invertedIndexPairs]].
     */
   def prefixFilteredPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
-    // Global rarest-first token order. Prefix filtering needs SOME total
-    // order on the vocabulary, not a dense rank permutation — so order by
-    // the tuple (f, xxhash64(tok), tok) directly and skip the dictionary
-    // window entirely. (A `row_number() OVER (ORDER BY ...)` here would pull
-    // the whole vocabulary through ONE task — a single-reducer sort that a
-    // billion-term shingle vocabulary cannot survive. The tuple order needs
-    // no shuffle at all beyond the freq groupBy.) The hash decorrelates the
-    // sort key from lexicographic skew; `tok` breaks hash ties so the order
-    // stays deterministic and total.
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val ranked = toks.join(freq, "tok")
-
-    val wDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("f"), xxhash64(col("tok")), col("tok"))
-    val withPos = ranked
-      .withColumn("rn", row_number().over(wDoc))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // prefix length = c - ceil(t*c) + 1; ceil(num*c/den) in exact ints
-    val prefix = withPos.filter(
-      col("rn") <= col("c") - expr(s"(c * $num + $den - 1) DIV $den") + 1)
-
+    val prefix = rarestPrefix(toks, num, den)
     val a = prefix.select(col("doc_id").as("d1"), col("lang"), col("tok"))
     val b = prefix.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("tok").as("tok_b"))
     val cands = a.join(b,
@@ -168,6 +156,129 @@ object DocSimilarity {
       .filter(lit(den) * col("i") >= lit(num) * (col("c1") + col("c2") - col("i")))
       .select(col("d1"), col("d2"), col("lang"),
         round(col("i").cast("double") / (col("c1") + col("c2") - col("i")), 6).as("jaccard"))
+  }
+
+  /** Each document's rarest-prefix tokens: the first
+    * `|d| − ceil(t·|d|) + 1` (t = num/den, exact ints) under a global
+    * rarest-first total order. Prefix filtering needs SOME total order on
+    * the vocabulary, not a dense rank permutation — so order by the tuple
+    * (f, xxhash64(tok), tok) directly and skip the dictionary window
+    * entirely. (A `row_number() OVER (ORDER BY ...)` here would pull the
+    * whole vocabulary through ONE task — a single-reducer sort that a
+    * billion-term shingle vocabulary cannot survive. The tuple order needs
+    * no shuffle at all beyond the freq groupBy.) The hash decorrelates the
+    * sort key from lexicographic skew; `tok` breaks hash ties so the order
+    * stays deterministic and total. */
+  private def rarestPrefix(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = toks.join(freq, "tok")
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), xxhash64(col("tok")), col("tok"))
+    val withPos = ranked
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix length = c - ceil(t*c) + 1; ceil(num*c/den) in exact ints
+    withPos.filter(
+      col("rn") <= col("c") - expr(s"(c * $num + $den - 1) DIV $den") + 1)
+  }
+
+  /** Containment (overlap-vs-left) similarity join: ORDERED pairs
+    * (d1, d2, lang, containment) with d1 ≠ d2 and
+    * `|S(d1) ∩ S(d2)| ≥ t·|S(d1)|` (t = num/den, exact integers) — d1 is
+    * the CONTAINED document. The asymmetric predicate of subset-duplicate
+    * detection: a doc quoted/boilerplate-wrapped inside another has
+    * containment ≈ 1 while its Jaccard can be arbitrarily low.
+    *
+    * Same measured-vocab strategy chooser as [[jaccardPairs]]: multi-word
+    * bitmap popcount pairs on a ≤[[MaxMaskVocab]] vocabulary, else the
+    * prefix-filtered inverted index — prefix on the CONTAINED side only
+    * (pigeonhole: missing all of A's `|A| − ceil(t·|A|) + 1` rarest tokens
+    * caps the intersection below `ceil(t·|A|)`), full index on the other
+    * side. Both strategies hash-match [[invertedContainmentPairs]]
+    * (OperatorsTest). PRECONDITION: distinct (doc_id, lang, tok) rows. */
+  def containmentPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    val vocab = toks.select(col("tok")).distinct()
+      .limit(MaxMaskVocab + 1).collect().map(_.getString(0))
+    if (vocab.length <= MaxMaskVocab) maskContainment(toks, vocab, num, den)
+    else prefixContainment(toks, num, den)
+  }
+
+  /** Bitmap-strategy containment — popcount arithmetic over distinct-set
+    * groups; each unordered group pair is evaluated once and emits the
+    * qualifying directions; identical-set groups emit all ordered intra-
+    * group pairs at containment exactly 1. */
+  def maskContainment(toks: DataFrame, vocabTokens: Array[String],
+                      num: Int, den: Int): DataFrame = {
+    val nWords = math.max(1, (vocabTokens.length + 63) / 64)
+    val sp = toks.sparkSession
+    import sp.implicits._
+    val dict = vocabTokens.sorted.zipWithIndex.toSeq.toDF("tok", "tid")
+    val sets = toks.join(broadcast(dict), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        array((0 until nWords).map(w => expr(
+          s"bit_or(CASE WHEN tid DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), tid % 64) ELSE CAST(0 AS BIGINT) END)")): _*
+        ).as("mask"),
+        count(lit(1)).as("c"))
+    val groups = sets.groupBy(col("mask"), col("lang"), col("c"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+
+    val g1 = groups.select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
+    val g2 = groups.select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
+    val cross = g1.join(g2, col("lang") === col("lang2") && col("m1") < col("m2"))
+      .withColumn("i",
+        expr("CAST(aggregate(zip_with(m1, m2, (a, b) -> bit_count(a & b)), 0, (acc, x) -> acc + x) AS BIGINT)"))
+    def dir(contained: String, other: String, cCont: String): DataFrame =
+      cross.filter(lit(den) * col("i") >= lit(num) * col(cCont))
+        .select(col("lang"), col("i"), col(cCont).as("cc"),
+          explode(col(contained)).as("d1"), col(other))
+        .select(col("d1"), explode(col(other)).as("d2"), col("lang"),
+          round(col("i").cast("double") / col("cc"), 6).as("containment"))
+    // identical token sets: every ordered intra-group pair is containment 1
+    val same = groups.filter(size(col("docs")) >= 2)
+      .select(col("lang"), explode(col("docs")).as("d1"), col("docs"))
+      .select(col("d1"), explode(col("docs")).as("d2"), col("lang"),
+        lit(1.0).as("containment"))
+      .filter(col("d1") =!= col("d2"))
+    dir("docs1", "docs2", "c1").unionAll(dir("docs2", "docs1", "c2")).unionAll(same)
+  }
+
+  /** Prefix-filtered containment — the big-vocabulary path: the CONTAINED
+    * side contributes only its rarest prefix to the inverted-index join; the
+    * containing side is fully indexed; exact verification on candidates. */
+  def prefixContainment(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    val a = rarestPrefix(toks, num, den)
+      .select(col("doc_id").as("d1"), col("lang"), col("tok"))
+    val b = toks.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("tok").as("tok_b"))
+    val cands = a.join(b,
+        col("tok") === col("tok_b") && col("lang") === col("lang_b") && col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"), col("lang"))
+      .distinct()
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(collect_set(col("tok")).as("set"), count(lit(1)).as("c"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("set").as("s1"), col("c").as("c1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
+      .withColumn("i", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(lit(den) * col("i") >= lit(num) * col("c1"))
+      .select(col("d1"), col("d2"), col("lang"),
+        round(col("i").cast("double") / col("c1"), 6).as("containment"))
+  }
+
+  /** Naive containment reference: full inverted-index join both sides —
+    * the equivalence baseline for both strategies (tests only at scale).
+    * PRECONDITION: distinct rows, as above. */
+  def invertedContainmentPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val a = toks.select(col("doc_id").as("d1"), col("lang"), col("tok"))
+    val b = toks.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("tok").as("tok_b"))
+    a.join(b, col("tok") === col("tok_b") && col("lang") === col("lang_b") && col("d1") =!= col("d2"))
+      .groupBy(col("d1"), col("d2"), col("lang"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("d1"), col("c").as("c1")), "d1")
+      .filter(lit(den) * col("i") >= lit(num) * col("c1"))
+      .select(col("d1"), col("d2"), col("lang"),
+        round(col("i").cast("double") / col("c1"), 6).as("containment"))
   }
 
   /** Generic path: inverted-index self-join on (tok, lang) → per-pair

@@ -241,6 +241,30 @@ object JsonDocs {
           .orderBy(col("doc_id"))
     },
 
+    // Containment (overlap-vs-left) similarity: ORDERED pairs where ≥ 90%
+    // of d1's token set appears in d2 — the subset-duplicate predicate
+    // (quoted/boilerplate-wrapped copies that plain Jaccard misses). Same
+    // measured-vocab strategy chooser as d3; prefix filter applies to the
+    // contained side only.
+    DeclaredQuery("d7_containment",
+      """WITH toks AS (SELECT DISTINCT doc_id, lang, tok
+        |              FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |              WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang AS lang, COUNT(*) AS i
+        |          FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                  AND a.doc_id <> b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id, a.lang)
+        |SELECT d1, d2, lang, ROUND(CAST(i AS DOUBLE)/s1.c, 6) AS containment
+        |FROM inter JOIN sizes s1 ON s1.doc_id=d1
+        |WHERE 10*i >= 9*s1.c
+        |ORDER BY ROUND(CAST(i AS DOUBLE)/s1.c,6) DESC, d1, d2 LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        graft.operators.DocSimilarity.containmentNearDups(s, dir)
+          .orderBy(col("containment").desc, col("d1"), col("d2"))
+          .limit(100)
+    },
+
     // Near-dup pairs → dedup GROUPS: connected components by distributed
     // min-label propagation; group id = min doc_id (deterministic canonical
     // representative). The oracle closes the same edge set with a recursive

@@ -124,6 +124,25 @@ class OperatorsTest extends AnyFunSuite {
         .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
       assert(prefixed == inverted, s"prefix threshold $num/$den")
     }
+    // containment (asymmetric, ordered pairs): both strategies must agree
+    // with the naive full inverted index; the planted subset (101 ⊂ ~1) and
+    // the identical pair (0 ↔ 100) must appear in both directions resp.
+    for ((num, den) <- Seq((9, 10), (1, 2))) {
+      val naive = DocSimilarity.invertedContainmentPairs(toks, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      val masked = DocSimilarity.maskContainment(toks, vocab.toArray, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      val prefixed = DocSimilarity.prefixContainment(toks, num, den)
+        .orderBy($"d1", $"d2").collect().map(_.toString).toSeq
+      assert(masked == naive, s"mask containment $num/$den")
+      assert(prefixed == naive, s"prefix containment $num/$den")
+      if (num == 9) {
+        val pairs = DocSimilarity.invertedContainmentPairs(toks, num, den)
+          .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+        assert(pairs.contains((100L, 0L)) && pairs.contains((0L, 100L)),
+          "identical sets must contain each other")
+      }
+    }
   }
 
   test("prefix-filtered set-similarity join equals inverted-index join") {
