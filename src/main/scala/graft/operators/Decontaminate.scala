@@ -44,13 +44,15 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_hits"))
 
-  /** Bloom-prefiltered exact contamination hits — identical results to
-    * [[hits]]: the corpus side is first thinned by a broadcast Bloom probe
-    * (map-side, no shuffle), then the exact join removes false positives.
-    * `expectedItems`/`fpp` size the filter; at 10⁶ shingles and 1% fpp the
-    * broadcast is ~1.2 MB. */
-  def hitsBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
-                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+  /** The STATELESS hit stream behind [[hitsBloom]]: corpus shingle rows
+    * thinned by a broadcast Bloom probe (map-side, no shuffle), then the
+    * exact broadcast join removes false positives. Emits (doc_id, shingle)
+    * hit rows — exactly the rows [[hits]] would aggregate. Works unchanged
+    * on a STREAMING corpus side (no state, no watermark — the shape of a
+    * continuous ingest filter; the Bloom/benchmark side is static and built
+    * once at plan-construction time). */
+  def probableHits(corpusShingles: DataFrame, benchShingles: DataFrame,
+                   expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val s = corpusShingles.sparkSession
     val bench = benchShingles.select(col("shingle")).distinct()
     val bf = bench.stat.bloomFilter("shingle", expectedItems, fpp)
@@ -59,7 +61,15 @@ object Decontaminate {
     corpusShingles
       .filter(mightContain(col("shingle")))
       .join(broadcast(bench), "shingle")
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** Bloom-prefiltered exact contamination hits — identical results to
+    * [[hits]]: aggregate of [[probableHits]]. `expectedItems`/`fpp` size the
+    * filter; at 10⁶ shingles and 1% fpp the broadcast is ~1.2 MB. */
+  def hitsBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
+                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    probableHits(corpusShingles, benchShingles, expectedItems, fpp)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_hits"))
-  }
 }

@@ -112,6 +112,34 @@ object StreamingQueries {
       .select(col("user_id"), col("event_id"), col("err_id"))
   }
 
+  /** Raw parquet schema of `documents` (for the file-source replay). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source replay of a documents directory: one file per micro-batch. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** d5 counterpart: CONTINUOUS benchmark decontamination — the shape a
+    * 100 TB ingest pipeline runs on arriving documents. Entirely STATELESS:
+    * per-doc shingling is map-side, the Bloom probe is a broadcast filter,
+    * and the exact benchmark join is stream-static — no watermark, no state
+    * store, nothing buffered between micro-batches. Emits (doc_id, shingle)
+    * hit rows in append mode; per-doc hit counts aggregate downstream (the
+    * equivalence test aggregates the sink and matches batch d5 exactly). */
+  def streamDecontaminate(docs: DataFrame, benchShingles: DataFrame): DataFrame =
+    graft.operators.Decontaminate.probableHits(
+      graft.operators.Decontaminate.wordShingles(
+        docs.select(col("doc_id"), col("text")), 3),
+      benchShingles)
+
   /** One emitted session: (user_id, session start µs, event count, duration µs). */
   final case class Session(user_id: Long, start_us: Long, n_ev: Long, dur_us: Long)
   /** Open-session state carried between micro-batches. */

@@ -208,4 +208,39 @@ class StreamingEquivalenceTest extends AnyFunSuite {
       .select($"n_ids").as[Long].head()
     assert(got == want)
   }
+
+  test("d5 streaming decontamination == batch (stateless stream-static filter)") {
+    // replay documents as 3 micro-batch files
+    val dir = Files.createTempDirectory("graft-docstream")
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+      .orderBy($"doc_id").collect()
+    val schema = Tables.table(spark, TestSpark.sf0001, "documents").schema
+    val n = docs.length
+    (0 until 3).foreach { b =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1), schema)
+      val tmp = Files.createTempDirectory("graft-docslice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+    // static benchmark side from the batch table
+    val bench = graft.operators.Decontaminate.wordShingles(
+      Tables.table(spark, TestSpark.sf0001, "documents")
+        .filter($"doc_id" % 50 === 0).select($"doc_id", $"text"), 3)
+    val hitStream = StreamingQueries.streamDecontaminate(
+      StreamingQueries.documentsStream(spark, dir.toString)
+        .filter($"doc_id" % 50 =!= 0), bench)
+    val q = hitStream.writeStream.format("memory").queryName("s_d5")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_d5")
+      .groupBy($"doc_id").agg(countDistinct($"shingle").as("n_hits"))
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("d5_decontaminate")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
