@@ -96,6 +96,15 @@ object StrPartition {
     * pairs from within tiles — callers fall back to the unpartitioned scan. */
   private case class TiledScan(taT: DataFrame, r: Double, tilePairs: Seq[(Int, Int)])
 
+  /** Slim tiled frame (user_id, tile, boxes, whole MBR) — the STR index
+    * artifact. Pass it pre-built (e.g. via `sources.IndexStore`) to skip the
+    * quantile passes on a warm session; `allPairsTopKStr` accepts a frame
+    * that already carries a `tile` column and skips assignment. */
+  def tiledFrame(ta0: DataFrame, nx: Int, ny: Int): DataFrame =
+    assignTiles(TrajectorySearch.ensureBoxes(ta0), nx, ny)
+      .select(col("user_id"), col("tile"), col("boxes"),
+        col("mnx"), col("mxx"), col("mny"), col("mxy"))
+
   private def prepareScan(ta0: DataFrame, k: Int, metric: String,
                           nx: Int, ny: Int, seedFactor: Int): Option[TiledScan] = {
     val s = ta0.sparkSession
@@ -103,9 +112,9 @@ object StrPartition {
     val ta = TrajectorySearch.ensureBoxes(ta0)
     // slim per-trajectory frame: id, tile, slice boxes, whole MBR — the fat
     // coordinate arrays never enter the pair scan (round-2 BNLJ lesson)
-    val taT = assignTiles(ta, nx, ny)
-      .select(col("user_id"), col("tile"), col("boxes"),
-        col("mnx"), col("mxx"), col("mny"), col("mxy"))
+    val taT = (if (ta.columns.contains("tile")) ta.select(col("user_id"),
+        col("tile"), col("boxes"), col("mnx"), col("mxx"), col("mny"), col("mxy"))
+      else tiledFrame(ta, nx, ny))
       .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       .localCheckpoint()
 

@@ -197,9 +197,20 @@ object Trajectories {
          |SELECT hab.u1, hab.u2, ROUND(GREATEST(hab.h, hba.h),6) AS hausdorff
          |FROM hab JOIN hba ON hab.u1=hba.u1 AND hab.u2=hba.u2
          |ORDER BY ROUND(GREATEST(hab.h, hba.h),6) ASC, hab.u1, hab.u2 LIMIT 20""".stripMargin) {
-      (s, dir) =>
+      (s, dir) => {
+        // the tile assignment (quantile boundaries + per-user tile and whole
+        // MBR) is a build-once index artifact like the arrays themselves;
+        // warm sessions join it back instead of re-running the quantile
+        // passes (boxes/coordinates stay in the trajArrays artifact)
+        val ta = Tables.trajArrays(s, dir, "purchase")
+        val tiles = graft.sources.IndexStore
+          .materialize(s, dir, "str_tiles_purchase_4x4_v1") {
+            graft.operators.StrPartition.tiledFrame(ta, 4, 4)
+              .drop("boxes")
+          }._1
         graft.operators.StrPartition.allPairsTopKStr(
-          Tables.trajArrays(s, dir, "purchase"), 20, "hausdorff")
+          ta.join(tiles, "user_id"), 20, "hausdorff")
+      }
     },
 
     // Batch form of O15: the reference workload is query SETS, not single
