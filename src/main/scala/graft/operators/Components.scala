@@ -30,17 +30,20 @@ object Components {
 
   /** One contraction round over canonical (u > v) edges: rewire either the
     * larger-than-x neighbors (large-star) or the ≤-x neighbors plus x itself
-    * (small-star) to m(x) = min of x's closed neighborhood. */
+    * (small-star) to m(x) = min of x's closed neighborhood. The rewire join
+    * is deliberately NOT hinted: `mins` is one row per VERTEX, so AQE
+    * broadcasts it when small but must be free to shuffle-join a
+    * billion-vertex graph (both sides key on x — an equi-join either way). */
   private def round(ge: DataFrame, largeStar: Boolean): DataFrame = {
     val sym = ge.select(col("u").as("x"), col("v").as("y"))
       .union(ge.select(col("v").as("x"), col("u").as("y")))
     val mins = sym.groupBy(col("x")).agg(least(col("x"), min(col("y"))).as("m"))
     val out =
       if (largeStar)
-        sym.filter(col("y") > col("x")).join(broadcast(mins), "x")
+        sym.filter(col("y") > col("x")).join(mins, "x")
           .select(col("y").as("u"), col("m").as("v"))
       else {
-        val rew = sym.filter(col("y") < col("x")).join(broadcast(mins), "x")
+        val rew = sym.filter(col("y") < col("x")).join(mins, "x")
         rew.select(col("y").as("u"), col("m").as("v"))
           .union(rew.select(col("x").as("u"), col("m").as("v")))
       }
