@@ -198,6 +198,67 @@ object TextPipeline {
             sum(when(lit(2) * (col("nb") - col("db")) > col("nb"), 1).otherwise(0))
               .cast("long").as("n_flagged"))
           .orderBy(col("lang"))
+    },
+
+    // Deterministic train/val/test split assignment — content-hash
+    // bucketing (≈ 80/10/10 by the first md5 hex byte), so the split is
+    // reproducible across engines, runs, and partitionings, and a re-crawled
+    // duplicate lands in the same split. Pure map work — no shuffle beyond
+    // the final stats groupBy.
+    DeclaredQuery("p13_split_assign",
+      """SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |             CASE WHEN substring(md5(text),1,2) < 'cc' THEN 'train'
+        |                  WHEN substring(md5(text),1,2) < 'e6' THEN 'val'
+        |                  ELSE 'test' END AS split
+        |      FROM documents) t
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin) {
+      (s, dir) =>
+        val h = substring(md5(col("text")), 1, 2)
+        Tables.table(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"), col("split"))
+    },
+
+    // Sequence-packing stats — token-stream packing (concatenate per-lang
+    // token streams in doc_id order, slice into 512-token context windows):
+    // window count, exact fill of the last window, and how many documents a
+    // window boundary splits. All integer arithmetic over one per-lang
+    // cumulative-sum window — the packing-efficiency numbers a pretraining
+    // data pipeline reports.
+    DeclaredQuery("p14_sequence_packing",
+      """WITH d AS (SELECT lang, doc_id,
+        |                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, nt,
+        |             COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_toks,
+        |       CAST((MAX(cb + nt) + 511) // 512 AS BIGINT) AS n_windows,
+        |       CAST(SUM(CASE WHEN nt > 0 AND (cb // 512) <> ((cb + nt - 1) // 512)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val c = Tables.table(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("nt"))
+          .withColumn("cb", coalesce(sum(col("nt")).over(w), lit(0L)))
+        c.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_toks"),
+            ((max(col("cb") + col("nt")) + 511L) / 512L).cast("long").as("n_windows"),
+            sum(when(col("nt") > 0 &&
+                (col("cb") / 512L).cast("long") =!= ((col("cb") + col("nt") - 1) / 512L).cast("long"),
+                1).otherwise(0)).cast("long").as("n_split_docs"))
+          .orderBy(col("lang"))
     }
   )
 }
