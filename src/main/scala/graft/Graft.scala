@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   * After init, the full engine is reachable three ways:
   *  - SQL: `spark.sql("... JOIN ... ON graft_within(ax, ay, bx, by, 1.0)")`
   *  - Column API: the operator objects under [[graft.operators]]
-  *    (TrajectorySearch, DocSimilarity, VectorOps, Sketches, AsOfJoin,
-  *    SaltedJoin) and sources ([[graft.sources.Multimodal]],
-  *    [[graft.sources.IndexStore]])
+  *    (TrajectorySearch, StrPartition, DocSimilarity, Components,
+  *    Decontaminate, VectorOps, Sketches, Rank, AsOfJoin, SaltedJoin),
+  *    streaming ([[graft.streaming.StreamingQueries]]) and sources
+  *    ([[graft.sources.Multimodal]], [[graft.sources.IndexStore]])
   *  - Declared queries: [[SparkEntry.queries]] (the verified contract)
   */
 object Graft {
@@ -23,6 +24,7 @@ object Graft {
     graft.functions.FloatDotProduct.register(spark)
     graft.functions.SlicedBoxLb.register(spark)
     graft.functions.HausdorffCodegen.register(spark)
+    graft.functions.FrechetCodegen.register(spark)
     graft.plans.GraftRules.install(spark) // registers graft_within + rules
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSelfDot)) {
       spark.experimental.extraOptimizations =

@@ -87,6 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hausdorff_bounded"),
       new ExpressionInfo(graft.functions.HausdorffKernelStatic.getClass.getName, "graft_hausdorff_bounded"),
       (exprs: Seq[Expression]) => graft.functions.HausdorffCodegen.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_frechet_bounded"),
+      new ExpressionInfo(graft.functions.FrechetKernelStatic.getClass.getName, "graft_frechet_bounded"),
+      (exprs: Seq[Expression]) => graft.functions.FrechetCodegen.build(exprs)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectOptimizerRule(_ => RewriteDistanceJoin)
   }

@@ -53,19 +53,23 @@ class GraftExtensionsTest extends AnyFunSuite {
     val viaExt = ext.sql(
       """SELECT graft_within(0d, 0d, 3d, 4d, 5.0) AS w,
         |       graft_boxlb(array(0d,1d,0d,1d), array(5d,6d,0d,1d)) AS lb,
-        |       graft_hausdorff_bounded(array(0d), array(0d), array(3d), array(4d), 1e18) AS h
+        |       graft_hausdorff_bounded(array(0d), array(0d), array(3d), array(4d), 1e18) AS h,
+        |       graft_frechet_bounded(array(0d), array(0d), array(3d), array(4d), 1e18) AS f
         |""".stripMargin).head()
     assert(viaExt.getBoolean(0)) // dist 5.0 <= 5.0
     assert(viaExt.getDouble(1) == 4.0)
     assert(viaExt.getDouble(2) == 5.0)
+    assert(viaExt.getDouble(3) == 5.0)
     // plain session + Graft.init: same functions, same rewrite behavior
     val plain = TestSpark.spark
     Graft.init(plain)
     val viaInit = plain.sql(
       "SELECT graft_within(0d, 0d, 3d, 4d, 5.0), " +
         "graft_boxlb(array(0d,1d,0d,1d), array(5d,6d,0d,1d)), " +
-        "graft_hausdorff_bounded(array(0d), array(0d), array(3d), array(4d), 1e18)").head()
+        "graft_hausdorff_bounded(array(0d), array(0d), array(3d), array(4d), 1e18), " +
+        "graft_frechet_bounded(array(0d), array(0d), array(3d), array(4d), 1e18)").head()
     assert(viaInit.getBoolean(0) && viaInit.getDouble(1) == 4.0 && viaInit.getDouble(2) == 5.0)
+    assert(viaInit.getDouble(3) == 5.0)
     assert(plain.experimental.extraOptimizations.contains(graft.plans.RewriteDistanceJoin))
   }
 }
