@@ -83,20 +83,7 @@ object DocSimilarity {
     * shuffle, no kernel UDF. Intersection/union counts are identical
     * integers to the inverted-index form, so results hash-match exactly. */
   def maskPairs(toks: DataFrame, vocabTokens: Array[String], num: Int, den: Int): DataFrame = {
-    val nWords = math.max(1, (vocabTokens.length + 63) / 64)
-    val sp = toks.sparkSession
-    import sp.implicits._
-    val dict = vocabTokens.sorted.zipWithIndex.toSeq.toDF("tok", "tid")
-    val sets = toks.join(broadcast(dict), "tok")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(
-        array((0 until nWords).map(w => expr(
-          s"bit_or(CASE WHEN tid DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), tid % 64) ELSE CAST(0 AS BIGINT) END)")): _*
-        ).as("mask"),
-        count(lit(1)).as("c"))
-    val groups = sets.groupBy(col("mask"), col("lang"), col("c"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-
+    val groups = maskGroups(toks, vocabTokens)
     val g1 = groups.select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
     val g2 = groups.select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
     val cross = g1.join(g2, col("lang") === col("lang2") && col("m1") < col("m2"))
@@ -121,6 +108,25 @@ object DocSimilarity {
 
     cross.unionAll(same)
   }
+
+  /** Distinct-token-set groups for the bitmap strategy: one row per
+    * (mask, lang, set size) with the sorted member doc ids. */
+  private def maskGroups(toks: DataFrame, vocabTokens: Array[String]): DataFrame = {
+    val nWords = math.max(1, (vocabTokens.length + 63) / 64)
+    val sp = toks.sparkSession
+    import sp.implicits._
+    val dict = vocabTokens.sorted.zipWithIndex.toSeq.toDF("tok", "tid")
+    val sets = toks.join(broadcast(dict), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        array((0 until nWords).map(w => expr(
+          s"bit_or(CASE WHEN tid DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), tid % 64) ELSE CAST(0 AS BIGINT) END)")): _*
+        ).as("mask"),
+        count(lit(1)).as("c"))
+    sets.groupBy(col("mask"), col("lang"), col("c"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+  }
+
 
   /** Prefix-filtered exact set-similarity join (PPJoin-family, public
     * algorithm): for Jaccard ≥ t = num/den, two sets must share a token in
