@@ -259,6 +259,30 @@ object TextPipeline {
                 (col("cb") / 512L).cast("long") =!= ((col("cb") + col("nt") - 1) / 512L).cast("long"),
                 1).otherwise(0)).cast("long").as("n_split_docs"))
           .orderBy(col("lang"))
+    },
+
+    // Source/domain-level curation (RefinedWeb-style): a SOURCE is kept or
+    // dropped wholesale on its aggregate signal (here: mean tokens/doc ≥ 54,
+    // compared as exact integers `Σnt ≥ 54·n` — no float division). Doc-level
+    // filters judge documents; this judges where they came from.
+    DeclaredQuery("p15_source_filter",
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(nt) AS BIGINT) AS total_toks,
+        |       CAST(CASE WHEN SUM(nt) >= 54*COUNT(*) THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM (SELECT source,
+        |             len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+        |      FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("source"),
+            size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("nt"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_toks"),
+            when(sum(col("nt")) >= lit(54) * count(lit(1)), 1L).otherwise(0L).as("kept"))
+          .orderBy(col("source"))
     }
   )
 }
