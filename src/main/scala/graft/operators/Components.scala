@@ -56,28 +56,44 @@ object Components {
     * a < b (true for the similarity-join outputs). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
                           assumeCanonical: Boolean = false): DataFrame = {
-    // canonical undirected form: (u, v) with u > v, self-loops dropped
-    val canon =
+    // canonical undirected form: (u, v) with u > v, self-loops dropped.
+    // assumeCanonical inputs come straight off a (typically persisted)
+    // similarity-join output — a column swap needs no checkpoint copy; the
+    // derived form pays one distinct shuffle and is checkpointed to truncate
+    // its lineage before the loop.
+    var ge =
       if (assumeCanonical)
         edges.select(col("b").as("u"), col("a").as("v"))
       else
         edges.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-          .filter(col("u") =!= col("v")).distinct()
-    var ge = canon.localCheckpoint()
+          .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var geN = ge.count()
     var iter = 0
     var converged = false
-    def same(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // Both sides are DISTINCT edge sets, so equal cardinality plus an empty
+    // one-directional difference proves set equality — half the exceptAll
+    // scans of the symmetric probe, still exact (no hash-sketch shortcuts:
+    // a false "converged" would emit a wrong component labeling).
+    def same(a: DataFrame, na: Long, b: DataFrame, nb: Long): Boolean =
+      na == nb && a.exceptAll(b).isEmpty
+    def tdbg[A](label: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_CC_DEBUG")) f
+      else { val t0 = System.nanoTime(); val r = f
+        println(f"CCDBG $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r }
     while (!converged && iter < maxIter) {
-      val mid = round(ge, largeStar = true)
-        .localCheckpoint() // truncate lineage — the loop must not build a deep plan
-      val next = round(mid, largeStar = false).localCheckpoint()
+      val mid = tdbg(s"iter$iter-large") { round(ge, largeStar = true)
+        .localCheckpoint() } // truncate lineage — the loop must not build a deep plan
+      val midN = mid.count()
+      val next = tdbg(s"iter$iter-small") { round(mid, largeStar = false).localCheckpoint() }
+      val nextN = next.count()
       // converged when NEITHER round changes the edge set (the published
       // stopping condition — the graph is then a star per component). After
       // the first large-star the edge set is ~|vertices| rows, so the
-      // symmetric-difference probes are cheap.
-      converged = iter > 0 && same(mid, ge) && same(next, mid)
+      // difference probes are cheap, and the counts come free off the
+      // checkpointed frames.
+      converged = iter > 0 && same(mid, midN, ge, geN) && same(next, nextN, mid, midN)
       ge = next
+      geN = nextN
       iter += 1
     }
     require(converged || iter < maxIter,

@@ -96,6 +96,17 @@ object StrPartition {
     * pairs from within tiles — callers fall back to the unpartitioned scan. */
   private case class TiledScan(taT: DataFrame, r: Double, tilePairs: Seq[(Int, Int)])
 
+  /** Prepared scans (checkpointed slim frame + seed threshold + surviving
+    * tile pairs) memoized per (session, caller key, params) — the seed pass
+    * is a build-once index step like the tile assignment itself, so a warm
+    * session answering many top-k calls pays it once (the reference's
+    * construct-once / query-many loop). Inputs are immutable per session. */
+  private val scanMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, Int, String, Int, Int, Int), Option[TiledScan]]
+
+  /** Drop memoized scans (tests only). */
+  def clearMemo(): Unit = scanMemo.clear()
+
   /** Slim tiled frame (user_id, tile, boxes, whole MBR) — the STR index
     * artifact. Pass it pre-built (e.g. via `sources.IndexStore`) to skip the
     * quantile passes on a warm session; `allPairsTopKStr` accepts a frame
@@ -188,8 +199,16 @@ object StrPartition {
     * enumeration bounded by surviving tile pairs instead of n²/2. Falls back
     * to the unpartitioned scan when the data is too small to seed. */
   def allPairsTopKStr(ta0: DataFrame, k: Int, metric: String = "hausdorff",
-                      nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): DataFrame =
-    prepareScan(ta0, k, metric, nx, ny, seedFactor) match {
+                      nx: Int = 4, ny: Int = 4, seedFactor: Int = 3,
+                      cacheKey: Option[String] = None): DataFrame = {
+    val scan = cacheKey match {
+      case Some(key) =>
+        scanMemo.getOrElseUpdate(
+          (ta0.sparkSession, key, k, metric, nx, ny, seedFactor),
+          prepareScan(ta0, k, metric, nx, ny, seedFactor))
+      case None => prepareScan(ta0, k, metric, nx, ny, seedFactor)
+    }
+    scan match {
       case None => TrajectorySearch.allPairsTopK(ta0, k, metric, seedFactor)
       case Some(scan) =>
         val s = ta0.sparkSession
@@ -206,6 +225,7 @@ object StrPartition {
           .orderBy(col(metric), col("u1"), col("u2"))
           .limit(k)
     }
+  }
 
   /** (enumerated candidate pairs, total pairs) for the same plan — lets
     * tests assert that tile pruning actually fires on clustered data. */

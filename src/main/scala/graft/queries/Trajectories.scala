@@ -208,8 +208,11 @@ object Trajectories {
             graft.operators.StrPartition.tiledFrame(ta, 4, 4)
               .drop("boxes")
           }._1
+        // seed threshold + surviving tile pairs memoized per (session, dir):
+        // the second query against a warm session probes the tiles directly
         graft.operators.StrPartition.allPairsTopKStr(
-          ta.join(tiles, "user_id"), 20, "hausdorff")
+          ta.join(tiles, "user_id"), 20, "hausdorff",
+          cacheKey = Some(s"$dir#purchase"))
       }
     },
 
