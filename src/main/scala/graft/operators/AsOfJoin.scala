@@ -37,4 +37,23 @@ object AsOfJoin {
     }
     filled.filter(col("_side") === 1).drop("_side")
   }
+
+  /** As-of join with a TOLERANCE: the latest right row at-or-before each
+    * left row counts only when it lies within `tol` of the left row's
+    * `order.head` value (the numeric primary order column — µs timestamps
+    * here); staler matches yield NULL payloads. Same single-shuffle
+    * union-tag plan as [[asofLatest]] — the right row's order value rides
+    * along as one extra filled column and the tolerance check is a scalar
+    * post-filter, so adding a time bound costs nothing at scale. */
+  def asofLatestWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       order: Seq[String], payload: Seq[String],
+                       tol: Long): DataFrame = {
+    val ord = order.head
+    val filled = asofLatest(left, right.withColumn("_asof_ord", col(ord)),
+      keys, order, payload :+ "_asof_ord")
+    val within = col(ord) - col("_asof_ord") <= tol
+    payload.foldLeft(filled) { (df, p) =>
+      df.withColumn(p, when(within, col(p)))
+    }.drop("_asof_ord")
+  }
 }

@@ -119,6 +119,46 @@ object PipelineExtras {
           .orderBy(col("user_id"))
     },
 
+    // As-of join with a TOLERANCE (point-in-time join with a staleness
+    // bound): each event matched to the latest error of its user within the
+    // last 600 s; staler errors don't count. Same one-shuffle union-tag
+    // plan as a1 — the bound is a scalar post-filter.
+    DeclaredQuery("a2_asof_tolerance",
+      """WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT user_id, event_id, ts_us,
+        |             LAST_VALUE(CASE WHEN event_type='error' THEN event_id END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_event_id,
+        |             LAST_VALUE(CASE WHEN event_type='error' THEN ts_us END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_ts
+        |      FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CASE WHEN err_event_id IS NOT NULL AND ts_us - err_ts <= 600000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+        |       CAST(SUM(CASE WHEN err_event_id IS NOT NULL AND ts_us - err_ts <= 600000000
+        |                     THEN (event_id*31 + err_event_id) % 1000003 ELSE 0 END) AS BIGINT)
+        |         AS checksum
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_id").as("err_event_id"))
+        graft.operators.AsOfJoin.asofLatestWithin(
+            ev.select(col("user_id"), col("ts_us"), col("event_id")),
+            errors,
+            keys = Seq("user_id"), order = Seq("ts_us", "event_id"),
+            payload = Seq("err_event_id"), tol = 600000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("err_event_id").isNotNull, 1).otherwise(0)).cast("long").as("n_within"),
+            sum(when(col("err_event_id").isNotNull,
+              (col("event_id") * 31 + col("err_event_id")) % 1000003).otherwise(0L))
+              .cast("long").as("checksum"))
+          .orderBy(col("user_id"))
+    },
+
     // Character 3-gram shingle Jaccard on a bounded doc subset — exercises
     // the generic inverted-index path (shingle vocab ≫ 64) with an oracle.
     DeclaredQuery("p8_ngram_jaccard",

@@ -292,6 +292,40 @@ object Relational {
           .agg(count(lit(1)).as("n_above"))
           .orderBy(col("o_custkey"))
           .limit(100)
+    },
+
+    // TPC-H Q17 shape — revenue of small-quantity orders: lineitems whose
+    // quantity is below 20% of their part's average. The per-part threshold
+    // is a PRE-AGGREGATION on the fact table (sum, n per partkey) joined
+    // back on the partkey — never a per-row correlated rescan — and the
+    // comparison is exact integer arithmetic in quantity-cents
+    // (q < sum/(5n) ⟺ 5·q·n < sum), so no float division touches the
+    // predicate. The slim part dim broadcasts.
+    DeclaredQuery("r14_small_qty_revenue",
+      s"""WITH lc AS (SELECT l_partkey, ${centsS("l_quantity")} AS q_cents,
+         |                   l_extendedprice FROM lineitem),
+         |st AS (SELECT l_partkey, SUM(q_cents) AS s, COUNT(*) AS n
+         |       FROM lc GROUP BY l_partkey)
+         |SELECT p.p_brand, COUNT(*) AS n_small,
+         |       ${msumS("lc.l_extendedprice")} AS small_rev
+         |FROM lc JOIN st ON lc.l_partkey = st.l_partkey
+         |        JOIN part p ON p.p_partkey = lc.l_partkey
+         |WHERE 5 * lc.q_cents * st.n < st.s
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) {
+      (s, dir) =>
+        val lc = Tables.table(s, dir, "lineitem")
+          .select(col("l_partkey"), cents(col("l_quantity")).as("q_cents"),
+            col("l_extendedprice"))
+        val st = lc.groupBy(col("l_partkey"))
+          .agg(sum(col("q_cents")).as("s"), count(lit(1)).as("n"))
+        val p = Tables.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        lc.join(st, "l_partkey")
+          .filter(lit(5) * col("q_cents") * col("n") < col("s"))
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_small"), msum(col("l_extendedprice")).as("small_rev"))
+          .orderBy(col("p_brand"))
     }
   )
 }

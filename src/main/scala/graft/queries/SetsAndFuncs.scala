@@ -208,6 +208,25 @@ object SetsAndFuncs {
             count(lit(1)).as("n"),
             countDistinct(regexp_replace(col("p_type"), "[aeiou]", "")).as("n_types"))
           .orderBy(col("first_word"))
+    },
+
+    // Fuzzy string matching (entity-resolution primitive): distinct part
+    // names within edit distance 2, enumerated via length-band blocking —
+    // an EQUI-join on candidate length buckets, never an all-pairs scan
+    // (operators.FuzzyMatch). Both engines' levenshtein is the standard
+    // unit-cost edit distance.
+    DeclaredQuery("f7_fuzzy_name_match",
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name1, b.p_name AS name2,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name1, name2""".stripMargin) {
+      (s, dir) =>
+        graft.operators.FuzzyMatch.levenshteinSelfJoin(
+            Tables.table(s, dir, "part"), "p_name", maxDist = 2)
+          .orderBy(col("name1"), col("name2"))
     }
   )
 }

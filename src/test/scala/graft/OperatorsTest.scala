@@ -197,4 +197,44 @@ class OperatorsTest extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("FuzzyMatch length-band self-join ≡ naive all-pairs levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.table(spark, TestSpark.sf001, "part")
+      .select($"p_name").distinct().as[String].collect().toSeq
+    val naive = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)).sorted
+    val fast = graft.operators.FuzzyMatch
+      .levenshteinSelfJoin(Tables.table(spark, TestSpark.sf001, "part"), "p_name", 2)
+      .orderBy($"name1", $"name2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(naive.nonEmpty && fast == naive)
+  }
+
+  test("asofLatestWithin ≡ asofLatest with tolerance post-filter, naive scan") {
+    val left = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 900L, 3L), (2L, 50L, 4L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 90L, 10L), (1L, 150L, 11L), (2L, 500L, 12L))
+      .toDF("k", "ts", "rid")
+    val got = graft.operators.AsOfJoin.asofLatestWithin(
+        left, right,
+        keys = Seq("k"), order = Seq("ts"), payload = Seq("rid"), tol = 100L)
+      .orderBy($"lid")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    // naive: latest right at-or-before, nulled when staler than tol
+    val rr = Seq((1L, 90L, 10L), (1L, 150L, 11L), (2L, 500L, 12L))
+    val want = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 900L, 3L), (2L, 50L, 4L)).map {
+      case (k, ts, lid) =>
+        val cand = rr.filter(r => r._1 == k && r._2 <= ts).sortBy(_._2).lastOption
+        (lid, cand.filter(c => ts - c._2 <= 100L).map(_._3))
+    }
+    assert(got == want)
+  }
 }
