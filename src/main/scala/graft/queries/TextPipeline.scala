@@ -283,6 +283,90 @@ object TextPipeline {
             sum(col("nt")).as("total_toks"),
             when(sum(col("nt")) >= lit(54) * count(lit(1)), 1L).otherwise(0L).as("kept"))
           .orderBy(col("source"))
+    },
+
+    // Pattern-based PII scrubbing audit (operators.PiiScrub) over BOTH text
+    // surfaces: events.props (JSON — digits redact to <NUM>) and
+    // documents.text (clean prose — every pattern must count 0, the
+    // false-positive guard). Pure codegen'd map work; the regexes stay in
+    // the Java∩RE2 semantic subset.
+    DeclaredQuery("p16_pii_scrub",
+      """SELECT kind, COUNT(*) AS n_rows,
+        |       CAST(SUM(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+        |       CAST(SUM(len(regexp_extract_all(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS n_ip,
+        |       CAST(SUM(len(regexp_extract_all(s, '[0-9]+'))) AS BIGINT) AS n_num,
+        |       COUNT(DISTINCT regexp_replace(regexp_replace(regexp_replace(s,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |         '[0-9]+', '<NUM>', 'g')) AS n_masked_forms
+        |FROM (SELECT 'doc' AS kind, text AS s FROM documents
+        |      UNION ALL SELECT 'props', props FROM events)
+        |GROUP BY kind ORDER BY kind""".stripMargin) {
+      (s, dir) =>
+        val u = Tables.table(s, dir, "documents")
+          .select(lit("doc").as("kind"), col("text").as("s"))
+          .unionByName(Tables.table(s, dir, "events")
+            .select(lit("props").as("kind"), col("props").as("s")))
+        graft.operators.PiiScrub.audit(u, "s", "kind")
+    },
+
+    // Deterministic stratified sampling — per-source Bernoulli keep decision
+    // from a content hash (first md5 hex byte vs a per-stratum threshold),
+    // so the sample is reproducible across engines, runs, partitionings, and
+    // re-crawls; target rates vary by stratum (source index mod 3 →
+    // 20%/50%/80%). Pure map work + one stats groupBy.
+    DeclaredQuery("p17_stratified_sample",
+      """SELECT source, COUNT(*) AS n_total,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM (SELECT source, n_chars,
+        |             substring(md5(text),1,2) <
+        |               CASE CAST(substring(source,4) AS INT) % 3
+        |                    WHEN 0 THEN '33' WHEN 1 THEN '80' ELSE 'cc' END AS keep
+        |      FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val thr = when(substring(col("source"), 4, 10).cast("int") % 3 === 0, "33")
+          .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, "80")
+          .otherwise("cc")
+        Tables.table(s, dir, "documents")
+          .select(col("source"), col("n_chars"),
+            (substring(md5(col("text")), 1, 2) < thr).as("keep"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+            sum(when(col("keep"), col("n_chars")).otherwise(0L)).cast("long").as("kept_chars"))
+          .orderBy(col("source"))
+    },
+
+    // TF-IDF term scoring — the classic relevance/keyword signal: term
+    // frequency per (doc, token) from the shared token table, document
+    // frequency from ONE further aggregation of that same tf frame (never a
+    // second corpus scan), idf = ln(N/df). Top-20 scored terms; ROUND(…,6)
+    // absorbs cross-engine ln() ulp noise.
+    DeclaredQuery("p18_tfidf_top_terms",
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.tok,
+        |       ROUND(tf.tf * ln(CAST(n.n AS DOUBLE)/df.df), 6) AS score
+        |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |ORDER BY score DESC, tf.doc_id, tf.tok LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val tf = Tables.docTokens(s, dir)
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = Tables.table(s, dir, "documents").select(count(lit(1)).as("n"))
+        tf.join(df, "tok")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"), col("tok"))
+          .limit(20)
     }
   )
 }

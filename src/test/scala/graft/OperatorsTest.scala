@@ -218,6 +218,22 @@ class OperatorsTest extends AnyFunSuite {
     assert(naive.nonEmpty && fast == naive)
   }
 
+  test("PiiScrub redacts planted PII and leaves clean text untouched") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or 10.0.0.1 room 42"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and ip 192.168.1.255")).toDF("id", "s")
+    val out = df.select($"id",
+        graft.operators.PiiScrub.scrubbed($"s").as("m"),
+        graft.operators.PiiScrub.matchCount($"s", "email").as("ne"),
+        graft.operators.PiiScrub.matchCount($"s", "ipv4").as("ni"))
+      .orderBy($"id").collect()
+    assert(out(0).getString(1) == "contact <EMAIL> or <IP> room <NUM>")
+    assert(out(0).getLong(2) == 1 && out(0).getLong(3) == 1)
+    assert(out(1).getString(1) == "no pii here at all")
+    assert(out(2).getLong(2) == 2 && out(2).getLong(3) == 1)
+  }
+
   test("asofLatestWithin ≡ asofLatest with tolerance post-filter, naive scan") {
     val left = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 900L, 3L), (2L, 50L, 4L))
       .toDF("k", "ts", "lid")
