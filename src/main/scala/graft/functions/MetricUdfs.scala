@@ -26,4 +26,12 @@ object MetricUdfs {
     udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double], bound: Double) =>
       Metrics.hausdorffBounded(xa.toArray, ya.toArray, xb.toArray, yb.toArray, bound)
     }
+  /** Douglas–Peucker simplification stats: (points kept, realized max
+    * error) per trajectory — geo.Simplify run once per row. */
+  val dpStats: UserDefinedFunction =
+    udf { (xs: Seq[Double], ys: Seq[Double], eps: Double) =>
+      val xa = xs.toArray; val ya = ys.toArray
+      val kept = graft.geo.Simplify.douglasPeucker(xa, ya, eps)
+      (kept.length, graft.geo.Simplify.maxError(xa, ya, kept))
+    }
 }

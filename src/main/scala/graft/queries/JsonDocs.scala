@@ -294,6 +294,61 @@ object JsonDocs {
         graft.operators.Components.dedupGroups(
             graft.operators.DocSimilarity.nearDupPairs(s, dir))
           .orderBy(col("group_id"))
+    },
+
+    // Cross-document duplicated-SPAN detection (operators.SpanDedup — the
+    // n-gram form of Lee et al.'s exact substring dedup): fraction of each
+    // document's 8-token shingle positions whose shingle recurs in another
+    // document. The operator shuffles 64-bit gram hashes, never strings;
+    // the oracle joins the gram text directly — identical counts.
+    DeclaredQuery("d8_span_dedup",
+      """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
+        |             i -> array_to_string(toks[i:i+7], ' '))) AS gram FROM l),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |       CAST(COUNT(dup.gram) AS BIGINT) AS n_dup,
+        |       ROUND(CAST(COUNT(dup.gram) AS DOUBLE)/COUNT(*), 6) AS dup_ratio
+        |FROM g LEFT JOIN dup ON g.gram = dup.gram
+        |GROUP BY g.doc_id
+        |ORDER BY ROUND(CAST(COUNT(dup.gram) AS DOUBLE)/COUNT(*), 6) DESC, g.doc_id
+        |LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        graft.operators.SpanDedup.dupSpanStats(
+            Tables.table(s, dir, "documents"), "text", k = 8)
+          .orderBy(col("dup_ratio").desc, col("doc_id"))
+          .limit(20)
+    },
+
+    // Embedding-space outlier detection: cosine distance of every vector to
+    // its LABEL's centroid, in LONG FORM (one row per vector element) — the
+    // layout that survives any dimension/row-count scale-up: elementwise
+    // centroid = one groupBy(label, i), dot/norms = one more groupBy after a
+    // broadcast join on (label, i). No fat-array UDAF in the hot path.
+    DeclaredQuery("v3_centroid_outliers",
+      """WITH lf AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+        |            FROM embeddings, range(1,65) t(i)),
+        |c AS (SELECT label, i, AVG(v) AS cv FROM lf GROUP BY label, i),
+        |a AS (SELECT vec_id, lf.label, SUM(v*cv) AS dot, SUM(v*v) AS n2e, SUM(cv*cv) AS n2c
+        |      FROM lf JOIN c ON c.label = lf.label AND c.i = lf.i
+        |      GROUP BY vec_id, lf.label)
+        |SELECT vec_id, label, ROUND(1 - dot/(SQRT(n2e)*SQRT(n2c)), 6) AS cos_dist
+        |FROM a ORDER BY cos_dist DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val long = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "v0")))
+          .select(col("vec_id"), col("label"), col("i"), col("v0").cast("double").as("v"))
+        val cent = long.groupBy(col("label"), col("i")).agg(avg(col("v")).as("cv"))
+        long.join(broadcast(cent), Seq("label", "i"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(col("v") * col("cv")).as("dot"),
+            sum(col("v") * col("v")).as("n2e"),
+            sum(col("cv") * col("cv")).as("n2c"))
+          .select(col("vec_id"), col("label"),
+            round(lit(1) - col("dot") / (sqrt(col("n2e")) * sqrt(col("n2c"))), 6).as("cos_dist"))
+          .orderBy(col("cos_dist").desc, col("vec_id"))
+          .limit(10)
     }
   )
 

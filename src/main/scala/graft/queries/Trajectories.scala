@@ -236,6 +236,24 @@ object Trajectories {
          |ORDER BY q_user, dist, user_id""".stripMargin) {
       (s, dir) => graft.operators.TrajectorySearch.topKBatchPruned(
         Tables.trajArrays(s, dir, "purchase"), Seq(0L, 1L, 2L, 3L, 4L), 10, "hausdorff")
+    },
+
+    // Douglas–Peucker trajectory simplification (geo.Simplify — published
+    // 1973 algorithm; the compression pass a trajectory store runs at
+    // ingest). Per-user kernel work, embarrassingly parallel; the recursive
+    // split is not SQL-expressible, so the query is oracle-exempt —
+    // SimplifyTest proves the invariants (endpoints kept, subsequence,
+    // realized error ≤ ε, naive-recursion equivalence, determinism).
+    DeclaredQuery.noOracle("t12_dp_simplify") {
+      (s, dir) =>
+        val dp = graft.functions.MetricUdfs.dpStats
+        Tables.trajArrays(s, dir, "purchase")
+          .select(col("user_id"), size(col("xs")).cast("long").as("n_points"),
+            dp(col("xs"), col("ys"), lit(10.0)).as("st"))
+          .select(col("user_id"), col("n_points"),
+            col("st._1").cast("long").as("n_kept"),
+            round(col("st._2"), 6).as("max_err"))
+          .orderBy(col("user_id"))
     }
   )
 }

@@ -218,6 +218,27 @@ class OperatorsTest extends AnyFunSuite {
     assert(naive.nonEmpty && fast == naive)
   }
 
+  test("SpanDedup hashed-gram stats ≡ naive string-keyed scan") {
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val k = 8
+    val raw = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val grams = raw.flatMap { case (id, toks) =>
+      if (toks.length < k) Seq.empty
+      else toks.sliding(k).map(w => (id, w.mkString(" "))).toSeq
+    }
+    val dupSet = grams.groupBy(_._2).filter(_._2.map(_._1).distinct.length > 1).keySet
+    val naive = grams.groupBy(_._1).map { case (id, gs) =>
+      val nd = gs.count(g => dupSet(g._2))
+      (id, gs.length.toLong, nd.toLong)
+    }.toSeq.sortBy(_._1)
+    val fast = graft.operators.SpanDedup.dupSpanStats(docs, "text", k)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(naive.nonEmpty && fast == naive)
+    assert(naive.exists(_._3 > 0)) // signal exists: some doc has duplicated spans
+  }
+
   test("PiiScrub redacts planted PII and leaves clean text untouched") {
     val df = Seq(
       (1L, "contact bob.smith+x@mail.example.org or 10.0.0.1 room 42"),
