@@ -349,6 +349,52 @@ object JsonDocs {
             round(lit(1) - col("dot") / (sqrt(col("n2e")) * sqrt(col("n2c"))), 6).as("cos_dist"))
           .orderBy(col("cos_dist").desc, col("vec_id"))
           .limit(10)
+    },
+
+    // Fuzzy dedup END-TO-END — the keep-one step d6 stops short of: every
+    // near-dup component keeps only its canonical (min-id) member, and the
+    // query reports the surviving corpus per language. Dropping is an
+    // ANTI-JOIN against the non-canonical component members (id ≠ comp from
+    // the same CC labeling d6 builds on the memoized pair set) — never a
+    // driver-side id list.
+    DeclaredQuery("d9_dedup_survivors",
+      """WITH RECURSIVE
+        |toks AS (SELECT DISTINCT doc_id, lang, tok
+        |         FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |         WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |          FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                  AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM inter JOIN sizes s1 ON s1.doc_id=d1
+        |          JOIN sizes s2 ON s2.doc_id=d2
+        |          WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |                WHERE e.b <> r.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+        |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+        |SELECT d.lang, COUNT(*) AS n_kept,
+        |       CAST(SUM(s.c) AS BIGINT) AS kept_distinct_toks
+        |FROM documents d JOIN sizes s ON s.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) {
+      (s, dir) =>
+        val labels = graft.operators.Components.connectedComponents(
+          graft.operators.DocSimilarity.nearDupPairs(s, dir)
+            .select(col("d1").as("a"), col("d2").as("b")),
+          assumeCanonical = true)
+        val dropped = labels.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+        val sizes = Tables.docTokens(s, dir)
+          .select(col("doc_id"), col("lang"), col("tok")).distinct()
+          .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("c"))
+        sizes.join(dropped, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("c")).as("kept_distinct_toks"))
+          .orderBy(col("lang"))
     }
   )
 

@@ -367,6 +367,44 @@ object TextPipeline {
             round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("score"))
           .orderBy(col("score").desc, col("doc_id"), col("tok"))
           .limit(20)
+    },
+
+    // Composite document-quality VERDICT (Gopher-rule shape, Rae et al.
+    // 2021: length window, mean word length window, lexical diversity):
+    // first failing rule names the drop reason. Every comparison is exact
+    // integer arithmetic (Σchars vs k·n, 20·distinct vs 7·total) — no float
+    // division near a threshold. One map pass + one stats groupBy.
+    DeclaredQuery("p19_quality_verdict",
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(string_split(text,' '), x -> x <> '')) AS nt,
+        |                  len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS nd,
+        |                  list_sum(list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+        |                                          w -> length(w))) AS chars
+        |           FROM documents),
+        |v AS (SELECT doc_id, nt,
+        |             CASE WHEN nt < 30 THEN 'too_short'
+        |                  WHEN 5*chars > 24*nt THEN 'long_words'
+        |                  WHEN 20*nd < 7*nt THEN 'low_diversity'
+        |                  ELSE 'keep' END AS verdict
+        |      FROM t)
+        |SELECT verdict, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_toks
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin) {
+      (s, dir) =>
+        val t = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("nt"),
+            size(array_distinct(col("toks"))).cast("long").as("nd"),
+            expr("aggregate(toks, 0L, (s, w) -> s + length(w))").as("chars"))
+        t.select(col("nt"),
+            when(col("nt") < 30, "too_short")
+              .when(lit(5) * col("chars") > lit(24) * col("nt"), "long_words")
+              .when(lit(20) * col("nd") < lit(7) * col("nt"), "low_diversity")
+              .otherwise("keep").as("verdict"))
+          .groupBy(col("verdict"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_toks"))
+          .orderBy(col("verdict"))
     }
   )
 }
