@@ -238,6 +238,26 @@ object Trajectories {
         Tables.trajArrays(s, dir, "purchase"), Seq(0L, 1L, 2L, 3L, 4L), 10, "hausdorff")
     },
 
+    // Spatial density histogram — the grid heatmap every trajectory store
+    // serves (visit counts + distinct visitors per cell). One hash
+    // aggregation over the long-form point stream: no arrays, no windows;
+    // the heaviest-cell ranking is a TakeOrdered, not a global sort.
+    DeclaredQuery("t13_grid_density",
+      s"""WITH pts AS ${ptsViewS("purchase")}
+         |SELECT CAST(FLOOR(x/5) AS BIGINT) AS gx, CAST(FLOOR(y/20) AS BIGINT) AS gy,
+         |       COUNT(*) AS n_visits, COUNT(DISTINCT user_id) AS n_users
+         |FROM pts GROUP BY 1, 2
+         |ORDER BY n_visits DESC, gx, gy LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Tables.pts(s, dir, "purchase")
+          .groupBy(floor(col("x") / 5).cast("long").as("gx"),
+            floor(col("y") / 20).cast("long").as("gy"))
+          .agg(count(lit(1)).as("n_visits"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_visits").desc, col("gx"), col("gy"))
+          .limit(20)
+    },
+
     // Douglas–Peucker trajectory simplification (geo.Simplify — published
     // 1973 algorithm; the compression pass a trajectory store runs at
     // ingest). Per-user kernel work, embarrassingly parallel; the recursive

@@ -140,6 +140,19 @@ object StreamingQueries {
         docs.select(col("doc_id"), col("text")), 3),
       benchShingles)
 
+  /** p16 counterpart: CONTINUOUS PII scrubbing at ingest — the redaction
+    * pass runs BEFORE anything else persists the text, so it must be a
+    * stateless map over arriving documents: per-row regex counts + masked
+    * text, no state store, no watermark. Emits one scrubbed row per doc in
+    * append mode; the audit aggregation runs downstream (equivalence test
+    * matches batch PiiScrub.audit exactly). */
+  def streamPiiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.operators.PiiScrub.matchCount(col("text"), "email").as("n_email"),
+      graft.operators.PiiScrub.matchCount(col("text"), "ipv4").as("n_ip"),
+      graft.operators.PiiScrub.matchCount(col("text"), "number").as("n_num"),
+      graft.operators.PiiScrub.scrubbed(col("text")).as("masked"))
+
   /** One emitted session: (user_id, session start µs, event count, duration µs). */
   final case class Session(user_id: Long, start_us: Long, n_ev: Long, dur_us: Long)
   /** Open-session state carried between micro-batches. */

@@ -243,4 +243,26 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("p16 streaming PII scrub == batch audit (stateless ingest map)") {
+    // stream source must be a directory: stage the table as one batch file
+    val dir = Files.createTempDirectory("graft-piistream")
+    Tables.table(spark, TestSpark.sf0001, "documents")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val scrubStream = StreamingQueries.streamPiiScrub(
+      StreamingQueries.documentsStream(spark, dir.toString))
+    val q = scrubStream.writeStream.format("memory").queryName("s_p16")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_p16")
+      .agg(count($"doc_id").as("n_rows"), sum($"n_email").as("n_email"),
+        sum($"n_ip").as("n_ip"), sum($"n_num").as("n_num"),
+        countDistinct($"masked").as("n_masked_forms"))
+      .collect().map(_.toString).toSeq
+    val want = graft.operators.PiiScrub.audit(
+        Tables.table(spark, TestSpark.sf0001, "documents")
+          .select(lit("doc").as("kind"), $"text"), "text", "kind")
+      .drop("kind").collect().map(_.toString).toSeq
+    assert(got == want)
+  }
 }
