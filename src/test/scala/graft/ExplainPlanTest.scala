@@ -142,4 +142,40 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("f7: fuzzy match enumerates via the length-band EQUI-join, never a nested loop") {
+    val p = plan("f7_fuzzy_name_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("d8: span-dedup join keys are the 64-bit gram hashes, not gram strings") {
+    val p = plan("d8_span_dedup")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(joinLines.contains("gid"), joinLines)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d9: survivor filter plans as an ANTI join") {
+    assert(plan("d9_dedup_survivors").contains("LeftAnti"))
+  }
+
+  test("r14: per-part threshold is a pre-aggregation equi-joined back (no nested loop)") {
+    val p = plan("r14_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("Rank.topKPerGroup gets the WindowGroupLimit pushdown (bounded heaps, no full sort of losers)") {
+    // Spark 4 plans a single rank() <= k filter as WindowGroupLimit:
+    // per-partition bounded heaps BEFORE the window sort. Both levels of the
+    // salted two-phase top-k must get it — this is why the operator needs no
+    // custom physical node.
+    import org.apache.spark.sql.functions.col
+    val o = Tables.table(TestSpark.spark, TestSpark.sf0001, "orders")
+    val p = graft.operators.Rank.topKPerGroup(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3, col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2, p)
+  }
 }
