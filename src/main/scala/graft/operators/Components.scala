@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Converged component labelings memoized per (session, caller key) —
+    * the labeling is a shared derived artifact (d6 group stats and d9
+    * keep-one filtering both consume the SAME labels over the same memoized
+    * pair set), so a warm session runs the contraction loop once. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Drop memoized labelings (tests only). */
+  def clearMemo(): Unit = memo.clear()
+
+  /** [[connectedComponents]] with the result memoized + materialized per
+    * (session, cacheKey). */
+  def connectedComponentsCached(edges: DataFrame, cacheKey: String,
+                                maxIter: Int = 30,
+                                assumeCanonical: Boolean = false): DataFrame =
+    memo.getOrElseUpdate((edges.sparkSession, cacheKey),
+      connectedComponents(edges, maxIter, assumeCanonical).localCheckpoint())
+
   /** One contraction round over canonical (u > v) edges: rewire either the
     * larger-than-x neighbors (large-star) or the ≤-x neighbors plus x itself
     * (small-star) to m(x) = min of x's closed neighborhood. The rewire join
@@ -105,11 +123,17 @@ object Components {
   }
 
   /** Dedup groups from near-dup pairs: (group_id = min doc id in component,
-    * n_docs). Singleton documents (no near-dup edge) are not groups. */
-  def dedupGroups(pairs: DataFrame, d1: String = "d1", d2: String = "d2"): DataFrame =
+    * n_docs). Singleton documents (no near-dup edge) are not groups.
+    * `cacheKey` routes through the memoized labeling. */
+  def dedupGroups(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+                  cacheKey: Option[String] = None): DataFrame = {
     // similarity joins emit distinct pairs with d1 < d2 — already canonical
-    connectedComponents(pairs.select(col(d1).as("a"), col(d2).as("b")),
-        assumeCanonical = true)
-      .groupBy(col("comp").as("group_id"))
+    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+    val labels = cacheKey match {
+      case Some(key) => connectedComponentsCached(edges, key, assumeCanonical = true)
+      case None => connectedComponents(edges, assumeCanonical = true)
+    }
+    labels.groupBy(col("comp").as("group_id"))
       .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -292,7 +292,8 @@ object JsonDocs {
         |GROUP BY group_id ORDER BY group_id""".stripMargin) {
       (s, dir) =>
         graft.operators.Components.dedupGroups(
-            graft.operators.DocSimilarity.nearDupPairs(s, dir))
+            graft.operators.DocSimilarity.nearDupPairs(s, dir),
+            cacheKey = Some(s"$dir#neardup"))
           .orderBy(col("group_id"))
     },
 
@@ -383,10 +384,10 @@ object JsonDocs {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) {
       (s, dir) =>
-        val labels = graft.operators.Components.connectedComponents(
+        val labels = graft.operators.Components.connectedComponentsCached(
           graft.operators.DocSimilarity.nearDupPairs(s, dir)
             .select(col("d1").as("a"), col("d2").as("b")),
-          assumeCanonical = true)
+          cacheKey = s"$dir#neardup", assumeCanonical = true)
         val dropped = labels.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
         val sizes = Tables.docTokens(s, dir)
           .select(col("doc_id"), col("lang"), col("tok")).distinct()
