@@ -104,8 +104,21 @@ object Sketches {
   // their members are either near-identical clusters (caught upstream by
   // exact dedup d1/d3) or ubiquitous-shingle noise. The declared p6 keeps
   // the uncapped default so its output is a deterministic contract.
+  /** Banded-LSH candidate pairs memoized + persisted per (session, dir,
+    * params) — a deterministic derived artifact (seeded hashes) consumed by
+    * p6 and by any downstream near-dup verify, so a warm session builds the
+    * ~|near-dup-pairs|-row candidate set once (the d3-pair-set precedent). */
+  private val mhMemo = TrieMap.empty[(SparkSession, String, Int, Int, Int), DataFrame]
+
   def minhashCandidates(s: SparkSession, dir: String, k: Int = 16, bands: Int = 8,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                        maxBucketSize: Int = Int.MaxValue): DataFrame =
+    mhMemo.getOrElseUpdate((s, dir, k, bands, maxBucketSize), {
+      minhashCandidatesUncached(s, dir, k, bands, maxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def minhashCandidatesUncached(s: SparkSession, dir: String, k: Int, bands: Int,
+                                        maxBucketSize: Int): DataFrame = {
     val rowsPerBand = k / bands
     val sig = Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
@@ -185,10 +198,13 @@ object Sketches {
 
   private val ivfMemo = TrieMap.empty[(SparkSession, String, Int), IvfIndex]
 
-  /** Drop memoized IVF indexes (tests only; disk artifacts stay). */
+  /** Drop memoized IVF indexes and LSH candidate sets (tests only; disk
+    * artifacts stay). */
   def resetCaches(): Unit = {
     ivfMemo.values.foreach(ix => try ix.assigned.unpersist() catch { case _: Throwable => () })
     ivfMemo.clear()
+    mhMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    mhMemo.clear()
   }
 
   /** Build (or load) the IVF index: if the (centers, assigned) parquet
