@@ -117,6 +117,40 @@ object EventsQ {
           .orderBy(col("user_id"))
     },
 
+    // LEFT OUTER interval join: every purchase flows through, enriched with
+    // its recent errors or NULLs — the enrich-or-null shape. The streaming
+    // twin (streamStreamErrorsOuter) emits watermark-proven unmatched rows
+    // exactly, equivalence-tested by replay with a sentinel flush.
+    DeclaredQuery("e7_outer_interval_join",
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_us FROM events
+        |      WHERE event_type = 'error')
+        |SELECT p.user_id,
+        |       CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(DISTINCT CASE WHEN e.err_id IS NOT NULL THEN p.event_id END) AS BIGINT)
+        |         AS n_matched,
+        |       CAST(COUNT(e.err_id) AS BIGINT) AS n_pair_rows
+        |FROM p LEFT JOIN e ON p.user_id = e.user_id
+        |  AND e.err_us <= p.ts_us AND e.err_us > p.ts_us - 3600000000
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+            col("ts_us").as("err_us"))
+        p.join(e, col("user_id") === col("e_user") &&
+            col("err_us") <= col("ts_us") && col("err_us") > col("ts_us") - 3600000000L,
+          "left_outer")
+          .groupBy(col("user_id"))
+          .agg(countDistinct(col("event_id")).as("n_purchases"),
+            countDistinct(when(col("err_id").isNotNull, col("event_id"))).as("n_matched"),
+            count(col("err_id")).as("n_pair_rows"))
+          .orderBy(col("user_id"))
+    },
+
     // Stream-static enrichment join surface: events keyed to the customer
     // dimension (user_id ⊆ c_custkey in the fixture). The streaming twin
     // broadcast-joins the static dim per micro-batch

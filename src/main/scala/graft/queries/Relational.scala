@@ -326,6 +326,47 @@ object Relational {
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n_small"), msum(col("l_extendedprice")).as("small_rev"))
           .orderBy(col("p_brand"))
+    },
+
+    // TPC-H Q21 shape — suppliers who kept orders waiting: in multi-supplier
+    // orders, the supplier who was the ONLY late shipper (> 60 days after
+    // the order date). The doubly-correlated EXISTS / NOT EXISTS pair plans
+    // as one SEMI and one ANTI hash join on the order key with the
+    // supplier-inequality as residual — no per-row re-scan of lineitem.
+    DeclaredQuery("r15_only_late_supplier",
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM late w
+        |JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM ls l2 WHERE l2.l_orderkey = w.l_orderkey
+        |                                    AND l2.l_suppkey <> w.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = w.l_orderkey
+        |                                          AND l3.l_suppkey <> w.l_suppkey)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val l = Tables.table(s, dir, "lineitem")
+        val o = Tables.table(s, dir, "orders")
+        val ls = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val late = l.join(o, l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val l2 = ls.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        val sup = Tables.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        late
+          .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
     }
   )
 }

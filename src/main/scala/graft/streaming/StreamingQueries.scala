@@ -112,6 +112,31 @@ object StreamingQueries {
       .select(col("user_id"), col("event_id"), col("err_id"))
   }
 
+  /** e7 counterpart: LEFT OUTER stream-stream interval join — purchases
+    * WITHOUT a recent error must also flow downstream (the enrich-or-null
+    * shape). Spark buffers an unmatched left row until the watermark proves
+    * no matching right row can still arrive, then emits it with NULL error
+    * columns — so the outer side is exact, not best-effort, and state stays
+    * bounded by the same 2 h watermark as the inner e6 join. Watermarks are
+    * stamped BEFORE the event-type filters so a replay sentinel can advance
+    * them (the e3 flush technique). */
+  def streamStreamErrorsOuter(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ev_time", "2 hours")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ev_time"))
+    val e = errors.withWatermark("ev_time", "2 hours")
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts_us").as("err_us"), col("ev_time").as("err_time"))
+    p.join(e,
+      col("user_id") === col("e_user") &&
+        col("err_time") <= col("ev_time") &&
+        col("err_time") >= col("ev_time") - expr("INTERVAL 1 HOUR") &&
+        col("err_us") <= col("ts_us") && col("err_us") > col("ts_us") - 3600000000L,
+      "left_outer")
+      .select(col("user_id"), col("event_id"), col("err_id"))
+  }
+
   /** Raw parquet schema of `documents` (for the file-source replay). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

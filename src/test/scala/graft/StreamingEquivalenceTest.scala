@@ -244,6 +244,57 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("e7 streaming LEFT OUTER interval join == batch (watermark-proven unmatched rows)") {
+    // outer rows only emit once the watermark proves no match can arrive —
+    // a far-future sentinel in a final micro-batch flushes them (e3 technique)
+    val dir = Files.createTempDirectory("graft-stream-e7")
+    val srcs = Files.list(Paths.get(replayDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    srcs.zipWithIndex.foreach { case (p, i) =>
+      val dst = Files.copy(p, dir.resolve(p.getFileName))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val maxTs = Tables.table(spark, TestSpark.sf0001, "events")
+      .agg(max($"ts")).as[Long].head()
+    // TWO sentinel batches, each with a 'purchase' AND an 'error' row for
+    // user -1: the event-type filters are pushed below the two
+    // EventTimeWatermark nodes into the scans, and the global watermark is
+    // the MIN over both nodes — so a sentinel must survive BOTH filters to
+    // advance it. Outer-join state eviction runs one micro-batch BEHIND the
+    // watermark advance (first sentinel moves it, second triggers the
+    // flush). The -1 sentinel rows are excluded from the comparison.
+    Seq(1L, 2L).foreach { i =>
+      val sentinel = Seq(
+        (-(2 * i - 1), maxTs + i * 86400L * 1000000000L, -1L, "purchase", 0.0, "{}"),
+        (-(2 * i), maxTs + i * 86400L * 1000000000L, -1L, "error", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = Files.createTempDirectory(s"graft-sentinel-e7-$i")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch9$i.parquet"))
+      Thread.sleep(20)
+    }
+
+    val pairs = StreamingQueries.streamStreamErrorsOuter(
+      StreamingQueries.eventsStream(spark, dir.toString),
+      StreamingQueries.eventsStream(spark, dir.toString))
+    val q = pairs.writeStream.format("memory").queryName("s_e7")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_e7")
+      .filter($"user_id" >= 0)
+      .groupBy($"user_id")
+      .agg(countDistinct($"event_id").as("n_purchases"),
+        countDistinct(when($"err_id".isNotNull, $"event_id")).as("n_matched"),
+        count($"err_id").as("n_pair_rows"))
+      .orderBy($"user_id").collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("e7_outer_interval_join")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    // the outer side is real: some purchases must be unmatched
+    assert(spark.table("s_e7").filter($"err_id".isNull).count() > 0)
+  }
+
   test("p16 streaming PII scrub == batch audit (stateless ingest map)") {
     // stream source must be a directory: stage the table as one batch file
     val dir = Files.createTempDirectory("graft-piistream")
