@@ -186,6 +186,61 @@ object Sketches {
       .limit(k)
   }
 
+  /** ALL-PAIRS random-projection LSH similarity join — the scale path
+    * SCALE.md promises for v2: candidate pairs from L independent
+    * hyperplane signature tables (bucket equi-joins over SLIM signature
+    * rows, never n²/2 vector pairs), exact cosine refine after candidate
+    * dedup, so every emitted pair's similarity is exact and recall is
+    * 1-(1-p^b)^L with p = 1-θ/π (≈ 0.93 at cos 0.9 with b=8, L=12 —
+    * measured on planted near-dups in SketchesTest). LSH is a HIGH-
+    * similarity tool: at mid thresholds p^b collapses and candidate volume
+    * approaches all-pairs — callers wanting cos ≥ 0.5 on weakly clustered
+    * data should use the exact v2 bound-then-refine instead. */
+  def lshRefinedPairs(vecs: DataFrame, nPlanes: Int = 8, tables: Int = 12): DataFrame = {
+    val s = vecs.sparkSession
+    val dim = 64
+    val rnd = new scala.util.Random(20240812L)
+    val planes = Array.fill(tables, nPlanes, dim)(rnd.nextGaussian())
+    val bPlanes = s.sparkContext.broadcast(planes)
+    val sigsUdf = udf { (emb: Seq[Float]) =>
+      val ps = bPlanes.value
+      (0 until ps.length).map { t =>
+        var sig = 0
+        var i = 0
+        while (i < nPlanes) {
+          var d = 0.0
+          var j = 0
+          while (j < dim && j < emb.length) { d += ps(t)(i)(j) * emb(j); j += 1 }
+          if (d >= 0) sig |= (1 << i)
+          i += 1
+        }
+        sig
+      }
+    }
+    val base = vecs
+    // slim signature rows only — embeddings rejoin AFTER candidate dedup so
+    // the bucket join and the distinct never shuffle vector payloads
+    val em = base.select(col("vec_id"), posexplode(sigsUdf(col("embedding"))).as(Seq("t", "sig")))
+    val a = em.select(col("t"), col("sig"), col("vec_id").as("id1"))
+    val b = em.select(col("t").as("tb"), col("sig").as("sigb"), col("vec_id").as("id2"))
+    val cand = a.join(b, col("t") === col("tb") && col("sig") === col("sigb") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val cos = VectorOps.dot(col("e1"), col("e2")) /
+      (sqrt(VectorOps.norm2Col("e1")) * sqrt(VectorOps.norm2Col("e2")))
+    cand.join(base.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(base.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      .select(col("id1"), col("id2"), round(cos, 6).as("cos_sim"))
+  }
+
+  /** Near-dup form: LSH candidates refined against `threshold` (cos ≥ 0.9
+    * default — the regime where the bucket join actually prunes). */
+  def lshNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.9,
+                      nPlanes: Int = 8, tables: Int = 12): DataFrame =
+    lshRefinedPairs(Tables.table(s, dir, "embeddings"), nPlanes, tables)
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+
   /** IVF coarse index: quantizer centroid array (bounded, nlist rows) plus
     * the per-vector list assignment table. Built ONCE per (session, dir,
     * nlist), memoized in-session AND persisted as a parquet artifact via

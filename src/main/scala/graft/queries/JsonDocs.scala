@@ -352,6 +352,21 @@ object JsonDocs {
           .limit(10)
     },
 
+    // v2's 100 TB scale path made concrete: approximate most-similar vector
+    // pairs via L independent random-projection LSH tables (bucket
+    // equi-joins over slim signature rows, never n²/2 vector pairs), exact
+    // cosine refine on deduped candidates — every emitted similarity is
+    // exact; only the candidate set is approximate. On planted near-dups
+    // the ≥0.9 filter has recall ≥ 0.8 with precision 1 (SketchesTest).
+    // Randomized (seeded) → oracle-exempt.
+    DeclaredQuery.noOracle("v4_lsh_top_pairs") {
+      (s, dir) =>
+        graft.operators.Sketches
+          .lshRefinedPairs(Tables.table(s, dir, "embeddings"))
+          .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+          .limit(100)
+    },
+
     // Fuzzy dedup END-TO-END — the keep-one step d6 stops short of: every
     // near-dup component keeps only its canonical (min-id) member, and the
     // query reports the surviving corpus per language. Dropping is an

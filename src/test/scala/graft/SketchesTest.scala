@@ -23,6 +23,26 @@ class SketchesTest extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("v4 LSH all-pairs: planted near-dups found, precision 1, recall >= 0.8") {
+    // fixture embeddings have no cos >= 0.9 pairs (max ~0.6), so plant them:
+    // 20 base vectors each with a tiny-perturbation twin (cos ~ 1.0)
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val twins = (0L until 20L).map(i => (100L + i, base(i.toInt)._2.map(x => x + 0.002f)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val exact = graft.operators.VectorOps
+      .cosineSelfJoin(df, "vec_id", "embedding", 0.9)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Sketches.lshRefinedPairs(df).filter($"cos_sim" >= 0.9)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"planting failed: ${exact.size}")
+    // exact refine on candidates → precision 1 (every emitted pair is real)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("simhash: identical docs collide, fingerprints are deterministic") {
     val sh = Sketches.simhashes(spark, TestSpark.sf0001)
     val docs = Tables.table(spark, TestSpark.sf0001, "documents")
