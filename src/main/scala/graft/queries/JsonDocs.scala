@@ -362,7 +362,7 @@ object JsonDocs {
     DeclaredQuery.noOracle("v4_lsh_top_pairs") {
       (s, dir) =>
         graft.operators.Sketches
-          .lshRefinedPairs(Tables.table(s, dir, "embeddings"))
+          .lshRefinedPairs(Tables.table(s, dir, "embeddings"), cacheKey = Some(dir))
           .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
           .limit(100)
     },
