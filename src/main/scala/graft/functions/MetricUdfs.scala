@@ -26,6 +26,16 @@ object MetricUdfs {
     udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double], bound: Double) =>
       Metrics.hausdorffBounded(xa.toArray, ya.toArray, xb.toArray, yb.toArray, bound)
     }
+  /** LCSS ε-match count (similarity = count / min(n,m)). */
+  val lcss: UserDefinedFunction =
+    udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double], ex: Double, ey: Double) =>
+      Metrics.lcssCount(xa.toArray, ya.toArray, xb.toArray, yb.toArray, ex, ey)
+    }
+  /** EDR — edit distance on real sequence with ε-match substitutions. */
+  val edr: UserDefinedFunction =
+    udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double], ex: Double, ey: Double) =>
+      Metrics.edr(xa.toArray, ya.toArray, xb.toArray, yb.toArray, ex, ey)
+    }
   /** Douglas–Peucker simplification stats: (points kept, realized max
     * error) per trajectory — geo.Simplify run once per row. */
   val dpStats: UserDefinedFunction =

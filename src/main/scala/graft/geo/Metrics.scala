@@ -259,4 +259,100 @@ object Metrics {
     })
     math.sqrt(c(xa.length - 1, xb.length - 1))
   }
+
+  /** Point match predicate shared by LCSS/EDR: per-coordinate ε box
+    * (|Δx| ≤ εx ∧ |Δy| ≤ εy) — the form both papers define (Vlachos et al.
+    * ICDE'02 for LCSS; Chen/Özsu/Oria SIGMOD'05 for EDR). */
+  @inline private def matches(ax: Double, ay: Double, bx: Double, by: Double,
+                              ex: Double, ey: Double): Boolean =
+    math.abs(ax - bx) <= ex && math.abs(ay - by) <= ey
+
+  /** LCSS match count (Vlachos et al. ICDE'02), O(n·m) DP with rolling
+    * O(m) rows: `c(i,j) = 1+c(i−1,j−1)` when the points ε-match, else
+    * `max(c(i−1,j), c(i,j−1))`. Callers derive the similarity
+    * `lcss / min(n,m)` or distance `1 − lcss / min(n,m)`. LCSS tolerates
+    * gaps/outliers that DTW/Fréchet must pay for — the robust member of the
+    * metric family. */
+  def lcssCount(xa: Array[Double], ya: Array[Double],
+                xb: Array[Double], yb: Array[Double],
+                ex: Double, ey: Double): Int = {
+    val n = xa.length
+    val m = xb.length
+    if (n == 0 || m == 0) return 0
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (matches(xa(i - 1), ya(i - 1), xb(j - 1), yb(j - 1), ex, ey)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Naive memoized-recursion LCSS — property-test oracle for the DP. */
+  def lcssCountNaive(xa: Array[Double], ya: Array[Double],
+                     xb: Array[Double], yb: Array[Double],
+                     ex: Double, ey: Double): Int = {
+    val memo = collection.mutable.HashMap.empty[(Int, Int), Int]
+    def c(i: Int, j: Int): Int = if (i < 0 || j < 0) 0 else memo.getOrElseUpdate((i, j), {
+      if (matches(xa(i), ya(i), xb(j), yb(j), ex, ey)) c(i - 1, j - 1) + 1
+      else math.max(c(i - 1, j), c(i, j - 1))
+    })
+    c(xa.length - 1, xb.length - 1)
+  }
+
+  /** EDR — Edit Distance on Real sequence (Chen/Özsu/Oria SIGMOD'05):
+    * edit distance where substitution costs 0 on an ε-match and 1
+    * otherwise, insert/delete cost 1. Integer-valued (exactly hashable),
+    * robust to noise like LCSS but — unlike LCSS — it also penalizes the
+    * unmatched gaps. O(n·m) DP, rolling O(m) rows. */
+  def edr(xa: Array[Double], ya: Array[Double],
+          xb: Array[Double], yb: Array[Double],
+          ex: Double, ey: Double): Int = {
+    val n = xa.length
+    val m = xb.length
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      j = 1
+      while (j <= m) {
+        val sub = if (matches(xa(i - 1), ya(i - 1), xb(j - 1), yb(j - 1), ex, ey)) 0 else 1
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + sub)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Naive memoized-recursion EDR — property-test oracle for the DP. */
+  def edrNaive(xa: Array[Double], ya: Array[Double],
+               xb: Array[Double], yb: Array[Double],
+               ex: Double, ey: Double): Int = {
+    val memo = collection.mutable.HashMap.empty[(Int, Int), Int]
+    def c(i: Int, j: Int): Int = memo.getOrElseUpdate((i, j), {
+      if (i == 0) j
+      else if (j == 0) i
+      else {
+        val sub = if (matches(xa(i - 1), ya(i - 1), xb(j - 1), yb(j - 1), ex, ey)) 0 else 1
+        math.min(math.min(c(i - 1, j) + 1, c(i, j - 1) + 1), c(i - 1, j - 1) + sub)
+      }
+    })
+    c(xa.length, xb.length)
+  }
 }

@@ -367,6 +367,110 @@ object Relational {
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(20)
+    },
+
+    // TPC-H Q20 shape (no partsupp table in the fixture, so "availability"
+    // is re-derived from shipments): suppliers who DOMINATE some red part —
+    // shipped > 3× the average per-supplier quantity of that part. The
+    // doubly-nested subquery plans as: per-(part,supplier) agg → ONE further
+    // re-agg for the per-part total (no second lineitem scan) → broadcast
+    // semi-join on the filtered part dim → semi-join into supplier. All
+    // compares in exact integer quantity-cents; the threshold is RELATIVE
+    // (vs the part's average supplier share), so the predicate is
+    // scale-invariant — TPC-H itself rescales Q20's constant by 1/SF.
+    DeclaredQuery("r16_dominant_supplier",
+      s"""WITH pq AS (SELECT l_partkey, l_suppkey, SUM(${centsS("l_quantity")}) AS sq
+         |            FROM lineitem GROUP BY l_partkey, l_suppkey),
+         |pt AS (SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns FROM pq GROUP BY l_partkey)
+         |SELECT s.s_suppkey, s.s_name FROM supplier s
+         |WHERE s.s_suppkey IN (
+         |  SELECT pq.l_suppkey FROM pq JOIN pt ON pq.l_partkey = pt.l_partkey
+         |  WHERE pq.sq * pt.ns > 3 * pt.tq
+         |    AND pq.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'))
+         |ORDER BY s.s_suppkey""".stripMargin) {
+      (s, dir) =>
+        val pq = Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(cents(col("l_quantity"))).as("sq"))
+        val pt = pq.groupBy(col("l_partkey"))
+          .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+        val redParts = Tables.table(s, dir, "part")
+          .filter(col("p_name").like("red%")).select(col("p_partkey"))
+        val dominant = pq.join(pt, "l_partkey")
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .filter(col("sq") * col("ns") > lit(3) * col("tq"))
+          .select(col("l_suppkey"))
+        Tables.table(s, dir, "supplier")
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q11 shape: high-value (supplier-nation, part) revenue groups
+    // HAVING value above a GLOBAL aggregate scalar — here 4× the average
+    // group value (scale-invariant; Q11's 0.0001 fraction is spec'd as
+    // 0.0001/SF for the same reason). The global (total, count) is one
+    // further re-agg of the grouped frame, broadcast back as a single-row
+    // cross join; the compare is exact integer cents × counts.
+    DeclaredQuery("r17_national_value_parts",
+      s"""WITH v AS (SELECT s.s_nationkey AS nk, l.l_partkey AS pk,
+         |                  SUM(${centsS("l.l_extendedprice*(1-l.l_discount)")}) AS val
+         |           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |           GROUP BY s.s_nationkey, l.l_partkey),
+         |g AS (SELECT SUM(val) AS tot, COUNT(*) AS ng FROM v)
+         |SELECT n.n_name, v.pk AS p_partkey, CAST(v.val AS DOUBLE)/100.0 AS value
+         |FROM v JOIN nation n ON v.nk = n.n_nationkey, g
+         |WHERE v.val * g.ng > 4 * g.tot
+         |ORDER BY v.val DESC, n.n_name, v.pk""".stripMargin) {
+      (s, dir) =>
+        val sup = Tables.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val v = Tables.table(s, dir, "lineitem")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), col("l_partkey"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("val"))
+        val g = v.agg(sum(col("val")).as("tot"), count(lit(1)).as("ng"))
+        val nat = Tables.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        v.crossJoin(broadcast(g))
+          .filter(col("val") * col("ng") > lit(4) * col("tot"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("l_partkey").as("p_partkey"),
+            (col("val").cast("double") / lit(100.0)).as("value"))
+          .orderBy(col("value").desc, col("n_name"), col("p_partkey"))
+    },
+
+    // TPC-H Q22 shape: rich-but-dormant customers — balance above the
+    // average POSITIVE balance (exact integer cross-multiply, no float
+    // division near the boundary) with no order since 1999. The correlated
+    // NOT EXISTS decorrelates to a LEFT ANTI hash join with the date filter
+    // pushed below it; the global (count, sum) scalar broadcasts as a
+    // single-row cross join.
+    DeclaredQuery("r18_dormant_rich_customers",
+      s"""WITH pos AS (SELECT COUNT(*) AS n, SUM(${centsS("c_acctbal")}) AS s
+         |             FROM customer WHERE ${centsS("c_acctbal")} > 0)
+         |SELECT c.c_mktsegment, COUNT(*) AS numcust,
+         |       ${msumS("c.c_acctbal")} AS totacctbal
+         |FROM customer c, pos
+         |WHERE ${centsS("c.c_acctbal")} * pos.n > pos.s
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        val cust = Tables.table(s, dir, "customer")
+          .withColumn("bal_cents", cents(col("c_acctbal")))
+        val pos = cust.filter(col("bal_cents") > 0)
+          .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("s"))
+        val recent = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(pos))
+          .filter(col("bal_cents") * col("n") > col("s"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"), msum(col("c_acctbal")).as("totacctbal"))
+          .orderBy(col("c_mktsegment"))
     }
   )
 }

@@ -178,6 +178,44 @@ object Trajectories {
           .orderBy(col("u1"), col("u2"))
     },
 
+    // LCSS (Vlachos et al. ICDE'02) — the gap-tolerant member of the metric
+    // family: unmatched outlier points cost nothing. Output is the integer
+    // ε-match count plus the derived similarity. DP → oracle-exempt like
+    // t3/t10; DP ≡ naive recursion property-tested in MetricPropertiesTest.
+    // ε = (2 days, 25 value units) — roughly half the per-user point spacing
+    // and half a value-σ, chosen so the fixture's match counts are
+    // non-degenerate (neither 0 nor min(n,m) everywhere).
+    DeclaredQuery.noOracle("t14_lcss_pairs") {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase").filter(col("user_id") <= 20)
+        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"),
+          size(col("xs")).as("n1"))
+        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"),
+          size(col("xs")).as("n2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            graft.functions.MetricUdfs.lcss(
+              col("xs1"), col("ys1"), col("xs2"), col("ys2"), lit(2.0), lit(25.0)).as("lcss"),
+            least(col("n1"), col("n2")).as("minlen"))
+          .withColumn("sim", round(col("lcss") / col("minlen"), 6))
+          .orderBy(col("u1"), col("u2"))
+    },
+
+    // EDR (Chen/Özsu/Oria SIGMOD'05) — integer edit distance with ε-match
+    // substitutions: noise-robust like LCSS but penalizes gaps. Same ε and
+    // pair set as t14; oracle-exempt (DP), property-tested.
+    DeclaredQuery.noOracle("t15_edr_pairs") {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase").filter(col("user_id") <= 20)
+        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            graft.functions.MetricUdfs.edr(
+              col("xs1"), col("ys1"), col("xs2"), col("ys2"), lit(2.0), lit(25.0)).as("edr"))
+          .orderBy(col("u1"), col("u2"))
+    },
+
     // Reference O8 (STR partitioner) as a tile-level pre-filter on the
     // all-pairs search: same answer as t2 (same oracle), but the pair
     // enumeration is an equi-join on surviving STR tile pairs — the scan

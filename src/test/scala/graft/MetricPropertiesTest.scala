@@ -121,6 +121,44 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("lcss: DP equals naive recursion; bounds; self-match; symmetry; eps monotonicity") {
+    val eps = Seq((0.5, 5.0), (2.0, 25.0), (10.0, 100.0))
+    cases.take(100).foreach { case ((xa, ya), (xb, yb)) =>
+      eps.foreach { case (ex, ey) =>
+        val dp = Metrics.lcssCount(xa, ya, xb, yb, ex, ey)
+        assert(dp == Metrics.lcssCountNaive(xa, ya, xb, yb, ex, ey))
+        assert(dp >= 0 && dp <= math.min(xa.length, xb.length))
+        assert(dp == Metrics.lcssCount(xb, yb, xa, ya, ex, ey), "lcss symmetric")
+      }
+      // every point ε-matches itself at any ε ≥ 0
+      assert(Metrics.lcssCount(xa, ya, xa, ya, 0.0, 0.0) == xa.length)
+      // growing the ε box can only add matches
+      val c1 = Metrics.lcssCount(xa, ya, xb, yb, 0.5, 5.0)
+      val c2 = Metrics.lcssCount(xa, ya, xb, yb, 2.0, 25.0)
+      val c3 = Metrics.lcssCount(xa, ya, xb, yb, 10.0, 100.0)
+      assert(c1 <= c2 && c2 <= c3, "lcss monotone in eps")
+    }
+  }
+
+  test("edr: DP equals naive recursion; identity; symmetry; lcss complement bound") {
+    // NOTE deliberately no triangle-inequality check: EDR trades the
+    // triangle inequality for noise robustness (ε-matching is not
+    // transitive) — the paper is explicit that EDR is not a metric.
+    cases.take(100).foreach { case ((xa, ya), (xb, yb)) =>
+      val (ex, ey) = (2.0, 25.0)
+      val dp = Metrics.edr(xa, ya, xb, yb, ex, ey)
+      assert(dp == Metrics.edrNaive(xa, ya, xb, yb, ex, ey))
+      assert(Metrics.edr(xa, ya, xa, ya, ex, ey) == 0, "edr self-distance 0")
+      assert(dp == Metrics.edr(xb, yb, xa, ya, ex, ey), "edr symmetric")
+      val (n, m) = (xa.length, xb.length)
+      assert(dp >= math.abs(n - m) && dp <= math.max(n, m))
+      // any EDR alignment's 0-cost substitutions form an ε-matched common
+      // subsequence, so they number at most lcss: edr >= max(n,m) - lcss
+      val l = Metrics.lcssCount(xa, ya, xb, yb, ex, ey)
+      assert(dp >= math.max(n, m) - l, s"edr $dp < max($n,$m) - lcss $l")
+    }
+  }
+
   test("bounded frechet: exact at/below the bound, a certificate above it") {
     cases.foreach { case ((xa, ya), (xb, yb)) =>
       val exact = Metrics.discreteFrechet(xa, ya, xb, yb)

@@ -274,4 +274,28 @@ class OperatorsTest extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  test("t14/t15 on the real fixture: kernel parity per pair, non-degenerate eps") {
+    val t14 = SparkEntry.queries("t14_lcss_pairs")(spark, TestSpark.sf0001).collect()
+    val t15 = SparkEntry.queries("t15_edr_pairs")(spark, TestSpark.sf0001).collect()
+    assert(t14.nonEmpty && t14.length == t15.length)
+    // the declared ε is non-degenerate on the fixture: matches exist, but
+    // no pair is a full match (else lcss degenerates to min-length)
+    val lcss = t14.map(r => (r.getAs[Int]("lcss"), r.getAs[Int]("minlen")))
+    assert(lcss.exists(_._1 > 0), "eps too tight: zero matches everywhere")
+    assert(lcss.exists { case (c, ml) => c < ml }, "eps too loose: every pair fully matches")
+    // UDF path ≡ direct kernel on a recomputed pair (arrays from trajArrays)
+    val ta = Tables.trajArrays(spark, TestSpark.sf0001, "purchase")
+      .filter($"user_id" <= 2).orderBy($"user_id")
+      .select($"user_id", $"xs", $"ys").collect()
+    val (xa, ya) = (ta(0).getSeq[Double](1).toArray, ta(0).getSeq[Double](2).toArray)
+    val (xb, yb) = (ta(1).getSeq[Double](1).toArray, ta(1).getSeq[Double](2).toArray)
+    val u1 = ta(0).getLong(0); val u2 = ta(1).getLong(0)
+    val row14 = t14.find(r => r.getLong(0) == u1 && r.getLong(1) == u2).get
+    assert(row14.getAs[Int]("lcss") ==
+      graft.geo.Metrics.lcssCount(xa, ya, xb, yb, 2.0, 25.0))
+    val row15 = t15.find(r => r.getLong(0) == u1 && r.getLong(1) == u2).get
+    assert(row15.getAs[Int]("edr") ==
+      graft.geo.Metrics.edr(xa, ya, xb, yb, 2.0, 25.0))
+  }
 }
