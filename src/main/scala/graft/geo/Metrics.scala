@@ -261,8 +261,12 @@ object Metrics {
   }
 
   /** Point match predicate shared by LCSS/EDR: per-coordinate ε box
-    * (|Δx| ≤ εx ∧ |Δy| ≤ εy) — the form both papers define (Vlachos et al.
-    * ICDE'02 for LCSS; Chen/Özsu/Oria SIGMOD'05 for EDR). */
+    * (|Δx| ≤ εx ∧ |Δy| ≤ εy). The CLOSED box (≤) is a deliberate
+    * unification across the two metrics: it is the convention EDR's paper
+    * defines (Chen/Özsu/Oria SIGMOD'05); Vlachos et al. ICDE'02 write the
+    * LCSS match with strict <. Sharing one predicate keeps the
+    * `edr ≥ max(n,m) − lcss` complement bound exact; callers whose ε sits
+    * exactly on a data boundary should know matches on the boundary count. */
   @inline private def matches(ax: Double, ay: Double, bx: Double, by: Double,
                               ex: Double, ey: Double): Boolean =
     math.abs(ax - bx) <= ex && math.abs(ay - by) <= ey

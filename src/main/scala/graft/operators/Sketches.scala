@@ -199,7 +199,13 @@ object Sketches {
   /** Candidate pair sets memoized + persisted per (session, cacheKey,
     * params) — like the p6/d3 pair sets, the deduped LSH candidate set is a
     * deterministic derived artifact (seeded hyperplanes) that a warm session
-    * reuses across refine calls (construct-once / query-many). */
+    * reuses across refine calls (construct-once / query-many).
+    *
+    * CONTRACT: `cacheKey` must uniquely identify the `vecs` SOURCE (e.g. the
+    * parquet dir it was read from) — the memo is keyed by (session, cacheKey,
+    * params), NOT by the DataFrame, so passing a different `vecs` under a
+    * reused key returns the first call's persisted candidate set. Pass None
+    * to disable memoization for ad-hoc inputs. */
   private val lshCandMemo = TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
 
   def lshRefinedPairs(vecs: DataFrame, nPlanes: Int = 8, tables: Int = 12,

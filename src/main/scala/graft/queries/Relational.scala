@@ -398,7 +398,10 @@ object Relational {
           .filter(col("p_name").like("red%")).select(col("p_partkey"))
         val dominant = pq.join(pt, "l_partkey")
           .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
-          .filter(col("sq") * col("ns") > lit(3) * col("tq"))
+          // decimal(38,0) multiplies: DuckDB promotes the oracle's products
+          // to 128-bit, so 64-bit wrap-around here would silently diverge.
+          .filter(col("sq").cast("decimal(38,0)") * col("ns") >
+            lit(3) * col("tq").cast("decimal(38,0)"))
           .select(col("l_suppkey"))
         Tables.table(s, dir, "supplier")
           .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -433,11 +436,17 @@ object Relational {
         val nat = Tables.table(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))
         v.crossJoin(broadcast(g))
-          .filter(col("val") * col("ng") > lit(4) * col("tot"))
+          // decimal(38,0) multiplies: DuckDB promotes the oracle's products
+          // to 128-bit, so 64-bit wrap-around here would silently diverge.
+          .filter(col("val").cast("decimal(38,0)") * col("ng") >
+            lit(4) * col("tot").cast("decimal(38,0)"))
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-          .select(col("n_name"), col("l_partkey").as("p_partkey"),
+          .select(col("n_name"), col("l_partkey").as("p_partkey"), col("val"),
             (col("val").cast("double") / lit(100.0)).as("value"))
-          .orderBy(col("value").desc, col("n_name"), col("p_partkey"))
+          // order on the exact integer cents (the oracle's v.val DESC):
+          // beyond 2^53 two distinct longs can collapse to one double.
+          .orderBy(col("val").desc, col("n_name"), col("p_partkey"))
+          .drop("val")
     },
 
     // TPC-H Q22 shape: rich-but-dormant customers — balance above the
@@ -466,7 +475,8 @@ object Relational {
           .filter(col("o_orderdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'"))
           .select(col("o_custkey"))
         cust.crossJoin(broadcast(pos))
-          .filter(col("bal_cents") * col("n") > col("s"))
+          // decimal(38,0) multiply — see r16; exact vs DuckDB's 128-bit.
+          .filter(col("bal_cents").cast("decimal(38,0)") * col("n") > col("s"))
           .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("numcust"), msum(col("c_acctbal")).as("totacctbal"))
