@@ -36,6 +36,12 @@ object MetricUdfs {
     udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double], ex: Double, ey: Double) =>
       Metrics.edr(xa.toArray, ya.toArray, xb.toArray, yb.toArray, ex, ey)
     }
+  /** ERP — edit distance with real penalty against the origin gap point
+    * (the true metric of the edit family — see Metrics.erp). */
+  val erp: UserDefinedFunction =
+    udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
+      Metrics.erp(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
+    }
   /** Douglas–Peucker simplification stats: (points kept, realized max
     * error) per trajectory — geo.Simplify run once per row. */
   val dpStats: UserDefinedFunction =

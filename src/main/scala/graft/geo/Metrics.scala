@@ -359,4 +359,59 @@ object Metrics {
     })
     c(xa.length, xb.length)
   }
+
+  /** ERP — Edit distance with Real Penalty (Chen/Ng VLDB'04): edit distance
+    * where a substitution costs the true L2 distance d(aᵢ,bⱼ) and an
+    * insert/delete costs the distance to a constant gap point g (the
+    * origin, the paper's choice). Unlike DTW/LCSS/EDR, ERP satisfies the
+    * triangle inequality (it is a true metric — property-tested on random
+    * triples), so it admits metric-space pruning (O4-style lower bounds).
+    * O(n·m) DP with rolling O(m) rows; double accumulation is a fixed
+    * left-to-right fold, so results are deterministic. */
+  def erp(xa: Array[Double], ya: Array[Double],
+          xb: Array[Double], yb: Array[Double],
+          gx: Double = 0.0, gy: Double = 0.0): Double = {
+    val n = xa.length
+    val m = xb.length
+    @inline def d(px: Double, py: Double, qx: Double, qy: Double): Double =
+      math.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy))
+    var prev = new Array[Double](m + 1)
+    var cur = new Array[Double](m + 1)
+    var j = 1
+    while (j <= m) { prev(j) = prev(j - 1) + d(xb(j - 1), yb(j - 1), gx, gy); j += 1 }
+    var i = 1
+    while (i <= n) {
+      val gapA = d(xa(i - 1), ya(i - 1), gx, gy)
+      cur(0) = prev(0) + gapA
+      j = 1
+      while (j <= m) {
+        val gapB = d(xb(j - 1), yb(j - 1), gx, gy)
+        val sub = prev(j - 1) + d(xa(i - 1), ya(i - 1), xb(j - 1), yb(j - 1))
+        cur(j) = math.min(sub, math.min(prev(j) + gapA, cur(j - 1) + gapB))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Naive memoized-recursion ERP — property-test oracle for the DP. */
+  def erpNaive(xa: Array[Double], ya: Array[Double],
+               xb: Array[Double], yb: Array[Double],
+               gx: Double = 0.0, gy: Double = 0.0): Double = {
+    @inline def d(px: Double, py: Double, qx: Double, qy: Double): Double =
+      math.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy))
+    val memo = collection.mutable.HashMap.empty[(Int, Int), Double]
+    def c(i: Int, j: Int): Double = memo.getOrElseUpdate((i, j), {
+      if (i == 0 && j == 0) 0.0
+      else if (i == 0) c(0, j - 1) + d(xb(j - 1), yb(j - 1), gx, gy)
+      else if (j == 0) c(i - 1, 0) + d(xa(i - 1), ya(i - 1), gx, gy)
+      else math.min(
+        c(i - 1, j - 1) + d(xa(i - 1), ya(i - 1), xb(j - 1), yb(j - 1)),
+        math.min(c(i - 1, j) + d(xa(i - 1), ya(i - 1), gx, gy),
+          c(i, j - 1) + d(xb(j - 1), yb(j - 1), gx, gy)))
+    })
+    c(xa.length, xb.length)
+  }
 }

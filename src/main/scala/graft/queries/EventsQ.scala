@@ -168,6 +168,53 @@ object EventsQ {
           .groupBy(col("c_mktsegment"), col("event_type"))
           .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
           .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+
+    // Conversion funnel view → click → purchase: per user, the earliest
+    // view, the earliest click AT-OR-AFTER that view, and the earliest
+    // purchase at-or-after that click (a sequentially-dependent min chain —
+    // NOT three independent mins). Three user-keyed aggregations + left
+    // joins: every shuffle is on user_id, so one exchange is reused across
+    // all stages (co-partitioned joins, no re-shuffle); stage frames only
+    // shrink down-funnel. The streaming twin (StreamingQueries.funnelCustom)
+    // maintains the same chain as flatMapGroupsWithState per-user state.
+    DeclaredQuery("e8_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, MIN(ts_us) AS v_us FROM e WHERE event_type='view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts_us) AS c_us FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type='click' AND e.ts_us >= v.v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts_us) AS p_us FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type='purchase' AND e.ts_us >= c.c_us GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN p.p_us IS NOT NULL THEN 3 WHEN c.c_us IS NOT NULL THEN 2
+        |                 WHEN v.v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |       v.v_us, c.c_us, p.p_us
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+        val u = e.select(col("user_id")).distinct()
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts_us") >= col("v_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts_us") >= col("c_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+        u.join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("p_us").isNotNull, 3L).when(col("c_us").isNotNull, 2L)
+              .when(col("v_us").isNotNull, 1L).otherwise(0L).as("stage"),
+            col("v_us"), col("c_us"), col("p_us"))
+          .orderBy(col("user_id"))
     }
   )
 }

@@ -201,6 +201,23 @@ object Trajectories {
           .orderBy(col("u1"), col("u2"))
     },
 
+    // ERP (Chen/Ng VLDB'04) — edit distance with REAL penalty: substitution
+    // costs d(a,b), gap costs d(·, origin). The only edit-family member
+    // that is a true metric (triangle inequality — property-tested), hence
+    // the one a metric-space index can prune. Same pair set as t14/t15;
+    // oracle-exempt (DP), deterministic left-to-right double folds.
+    DeclaredQuery.noOracle("t16_erp_pairs") {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase").filter(col("user_id") <= 20)
+        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            round(graft.functions.MetricUdfs.erp(
+              col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("erp"))
+          .orderBy(col("u1"), col("u2"))
+    },
+
     // EDR (Chen/Özsu/Oria SIGMOD'05) — integer edit distance with ε-match
     // substitutions: noise-robust like LCSS but penalizes gaps. Same ε and
     // pair set as t14; oracle-exempt (DP), property-tested.

@@ -232,4 +232,48 @@ object StreamingQueries {
           }
       }
   }
+
+  /** One funnel snapshot: the user's min-chain state after a micro-batch. */
+  final case class FunnelRow(user_id: Long, stage: Long,
+                             v_us: Option[Long], c_us: Option[Long], p_us: Option[Long])
+  /** Buffered per-user funnel state. The view stage only needs its min
+    * (monotone), but clicks/purchases must stay buffered: a LATER-arriving
+    * earlier view can make a previously-ineligible click eligible, so the
+    * chain is not incrementally computable from scalar mins. State is
+    * bounded by the user's click+purchase count inside the retention
+    * horizon; production would add an event-time timeout like
+    * sessionizeCustom to drop users the watermark has passed. */
+  final case class FunnelState(vMin: Long, clicks: List[Long], purchases: List[Long])
+
+  /** e8 counterpart: the view → click → purchase min-chain as explicit
+    * per-user state (flatMapGroupsWithState, Update mode). Each micro-batch
+    * the group re-derives (v_us, c_us, p_us) from buffered state and emits
+    * one snapshot row; the LAST snapshot per user equals batch e8 exactly
+    * (verified by StreamingEquivalenceTest) because the final state has
+    * seen every event, in any arrival order. */
+  def funnelCustom(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+          it.foreach {
+            case (_, "view", t) => if (t < s.vMin) s = s.copy(vMin = t)
+            case (_, "click", t) => s = s.copy(clicks = t :: s.clicks)
+            case (_, "purchase", t) => s = s.copy(purchases = t :: s.purchases)
+            case _ =>
+          }
+          state.update(s)
+          val v = if (s.vMin == Long.MaxValue) None else Some(s.vMin)
+          val c = v.flatMap(t => s.clicks.filter(_ >= t).minOption)
+          val p = c.flatMap(t => s.purchases.filter(_ >= t).minOption)
+          val stage = if (p.isDefined) 3L else if (c.isDefined) 2L else if (v.isDefined) 1L else 0L
+          Iterator.single(FunnelRow(user, stage, v, c, p))
+      }
+  }
 }

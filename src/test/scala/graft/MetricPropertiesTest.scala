@@ -159,6 +159,30 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("erp: DP equals naive; identity; symmetry; TRIANGLE INEQUALITY; empty-sequence cost") {
+    // ERP is the edit-family member that IS a metric (Chen/Ng VLDB'04
+    // Thm 1) — the triangle inequality must hold exactly, so we test it on
+    // random triples, not just pairs.
+    cases.take(100).foreach { case ((xa, ya), (xb, yb)) =>
+      val dp = Metrics.erp(xa, ya, xb, yb)
+      assert(math.abs(dp - Metrics.erpNaive(xa, ya, xb, yb)) < 1e-9)
+      assert(Metrics.erp(xa, ya, xa, ya) == 0.0, "erp self-distance 0")
+      assert(math.abs(dp - Metrics.erp(xb, yb, xa, ya)) < 1e-9, "erp symmetric")
+      // deleting everything: cost is the sum of distances to the gap point
+      val gapCost = xa.indices.map(i => math.hypot(xa(i), ya(i))).sum
+      assert(math.abs(Metrics.erp(xa, ya, Array.emptyDoubleArray, Array.emptyDoubleArray) - gapCost) < 1e-9)
+    }
+    cases.take(99).grouped(3).foreach { tri =>
+      if (tri.length == 3) {
+        val ((xa, ya), _) = tri(0); val ((xb, yb), _) = tri(1); val ((xc, yc), _) = tri(2)
+        val ab = Metrics.erp(xa, ya, xb, yb)
+        val bc = Metrics.erp(xb, yb, xc, yc)
+        val ac = Metrics.erp(xa, ya, xc, yc)
+        assert(ac <= ab + bc + 1e-9, s"erp triangle violated: $ac > $ab + $bc")
+      }
+    }
+  }
+
   test("bounded frechet: exact at/below the bound, a certificate above it") {
     cases.foreach { case ((xa, ya), (xb, yb)) =>
       val exact = Metrics.discreteFrechet(xa, ya, xb, yb)
