@@ -402,4 +402,133 @@ object Sketches {
       .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
   }
 
+  /** Product-quantization index (Jégou/Douze/Schmid TPAMI'11): per-subspace
+    * codebooks `[m][k][subDim]` over UNIT-NORMALIZED vectors plus the
+    * encoded codes table (vec_id, codes, embedding). */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]], codes: DataFrame,
+                           fromArtifact: Boolean)
+  private val pqMemo = TrieMap.empty[(SparkSession, String, Int, Int), PqIndex]
+
+  /** Build (or load) the PQ index: the 64-dim space splits into `m`
+    * subspaces; each gets its own seeded k-means codebook (k centroids of
+    * dim/m floats) trained on the unit-normalized sub-vectors, and every
+    * vector is encoded as `m` small codes. Normalize-then-PQ makes ADC's L2
+    * distances a monotone proxy for cosine (‖a−b‖² = 2−2·cos on the unit
+    * sphere). Codes are m bytes per vector vs 4·dim raw — the compression
+    * that lets a 100 TB corpus's shortlist scan fit in memory. Artifacts
+    * persist via IndexStore like the IVF index (construct-once). */
+  def buildPqIndex(s: SparkSession, dir: String, m: Int = 16, k: Int = 16): PqIndex =
+    pqMemo.getOrElseUpdate((s, dir, m, k), {
+      import graft.sources.IndexStore
+      val dim = 64
+      val subDim = dim / m
+      val cPath = IndexStore.artifactPath(s, dir, s"pq${m}x${k}_codebooks")
+      val ePath = IndexStore.artifactPath(s, dir, s"pq${m}x${k}_codes")
+      val canLoad = IndexStore.persistEnabled(s) &&
+        IndexStore.exists(s, cPath) && IndexStore.exists(s, ePath)
+      if (canLoad) {
+        val books = Array.ofDim[Array[Double]](m, k)
+        s.read.parquet(cPath).collect().foreach { r =>
+          books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+        }
+        val codes = s.read.parquet(ePath).persist(StorageLevel.MEMORY_AND_DISK)
+        PqIndex(books.map(_.toArray), codes, fromArtifact = true)
+      } else {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.linalg.Vectors
+        val toUnit = udf { (emb: Seq[Float]) =>
+          val a = emb.map(_.toDouble).toArray
+          val n = math.sqrt(a.map(x => x * x).sum)
+          if (n == 0) a else a.map(_ / n)
+        }
+        val unit = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), toUnit(col("embedding")).as("u"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val subVec = udf((u: Seq[Double], off: Int) =>
+          Vectors.dense(u.slice(off, off + subDim).toArray))
+        // one bounded k-means fit per subspace over a slim subDim-float
+        // projection — m scans of the cached unit frame, build-once
+        val books: Array[Array[Array[Double]]] = (0 until m).map { mi =>
+          new KMeans().setK(k).setSeed(42 + mi).setMaxIter(10)
+            .setFeaturesCol("f").setPredictionCol("c")
+            .fit(unit.select(subVec(col("u"), lit(mi * subDim)).as("f")))
+            .clusterCenters.map(_.toArray)
+        }.toArray
+        val bBooks = s.sparkContext.broadcast(books)
+        val encode = udf { (u: Seq[Double]) =>
+          val bs = bBooks.value
+          val ua = u.toArray
+          (0 until bs.length).map { mi =>
+            val off = mi * subDim
+            var best = 0; var bestD = Double.MaxValue
+            var j = 0
+            while (j < bs(mi).length) {
+              val c = bs(mi)(j)
+              var d = 0.0; var t = 0
+              while (t < subDim) { val df = ua(off + t) - c(t); d += df * df; t += 1 }
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            best
+          }
+        }
+        var codes = unit.select(col("vec_id"), col("embedding"), encode(col("u")).as("codes"))
+        if (IndexStore.persistEnabled(s)) {
+          import s.implicits._
+          books.zipWithIndex.flatMap { case (book, mi) =>
+            book.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
+          }.toSeq.toDF("m", "j", "center").write.mode("overwrite").parquet(cPath)
+          codes.write.mode("overwrite").parquet(ePath)
+          codes = s.read.parquet(ePath)
+        }
+        unit.unpersist()
+        PqIndex(books, codes.persist(StorageLevel.MEMORY_AND_DISK), fromArtifact = false)
+      }
+    })
+
+  /** PQ ANN via ADC (asymmetric distance computation): the query builds an
+    * m×k distance table against the codebooks (driver-side, bounded), the
+    * scan sums m table lookups per vector — no per-vector float math at
+    * all — and TakeOrdered keeps a small shortlist that the exact codegen
+    * cosine re-ranks. Approximation lives ONLY in the shortlist membership;
+    * every emitted similarity is exact. */
+  def annPqKnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+               m: Int = 16, kCodes: Int = 16, shortlist: Int = 128): DataFrame = {
+    graft.functions.FloatDotProduct.register(s)
+    val index = buildPqIndex(s, dir, m, kCodes)
+    val dim = 64
+    val subDim = dim / m
+    val qEmb = queryEmbedding(s, dir, queryId)
+    val qa = qEmb.map(_.toDouble).toArray
+    val qn = math.sqrt(qa.map(x => x * x).sum)
+    val qu = if (qn == 0) qa else qa.map(_ / qn)
+    // ADC lookup table: d²(q_m, c_mj) for every subspace × centroid
+    val dtable: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      Array.tabulate(kCodes) { j =>
+        val c = index.codebooks(mi)(j)
+        var d = 0.0; var t = 0
+        while (t < subDim) { val df = qu(mi * subDim + t) - c(t); d += df * df; t += 1 }
+        d
+      }
+    }
+    val bTable = s.sparkContext.broadcast(dtable)
+    val adc = udf { (codes: Seq[Int]) =>
+      val tb = bTable.value
+      var d = 0.0; var mi = 0
+      while (mi < tb.length) { d += tb(mi)(codes(mi)); mi += 1 }
+      d
+    }
+    val short = index.codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), adc(col("codes")).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(shortlist)
+    short
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
+          (sqrt(VectorOps.norm2Col("embedding")) *
+            sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
 }

@@ -367,6 +367,63 @@ object JsonDocs {
           .limit(100)
     },
 
+    // PQ-ANN: product quantization + ADC scan (Jégou et al. TPAMI'11) —
+    // the memory-bound ANN scale path. Vectors compress to m=16 one-byte
+    // codes; the query scans codes with m table lookups per vector (no
+    // float math), exact cosine re-ranks only the bounded shortlist.
+    // Randomized (seeded k-means codebooks) → oracle-exempt; recall ≥ 0.7
+    // vs exact v1 proven in SketchesTest.
+    DeclaredQuery.noOracle("v5_pq_ann") {
+      (s, dir) =>
+        graft.operators.Sketches.annPqKnn(s, dir, queryId = 0L, k = 10)
+    },
+
+    // Centroid similarity MATRIX — pairwise cosine between the per-label
+    // mean vectors (cluster-overlap / class-confusion signal). Centroids
+    // are kept as EXACT integer micro-sums: cosine is scale-invariant, so
+    // cos(mean_a, mean_b) == cos(sum_a, sum_b) and the 1/n normalizations
+    // cancel — no float centroid materializes at all. Products accumulate
+    // in decimal(38,0) (DuckDB promotes to HUGEINT; 64-bit would wrap at
+    // larger SFs). The only big work is one map-side-combined groupBy of
+    // the posexploded scan (shuffle = labels×64 rows); the pairwise join
+    // runs on a labels×64 frame — trivially broadcastable.
+    DeclaredQuery("v6_centroid_similarity",
+      """WITH s AS (SELECT label, t.pos AS pos,
+        |                  CAST(SUM(CAST(FLOOR(CAST(embedding[t.pos+1] AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sv
+        |           FROM embeddings, range(0,64) t(pos)
+        |           GROUP BY label, t.pos),
+        |nrm AS (SELECT label, CAST(SUM(CAST(sv AS HUGEINT)*sv) AS DOUBLE) AS n2 FROM s GROUP BY label),
+        |dots AS (SELECT a.label AS l1, b.label AS l2,
+        |                CAST(SUM(CAST(a.sv AS HUGEINT)*b.sv) AS DOUBLE) AS dot
+        |         FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+        |         GROUP BY a.label, b.label)
+        |SELECT CAST(d.l1 AS BIGINT) AS l1, CAST(d.l2 AS BIGINT) AS l2,
+        |       ROUND(d.dot/(SQRT(x.n2)*SQRT(y.n2)), 6) AS cos_sim
+        |FROM dots d JOIN nrm x ON d.l1 = x.label JOIN nrm y ON d.l2 = y.label
+        |ORDER BY l1, l2""".stripMargin) {
+      (s, dir) =>
+        val sums = Tables.table(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(floor(col("xf").cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("sv"))
+          .select(col("label"), col("pos"), col("sv"),
+            col("sv").cast("decimal(38,0)").as("svd"))
+        val nrm = sums.groupBy(col("label"))
+          .agg(sum(col("svd") * col("sv")).cast("double").as("n2"))
+        val a = sums.select(col("label").as("l1"), col("pos"), col("svd").as("sv1"))
+        val b = sums.select(col("label").as("l2"), col("pos").as("pos2"), col("sv").as("sv2"))
+        val dots = a.join(b, col("pos") === col("pos2") && col("l1") < col("l2"))
+          .groupBy(col("l1"), col("l2"))
+          .agg(sum(col("sv1") * col("sv2")).cast("double").as("dot"))
+        val nx = nrm.select(col("label").as("lx"), col("n2").as("n2x"))
+        val ny = nrm.select(col("label").as("ly"), col("n2").as("n2y"))
+        dots.join(broadcast(nx), col("l1") === col("lx"))
+          .join(broadcast(ny), col("l2") === col("ly"))
+          .select(col("l1").cast("long").as("l1"), col("l2").cast("long").as("l2"),
+            round(col("dot") / (sqrt(col("n2x")) * sqrt(col("n2y"))), 6).as("cos_sim"))
+          .orderBy(col("l1"), col("l2"))
+    },
+
     // Fuzzy dedup END-TO-END — the keep-one step d6 stops short of: every
     // near-dup component keeps only its canonical (min-id) member, and the
     // query reports the surviving corpus per language. Dropping is an

@@ -481,6 +481,57 @@ object Relational {
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("numcust"), msum(col("c_acctbal")).as("totacctbal"))
           .orderBy(col("c_mktsegment"))
+    },
+
+    // TPC-H Q2 shape: cheapest EUROPEAN supplier per blue part — the
+    // correlated scalar-min subquery, decorrelated into a groupBy argmin +
+    // self-equi-join on (part, min). Per-unit cost is exact integer cents
+    // (one IEEE divide+multiply, bit-identical cross-engine), so the argmin
+    // tie-set is exact. The part filter pushes BELOW the big aggregation
+    // (semi-join on the slim blue-part keys); supplier×nation×region is a
+    // broadcast dim. Shuffles: one, on (l_partkey, l_suppkey) — the
+    // per-part min reuses it via AQE partial aggregation.
+    DeclaredQuery("r19_cheapest_eu_supplier",
+      """WITH eu AS (SELECT s_suppkey, s_name, n_name
+        |            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |                            JOIN region r ON n.n_regionkey = r.r_regionkey
+        |            WHERE r.r_name = 'EUROPE'),
+        |blue AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+        |c AS (SELECT l.l_partkey, l.l_suppkey,
+        |             MIN(CAST(FLOOR(l.l_extendedprice/l.l_quantity*100 + 0.5) AS BIGINT)) AS cost
+        |      FROM lineitem l JOIN eu ON l.l_suppkey = eu.s_suppkey
+        |                      JOIN blue ON l.l_partkey = blue.p_partkey
+        |      GROUP BY l.l_partkey, l.l_suppkey),
+        |m AS (SELECT l_partkey, MIN(cost) AS mc FROM c GROUP BY l_partkey)
+        |SELECT c.l_partkey AS p_partkey, eu.s_name, eu.n_name,
+        |       CAST(c.cost AS DOUBLE)/100.0 AS unit_cost
+        |FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.cost = m.mc
+        |       JOIN eu ON c.l_suppkey = eu.s_suppkey
+        |ORDER BY c.cost, c.l_partkey, eu.s_name""".stripMargin) {
+      (s, dir) =>
+        val nat = Tables.table(s, dir, "nation")
+        val reg = Tables.table(s, dir, "region").filter(col("r_name") === "EUROPE")
+        val eu = Tables.table(s, dir, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val blue = Tables.table(s, dir, "part")
+          .filter(col("p_name").like("blue%")).select(col("p_partkey"))
+        val c = Tables.table(s, dir, "lineitem")
+          .join(broadcast(eu.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(broadcast(blue), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(floor(col("l_extendedprice") / col("l_quantity") * lit(100) + lit(0.5))
+            .cast("long")).as("cost"))
+        val m = c.groupBy(col("l_partkey")).agg(min(col("cost")).as("mc"))
+          .withColumnRenamed("l_partkey", "m_partkey")
+        c.join(m, col("l_partkey") === col("m_partkey") && col("cost") === col("mc"))
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
+            col("cost"), (col("cost").cast("double") / lit(100.0)).as("unit_cost"))
+          .orderBy(col("cost"), col("p_partkey"), col("s_name"))
+          .drop("cost")
     }
   )
 }

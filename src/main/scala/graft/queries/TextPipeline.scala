@@ -405,6 +405,48 @@ object TextPipeline {
           .groupBy(col("verdict"))
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_toks"))
           .orderBy(col("verdict"))
+    },
+
+    // Unigram language-model surprisal — the classic perplexity-style
+    // quality filter (high avg NLL under the corpus's own unigram MLE =
+    // out-of-distribution text). Per-token log-probs are fixed-pointed to
+    // integer MICRO-NATS before summing, so the per-doc sum is an exact
+    // BIGINT in any aggregation order (a double log-sum would be
+    // order-nondeterministic across partitions); only the final per-doc
+    // division is float. The vocab frame (tok, lp_micro) is corpus-
+    // vocabulary-sized — broadcast to the tf join; tf and freq both derive
+    // from the ONE shared token table scan.
+    DeclaredQuery("p20_unigram_lm",
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |freq AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+        |lp AS (SELECT tok, CAST(FLOOR(LN(CAST(cnt AS DOUBLE)/total)*1e6 + 0.5) AS BIGINT) AS lp_micro
+        |       FROM freq, tot)
+        |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_toks,
+        |       ROUND(-CAST(SUM(tf.tf * lp.lp_micro) AS BIGINT)
+        |             / CAST(SUM(tf.tf) AS BIGINT) / 1e6, 6) AS avg_nll
+        |FROM tf JOIN lp ON tf.tok = lp.tok
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) {
+      (s, dir) =>
+        val tf = Tables.docTokens(s, dir)
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+        val tot = freq.agg(sum(col("cnt")).as("total"))
+        val lp = freq.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            floor(log(col("cnt").cast("double") / col("total")) * lit(1e6) + lit(0.5))
+              .cast("long").as("lp_micro"))
+        tf.join(broadcast(lp), "tok")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_toks"),
+            sum(col("tf") * col("lp_micro")).as("slp"))
+          .select(col("doc_id"), col("n_toks"),
+            round((-col("slp")).cast("double") / col("n_toks").cast("double") / lit(1e6), 6)
+              .as("avg_nll"))
+          .orderBy(col("doc_id"))
     }
   )
 }

@@ -112,4 +112,24 @@ class SketchesTest extends AnyFunSuite {
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.7, s"ANN recall $recall")
   }
+
+  test("ann PQ/ADC knn recall >= 0.7 of exact brute-force top-10; deterministic") {
+    val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = Sketches.annPqKnn(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall $recall")
+    // seeded codebooks: a second run is bit-identical
+    val a = Sketches.annPqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    val b = Sketches.annPqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    assert(a == b)
+    // every emitted similarity is exact: re-rank shortlist must agree with
+    // the brute-force cosine for the ids it returns
+    val bf = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Sketches.annPqKnn(spark, TestSpark.sf0001).collect().foreach { r =>
+      bf.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(1)))
+    }
+  }
 }
