@@ -215,6 +215,31 @@ object EventsQ {
               .when(col("v_us").isNotNull, 1L).otherwise(0L).as("stage"),
             col("v_us"), col("c_us"), col("p_us"))
           .orderBy(col("user_id"))
+    },
+
+    // Cohort retention matrix — users grouped by first-activity week, then
+    // distinct-user counts per (cohort week, week offset): the classic
+    // retention triangle. Integer epoch-week buckets keep the matrix exact
+    // and portable. Both aggregations shuffle on user_id; the cohort frame
+    // is user-cardinality (slim) and joins back pre-aggregated — the
+    // distinct is per (cohort, offset, user), computed without ever
+    // materializing per-user event lists.
+    DeclaredQuery("e9_cohort_retention",
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS w0 FROM e GROUP BY user_id)
+        |SELECT f.w0 AS cohort_week, e.wk - f.w0 AS week_offset,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.w0, e.wk - f.w0
+        |ORDER BY cohort_week, week_offset""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_us DIV 604800000000").as("wk"))
+        val f = e.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+        e.join(f, Seq("user_id"))
+          .groupBy(col("w0").as("cohort_week"), (col("wk") - col("w0")).as("week_offset"))
+          .agg(count_distinct(col("user_id")).cast("long").as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 }

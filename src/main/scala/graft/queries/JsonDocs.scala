@@ -468,6 +468,39 @@ object JsonDocs {
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_kept"), sum(col("c")).as("kept_distinct_toks"))
           .orderBy(col("lang"))
+    },
+
+    // N-gram NOVELTY per document: the share of a doc's distinct 3-gram
+    // shingles that appear in NO other doc (df == 1 after per-doc dedup) —
+    // low novelty flags boilerplate/templated text even when no single pair
+    // crosses a dedup threshold. One shingle build (shared operator), one
+    // distinct, one df aggregation, one co-partitioned rejoin — all shuffles
+    // on the shingle key except the final per-doc rollup.
+    DeclaredQuery("d10_ngram_novelty",
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle
+        |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)-1),
+        |                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |             FROM toks WHERE len(ts) >= 3) q),
+        |df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |       ROUND(CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 6) AS novelty
+        |FROM sh JOIN df ON sh.shingle = df.shingle
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin) {
+      (s, dir) =>
+        val sh = graft.operators.Decontaminate.wordShingles(
+            Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 3)
+          .select(col("doc_id"), col("shingle")).distinct()
+        val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+        sh.join(df, Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("c") === 1, 1).otherwise(0)).cast("long").as("n_unique"))
+          .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+            round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
+          .orderBy(col("doc_id"))
     }
   )
 

@@ -532,6 +532,40 @@ object Relational {
             col("cost"), (col("cost").cast("double") / lit(100.0)).as("unit_cost"))
           .orderBy(col("cost"), col("p_partkey"), col("s_name"))
           .drop("cost")
+    },
+
+    // TPC-H Q15 shape: the top-revenue supplier(s) of a quarter — a global
+    // argmax over an aggregated frame. The max is ONE further re-agg of the
+    // revenue frame broadcast back as a single-row cross join (never a
+    // rank-1 window over an unpartitioned total order); ties are exact
+    // because revenue is compared in integer cents. Spec's view+subquery
+    // decorrelates to exactly this shape.
+    DeclaredQuery("r20_top_quarter_supplier",
+      s"""WITH rev AS (SELECT l_suppkey, SUM(${centsS("l_extendedprice*(1-l_discount)")}) AS r
+         |             FROM lineitem
+         |             WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |               AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+         |             GROUP BY l_suppkey),
+         |mx AS (SELECT MAX(r) AS m FROM rev)
+         |SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE)/100.0 AS total_rev
+         |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey, mx
+         |WHERE rev.r = mx.m
+         |ORDER BY s.s_suppkey""".stripMargin) {
+      (s, dir) =>
+        val rev = Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1998-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1998-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("r"))
+        val mx = rev.agg(max(col("r")).as("m"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("r") === col("m"))
+          .join(broadcast(Tables.table(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("r").cast("double") / lit(100.0)).as("total_rev"))
+          .orderBy(col("s_suppkey"))
     }
   )
 }

@@ -166,6 +166,35 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("r19: part filter pushes below the cost aggregation; dims broadcast; no nested loop") {
+    val p = plan("r19_cheapest_eu_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both reductions (blue parts, EU suppliers) reach lineitem as
+    // broadcast semi joins BELOW the (partkey, suppkey) aggregation
+    assert(p.linesIterator.count(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) >= 2, p)
+  }
+
+  test("e8: every funnel stage joins and aggregates on the same user_id key (exchange reuse)") {
+    val p = plan("e8_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // sequential min-chain: each stage is a hash aggregate keyed on user_id
+    assert(p.linesIterator.count(l => l.contains("HashAggregate") && l.contains("user_id")) >= 4, p)
+  }
+
+  test("v6: centroid matrix is map-side combined — shuffle carries labels×pos rows only") {
+    val p = plan("v6_centroid_similarity")
+    // partial aggregation before the exchange: the posexploded fact rows
+    // never shuffle raw (generate feeds a partial HashAggregate first)
+    val genIdx = p.linesIterator.indexWhere(_.contains("Generate"))
+    val aggIdx = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggIdx >= 0 && aggIdx < genIdx, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p20: vocab log-prob frame broadcasts to the tf join") {
+    assert(plan("p20_unigram_lm").contains("BroadcastHashJoin"))
+  }
+
   test("Rank.topKPerGroup gets the WindowGroupLimit pushdown (bounded heaps, no full sort of losers)") {
     // Spark 4 plans a single rank() <= k filter as WindowGroupLimit:
     // per-partition bounded heaps BEFORE the window sort. Both levels of the
