@@ -27,17 +27,27 @@ import graft.functions.GraftWithin
   *     and picks a shuffle/broadcast HASH join — the only join shape that
   *     survives 100 TB.
   *
-  * The guard skips joins that already have an equality conjunct, which also
-  * makes the rule idempotent (its own output contains the cell-key
-  * equalities). Install per session via [[GraftRules.install]] or the
-  * `GraftExtensions` session extension.
+  * Idempotency guard: the rule skips joins whose condition already carries
+  * its OWN cell-key equalities (recognized by the `_graft_cell_off`
+  * generator attribute they reference). User-supplied equality conjuncts —
+  * e.g. a time-step alignment key in a co-movement join (t17) — do NOT
+  * disable the rewrite: they compose, so the planner hash-joins on
+  * (user keys ++ cell keys) and the per-equality-group pair space is still
+  * grid-blocked, which is what survives millions of points per time step.
+  * Install per session via [[GraftRules.install]] or the `GraftExtensions`
+  * session extension.
   */
 object RewriteDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val CellOffName = "_graft_cell_off"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val already = conjuncts.exists(_.isInstanceOf[EqualTo])
+      val already = conjuncts.exists {
+        case e: EqualTo => e.references.exists(_.name == CellOffName)
+        case _ => false
+      }
       val gw = conjuncts.collectFirst {
         case g: GraftWithin if eligible(g, left, right) => g
       }
@@ -54,7 +64,7 @@ object RewriteDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
         val offsets = CreateArray(
           (for (dx <- -1 to 1; dy <- -1 to 1) yield CreateNamedStruct(Seq(
             Literal("dx"), Literal(dx), Literal("dy"), Literal(dy)))).toSeq)
-        val offAttr = AttributeReference("_graft_cell_off", offStruct, nullable = false)()
+        val offAttr = AttributeReference(CellOffName, offStruct, nullable = false)()
         val expanded = Generate(Explode(offsets), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(offAttr), child = left)
 

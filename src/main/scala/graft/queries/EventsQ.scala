@@ -240,6 +240,28 @@ object EventsQ {
           .groupBy(col("w0").as("cohort_week"), (col("wk") - col("w0")).as("week_offset"))
           .agg(count_distinct(col("user_id")).cast("long").as("n_users"))
           .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Window-of-window: the daily PEAK hourly event rate per type — an
+    // aggregation OVER an aggregation, the re-windowing shape behind any
+    // "max QPS per day" dashboard. Two integer-bucket hash aggregations;
+    // the second consumes the already-reduced hourly frame (≤ 24×types rows
+    // per day), so the day rollup is shuffle-trivial at any SF. Streaming
+    // twin: StreamingQueries.dailyPeakHour (chained time-window aggregation
+    // over window_time), replay-tested ≡ this batch form.
+    DeclaredQuery("e10_daily_peak_hour",
+      s"""WITH h AS (SELECT ts_us // 3600000000 AS hr, event_type, COUNT(*) AS n
+         |           FROM ${eViewS} e GROUP BY 1, 2)
+         |SELECT hr // 24 AS day_bucket, event_type,
+         |       MAX(n) AS peak_hourly_n, ${bsumS("n")} AS day_n
+         |FROM h GROUP BY 1, 2 ORDER BY day_bucket, event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(expr("ts_us DIV 3600000000").as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(expr("hr DIV 24").as("day_bucket"), col("event_type"))
+          .agg(max(col("n")).as("peak_hourly_n"), sum(col("n")).as("day_n"))
+          .orderBy(col("day_bucket"), col("event_type"))
     }
   )
 }

@@ -566,6 +566,45 @@ object Relational {
           .select(col("s_suppkey"), col("s_name"),
             (col("r").cast("double") / lit(100.0)).as("total_rev"))
           .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q11 shape: parts whose discounted revenue from region-2
+    // suppliers exceeds 0.1% of that supply base's GLOBAL total. The global
+    // scalar is one re-agg of the per-part frame broadcast back (single-row
+    // cross join); the fraction test cross-multiplies in decimal(38,0)
+    // (DuckDB promotes to 128-bit — 64-bit cents×1000 would wrap silently
+    // at extreme SF). Supplier reduction reaches lineitem as a broadcast
+    // semi join below the aggregation. Ordering on the exact integer cents.
+    DeclaredQuery("r21_important_parts",
+      s"""WITH val AS (SELECT l_partkey, SUM(${centsS("l_extendedprice*(1-l_discount)")}) AS v
+         |             FROM lineitem
+         |             WHERE l_suppkey IN (SELECT s_suppkey FROM supplier s
+         |                                 JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |                                 WHERE n.n_regionkey = 2)
+         |             GROUP BY l_partkey),
+         |tot AS (SELECT SUM(v) AS t FROM val)
+         |SELECT val.l_partkey AS p_partkey, CAST(val.v AS DOUBLE)/100.0 AS part_value
+         |FROM val, tot
+         |WHERE val.v * 1000 > tot.t
+         |ORDER BY val.v DESC, val.l_partkey""".stripMargin) {
+      (s, dir) =>
+        val supp = Tables.table(s, dir, "supplier")
+          .join(broadcast(Tables.table(s, dir, "nation")
+            .filter(col("n_regionkey") === 2).select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val valF = Tables.table(s, dir, "lineitem")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("v"))
+        val tot = valF.agg(sum(col("v")).as("t"))
+        valF.crossJoin(broadcast(tot))
+          .filter(col("v").cast("decimal(38,0)") * lit(1000) >
+            col("t").cast("decimal(38,0)"))
+          .select(col("l_partkey").as("p_partkey"), col("v"),
+            (col("v").cast("double") / lit(100.0)).as("part_value"))
+          .orderBy(col("v").desc, col("p_partkey"))
+          .drop("v")
     }
   )
 }

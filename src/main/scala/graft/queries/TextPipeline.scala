@@ -447,6 +447,53 @@ object TextPipeline {
             round((-col("slp")).cast("double") / col("n_toks").cast("double") / lit(1e6), 6)
               .as("avg_nll"))
           .orderBy(col("doc_id"))
+    },
+
+    // Bigram language-model surprisal per doc: avg −ln P(w2|w1) under the
+    // corpus's own bigram MLE, P(w2|w1) = c(w1,w2)/c(w1·) with c(w1·) the
+    // bigram-left marginal — every doc bigram has corpus count ≥ 1 by
+    // construction, so pure MLE needs no smoothing. Same determinism design
+    // as p20: each conditional log-prob is fixed-pointed to integer
+    // micro-nats ONCE per distinct bigram, so the per-doc sum is an exact
+    // BIGINT in any aggregation order. One shared shingle build (the d10
+    // operator at n=2); the bigram log-prob frame is vocabulary-sized and
+    // broadcasts to the per-doc tf join.
+    DeclaredQuery("p21_bigram_lm",
+      """WITH sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |                     i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |            FROM (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
+        |                  FROM documents) q WHERE len(ts) >= 2),
+        |tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM sh GROUP BY doc_id, bg),
+        |c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY bg),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |lp AS (SELECT c2.bg, CAST(FLOOR(LN(CAST(c2.c2 AS DOUBLE)/c1.c1)*1e6 + 0.5) AS BIGINT) AS lp_micro
+        |       FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+        |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |       ROUND(-CAST(SUM(tf.tf * lp.lp_micro) AS BIGINT)
+        |             / CAST(SUM(tf.tf) AS BIGINT) / 1e6, 6) AS avg_nll
+        |FROM tf JOIN lp ON tf.bg = lp.bg
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) {
+      (s, dir) =>
+        val tf = graft.operators.Decontaminate.wordShingles(
+            Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 2)
+          .groupBy(col("doc_id"), col("shingle").as("bg"))
+          .agg(count(lit(1)).as("tf"))
+        val c2 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
+        val c1 = c2.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+          .agg(sum(col("c2")).as("c1"))
+        val lp = c2.join(c1, split(col("bg"), " ").getItem(0) === col("w1"))
+          .select(col("bg"),
+            floor(log(col("c2").cast("double") / col("c1")) * lit(1e6) + lit(0.5))
+              .cast("long").as("lp_micro"))
+        tf.join(broadcast(lp), "bg")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(col("tf") * col("lp_micro")).as("slp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round((-col("slp")).cast("double") / col("n_bigrams").cast("double") / lit(1e6), 6)
+              .as("avg_nll"))
+          .orderBy(col("doc_id"))
     }
   )
 }

@@ -329,6 +329,42 @@ object Trajectories {
             col("st._1").cast("long").as("n_kept"),
             round(col("st._2"), 6).as("max_err"))
           .orderBy(col("user_id"))
+    },
+
+    // Co-movement (convoy-style) detection: pairs of users whose
+    // trajectories are close (≤ ε) at ≥ k ALIGNED time steps — alignment by
+    // per-user position index (row_number over (ts_us, event_id): exact,
+    // tie-free). The join condition composes the pos equality with
+    // graft_within, so RewriteDistanceJoin grid-blocks WITHIN each time
+    // step: join keys become (pos, cellx, celly) and the per-step pair
+    // space is bounded by spatial density, never users² — the shape that
+    // survives millions of concurrent trajectories. Counts are integers;
+    // top-100 keeps output bounded at any SF.
+    DeclaredQuery("t17_comovement",
+      s"""WITH p AS (SELECT user_id, x, y,
+         |             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pos
+         |           FROM ${ptsViewS("view")} v)
+         |SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_close
+         |FROM p a JOIN p b ON a.pos = b.pos AND a.user_id < b.user_id
+         |WHERE ROUND(SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)),6) <= 2.0
+         |GROUP BY a.user_id, b.user_id HAVING COUNT(*) >= 2
+         |ORDER BY n_close DESC, u1, u2 LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        graft.plans.GraftRules.install(s)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val p = Tables.pts(s, dir, "view")
+          .select(col("user_id"), col("x"), col("y"), row_number().over(w).as("pos"))
+        val a = p.select(col("user_id").as("ua"), col("x").as("xa"),
+          col("y").as("ya"), col("pos").as("pa"))
+        val b = p.select(col("user_id").as("ub"), col("x").as("xb"),
+          col("y").as("yb"), col("pos").as("pb"))
+        a.join(b, col("pa") === col("pb") && col("ua") < col("ub") &&
+            expr("graft_within(xa, ya, xb, yb, 2.0)"))
+          .groupBy(col("ua").as("u1"), col("ub").as("u2"))
+          .agg(count(lit(1)).as("n_close"))
+          .filter(col("n_close") >= 2)
+          .orderBy(col("n_close").desc, col("u1"), col("u2"))
+          .limit(100)
     }
   )
 }

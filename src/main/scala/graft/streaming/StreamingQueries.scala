@@ -52,6 +52,22 @@ object StreamingQueries {
         col("event_type"), col("n"),
         (col("value_cents").cast("double") / lit(100.0)).as("sum_value"))
 
+  /** e10 counterpart: chained time-window aggregation (Spark 3.4+) — the
+    * hourly count stream re-windowed by day via `window_time`, giving the
+    * daily peak hourly rate per type. Two stateful aggregations in ONE
+    * query; the second consumes the first's finalized hour windows, so its
+    * state is ≤ 24×types rows per day. Append mode (both watermarked). */
+  def dailyPeakHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_time", "2 hours")
+      .groupBy(window(col("ev_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(max(col("n")).as("peak_hourly_n"), sum(col("n")).as("day_n"))
+      .select(
+        (unix_micros(col("window.start")) / lit(86400000000L)).cast("long").as("day_bucket"),
+        col("event_type"), col("peak_hourly_n"), col("day_n"))
+
   /** e2 counterpart: 1 h window sliding every 15 min. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -195,6 +195,27 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(plan("p20_unigram_lm").contains("BroadcastHashJoin"))
   }
 
+  test("t17: grid rewrite composes with the pos equality (cell keys present, no cartesian)") {
+    val p = plan("t17_comovement")
+    // RewriteDistanceJoin must fire even though the join already has the
+    // user-supplied pos equi key: join keys = (pos, cellx, celly)
+    assert(p.contains("_graft_cell_off"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("r21: supplier reduction reaches lineitem as a broadcast semi join") {
+    val p = plan("r21_important_parts")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e10: day rollup consumes the reduced hourly frame (two agg levels, one exchange chain)") {
+    val p = plan("e10_daily_peak_hour")
+    // 2 logical aggregations × partial+final = ≥4 HashAggregates; no join
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("Rank.topKPerGroup gets the WindowGroupLimit pushdown (bounded heaps, no full sort of losers)") {
     // Spark 4 plans a single rank() <= k filter as WindowGroupLimit:
     // per-partition bounded heaps BEFORE the window sort. Both levels of the

@@ -154,6 +154,44 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("e10 chained window aggregation == batch daily peak hour") {
+    // Append mode (chained stateful aggs don't support complete); a 3-day
+    // far-future sentinel advances the watermark past every real day window
+    // so both aggregation levels flush their final state.
+    val dir = Files.createTempDirectory("graft-stream-e10")
+    val srcs = Files.list(Paths.get(replayDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    srcs.zipWithIndex.foreach { case (p, i) =>
+      val dst = Files.copy(p, dir.resolve(p.getFileName))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val maxTs = Tables.table(spark, TestSpark.sf0001, "events")
+      .agg(max($"ts")).as[Long].head()
+    val sentinel = Seq((-1L, maxTs + 3 * 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = Files.createTempDirectory("graft-sentinel-e10")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    Files.move(part, dir.resolve("batch99.parquet"))
+
+    val acc = mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q = StreamingQueries.dailyPeakHour(StreamingQueries.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          acc += ((r.getAs[Long]("day_bucket"), r.getAs[String]("event_type"),
+            r.getAs[Long]("peak_hourly_n"), r.getAs[Long]("day_n")))
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = acc.filter(_._2 != "sentinel").sortBy(t => (t._1, t._2))
+    val want = SparkEntry.queries("e10_daily_peak_hour")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("streaming parquet file sink round-trip (sink surface)") {
     val outDir = Files.createTempDirectory("graft-sink").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
