@@ -605,6 +605,261 @@ object Relational {
             (col("v").cast("double") / lit(100.0)).as("part_value"))
           .orderBy(col("v").desc, col("p_partkey"))
           .drop("v")
+    },
+
+    // TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    // year. Both nation maps broadcast DOWN to the fact tables first —
+    // lineitem shrinks to the two supplier nations (~2/25) and orders to the
+    // two customer nations BEFORE the only big join (l⋈o on orderkey), so
+    // the shuffle carries the reduced sides and AQE can pick a broadcast for
+    // the smaller one at low SF. Revenue is exact integer cents.
+    DeclaredQuery("r22_nation_trade",
+      s"""WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier s
+         |            JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |            WHERE n.n_name IN ('NATION_1','NATION_2')),
+         |cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer c
+         |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |       WHERE n.n_name IN ('NATION_1','NATION_2'))
+         |SELECT sn.supp_nation, cn.cust_nation,
+         |       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+         |       $mrevS AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |     JOIN sn ON l.l_suppkey = sn.s_suppkey
+         |     JOIN cn ON o.o_custkey = cn.c_custkey
+         |WHERE sn.supp_nation <> cn.cust_nation
+         |GROUP BY sn.supp_nation, cn.cust_nation, CAST(YEAR(l.l_shipdate) AS BIGINT)
+         |ORDER BY sn.supp_nation, cn.cust_nation, l_year""".stripMargin) {
+      (s, dir) =>
+        def natMap(tbl: String, key: String, natKey: String, out: String) =
+          Tables.table(s, dir, tbl)
+            .join(broadcast(Tables.table(s, dir, "nation")
+              .filter(col("n_name").isin("NATION_1", "NATION_2"))),
+              col(natKey) === col("n_nationkey"))
+            .select(col(key), col("n_name").as(out))
+        val sn = natMap("supplier", "s_suppkey", "s_nationkey", "supp_nation")
+        val cn = natMap("customer", "c_custkey", "c_nationkey", "cust_nation")
+        val l = Tables.table(s, dir, "lineitem")
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        val o = Tables.table(s, dir, "orders")
+          .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8 shape: NATION_5's market share of ECONOMY-part revenue sold
+    // to ASIA customers, per order year. Numerator and denominator are both
+    // exact BIGINT cents aggregated in ONE pass (conditional sum — never two
+    // scans); the share is a single IEEE division of two exact integers,
+    // rounded to 6dp (SURVEY §2.7b rule on derived ratios). Part and
+    // customer reductions reach lineitem/orders as broadcast joins.
+    DeclaredQuery("r23_market_share",
+      s"""WITH ac AS (SELECT c_custkey FROM customer c
+         |            JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |            JOIN region r ON n.n_regionkey = r.r_regionkey
+         |            WHERE r.r_name = 'ASIA'),
+         |eco AS (SELECT p_partkey FROM part WHERE p_type LIKE 'ECONOMY%'),
+         |base AS (SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+         |                ${centsS("l.l_extendedprice*(1-l.l_discount)")} AS vc,
+         |                s.s_nationkey
+         |         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |         WHERE o.o_custkey IN (SELECT c_custkey FROM ac)
+         |           AND l.l_partkey IN (SELECT p_partkey FROM eco))
+         |SELECT o_year,
+         |       ROUND(CAST(SUM(CASE WHEN s_nationkey = 5 THEN vc ELSE 0 END) AS DOUBLE)
+         |             / CAST(SUM(vc) AS DOUBLE), 6) AS mkt_share
+         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin) {
+      (s, dir) =>
+        val ac = Tables.table(s, dir, "customer")
+          .join(broadcast(Tables.table(s, dir, "nation")
+            .join(broadcast(Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val eco = Tables.table(s, dir, "part")
+          .filter(col("p_type").like("ECONOMY%")).select(col("p_partkey"))
+        val supp = Tables.table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val l = Tables.table(s, dir, "lineitem")
+          .join(broadcast(eco), col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        val o = Tables.table(s, dir, "orders")
+          .join(broadcast(ac), col("o_custkey") === col("c_custkey"), "left_semi")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(year(col("o_orderdate")).cast("long").as("o_year"),
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vc"),
+            col("s_nationkey"))
+          .groupBy(col("o_year"))
+          .agg(round(
+            sum(when(col("s_nationkey") === 5, col("vc")).otherwise(lit(0L))).cast("double")
+              / sum(col("vc")).cast("double"), 6).as("mkt_share"))
+          .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q9 shape: profit by supplier nation and ship year for one part
+    // family. Profit = revenue cents − cost cents where unit cost is a
+    // deterministic 10% of retail price — both sides pass through cents()
+    // BEFORE subtraction so the sum is exact in any aggregation order.
+    // p_retailprice rides the (broadcast) part join; nation resolves AFTER
+    // the aggregation on the tiny (nation × year) frame.
+    DeclaredQuery("r24_profit_rollup",
+      s"""SELECT n.n_name AS nation, CAST(YEAR(l.l_shipdate) AS BIGINT) AS o_year,
+         |       CAST(SUM(${centsS("l.l_extendedprice*(1-l.l_discount)")}
+         |                - ${centsS("p.p_retailprice*l.l_quantity*0.1")}) AS DOUBLE)/100.0
+         |         AS profit
+         |FROM lineitem l
+         |     JOIN part p ON l.l_partkey = p.p_partkey
+         |     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |     JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE p.p_name LIKE '%widget'
+         |GROUP BY n.n_name, CAST(YEAR(l.l_shipdate) AS BIGINT)
+         |ORDER BY nation, o_year""".stripMargin) {
+      (s, dir) =>
+        val p = Tables.table(s, dir, "part")
+          .filter(col("p_name").like("%widget"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val supp = Tables.table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        Tables.table(s, dir, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), year(col("l_shipdate")).cast("long").as("o_year"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            - cents(col("p_retailprice") * col("l_quantity") * lit(0.1))).as("pc"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("o_year"),
+            (col("pc").cast("double") / lit(100.0)).as("profit"))
+          .orderBy(col("nation"), col("o_year"))
+    },
+
+    // TPC-H Q4 shape: order-priority counts for a quarter, restricted to
+    // orders with at least one LATE line (shipped >60 days after order
+    // date) — the EXISTS decorrelates to a left-semi join whose range
+    // condition rides the orderkey equi-join. Complements r15 (Q21 anti
+    // shape on the same predicate family).
+    DeclaredQuery("r25_late_priority_counts",
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        val o = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+        val l = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l,
+            o("o_orderkey") === l("l_orderkey") &&
+              l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q13 shape: distribution of per-customer order counts (customers
+    // with no qualifying orders count as 0). Orders aggregate FIRST on
+    // their own key (600k→15k before any join); the customer frame then
+    // left-joins the counts — never a fan-out join then count-distinct.
+    DeclaredQuery("r26_cust_order_histogram",
+      """WITH co AS (SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+        |            FROM customer c LEFT JOIN
+        |                 (SELECT o_custkey FROM orders
+        |                  WHERE o_orderpriority <> '5-LOW') o
+        |            ON c.c_custkey = o.o_custkey
+        |            GROUP BY c.c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) {
+      (s, dir) =>
+        val perCust = Tables.table(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+        Tables.table(s, dir, "customer")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/quantity
+    // predicate blocks. The whole OR lives in one join filter over the
+    // (broadcast) part join — Catalyst extracts the common l_quantity
+    // bounds; no per-branch scan or union.
+    DeclaredQuery("r27_disjunctive_revenue",
+      s"""SELECT $mrevS AS revenue, COUNT(*) AS n
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 1 AND 20)
+         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+         |       AND l.l_quantity BETWEEN 10 AND 30)
+         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+         |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin) {
+      (s, dir) =>
+        val p = Tables.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        def blk(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand &&
+            col("p_size").between(szLo, szHi) &&
+            col("l_quantity").between(qLo, qHi)
+        Tables.table(s, dir, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(blk("Brand#1", 1, 15, 1, 20) ||
+            blk("Brand#2", 1, 25, 10, 30) ||
+            blk("Brand#3", 1, 35, 20, 40))
+          .agg(msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q20 shape: suppliers holding an outsized share (>30%) of some
+    // blue part's 1997 shipped quantity — nested aggregation + share test.
+    // Quantity sums are exact integer centi-units; the share test
+    // cross-multiplies in decimal(38,0) like r21 (DuckDB HUGEINT parity).
+    // DISTINCT is over the already-tiny qualifying (supplier) set.
+    DeclaredQuery("r28_excess_share_suppliers",
+      s"""WITH q AS (SELECT l_partkey, l_suppkey, SUM(${centsS("l_quantity")}) AS qc
+         |           FROM lineitem
+         |           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |             AND l_partkey IN (SELECT p_partkey FROM part
+         |                               WHERE p_name LIKE 'blue%')
+         |           GROUP BY l_partkey, l_suppkey),
+         |t AS (SELECT l_partkey, SUM(qc) AS tc FROM q GROUP BY l_partkey)
+         |SELECT DISTINCT s.s_suppkey, s.s_name
+         |FROM q JOIN t ON q.l_partkey = t.l_partkey
+         |       JOIN supplier s ON q.l_suppkey = s.s_suppkey
+         |WHERE q.qc * 10 > t.tc * 3
+         |ORDER BY s.s_suppkey""".stripMargin) {
+      (s, dir) =>
+        val blue = Tables.table(s, dir, "part")
+          .filter(col("p_name").like("blue%")).select(col("p_partkey"))
+        val q = Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+          .join(broadcast(blue), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(cents(col("l_quantity"))).as("qc"))
+        val t = q.groupBy(col("l_partkey")).agg(sum(col("qc")).as("tc"))
+          .withColumnRenamed("l_partkey", "t_partkey")
+        q.join(t, col("l_partkey") === col("t_partkey"))
+          .filter(col("qc").cast("decimal(38,0)") * lit(10) >
+            col("tc").cast("decimal(38,0)") * lit(3))
+          .select(col("l_suppkey")).distinct()
+          .join(broadcast(Tables.table(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
     }
   )
 }

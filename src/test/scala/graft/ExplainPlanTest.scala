@@ -216,6 +216,43 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("r22: both nation maps broadcast below the fact join; no cartesian") {
+    val p = plan("r22_nation_trade")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("r23: part + customer reductions reach the facts as broadcast semi joins; ONE aggregation pass") {
+    val p = plan("r23_market_share")
+    assert(p.linesIterator.count(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) >= 2, p)
+    // conditional numerator/denominator in one agg: exactly one partial+final pair
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+  }
+
+  test("r25: EXISTS plans as a left-semi hash join with the range residual, not a nested loop") {
+    val p = plan("r25_late_priority_counts")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("LeftSemi")), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("r26: orders aggregate on their own key BEFORE the customer join (no fan-out count)") {
+    val p = plan("r26_cust_order_histogram")
+    // per-custkey agg (partial+final) must appear below the LEFT join
+    val joinIdx = p.linesIterator.indexWhere(l => l.contains("Join") && l.contains("LeftOuter"))
+    assert(joinIdx >= 0, p)
+    val below = p.linesIterator.drop(joinIdx).mkString("\n")
+    assert(below.contains("HashAggregate"), p)
+  }
+
+  test("r27: disjunctive predicate stays one broadcast join, no union of scans") {
+    val p = plan("r27_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Union"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet") &&
+      p.contains("lineitem")) <= p.linesIterator.size) // single lineitem scan
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 1, p)
+  }
+
   test("Rank.topKPerGroup gets the WindowGroupLimit pushdown (bounded heaps, no full sort of losers)") {
     // Spark 4 plans a single rank() <= k filter as WindowGroupLimit:
     // per-partition bounded heaps BEFORE the window sort. Both levels of the
