@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{DeclaredQuery, Tables}
+import graft.Fns.{bsumS, cents, centsS}
 import graft.geo.Metrics
 
 /** Trajectory queries t1–t6 (SURVEY §2.7) — the reference-parity surface:
@@ -365,6 +366,138 @@ object Trajectories {
           .filter(col("n_close") >= 2)
           .orderBy(col("n_close").desc, col("u1"), col("u2"))
           .limit(100)
+    },
+
+    // Stay-segment detection (stop/stay-point mining, Zheng et al. survey
+    // family): maximal runs of ≥2 consecutive SLOW steps (step distance
+    // ≤ 20 under the repo's round-6 predicate convention) per user —
+    // gaps-and-islands over the per-user order. Every window/groupBy keys
+    // on user_id, so the three passes ride ONE hash partitioning; run ids
+    // are pure integer arithmetic (pos − rank among slow rows).
+    DeclaredQuery("t18_stay_segments",
+      s"""WITH p AS (SELECT user_id, ts_us, event_id, x, y,
+         |             ROW_NUMBER() OVER w AS pos,
+         |             LAG(x) OVER w AS px, LAG(y) OVER w AS py
+         |           FROM ${ptsViewS("purchase")} v
+         |           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |st AS (SELECT user_id, pos FROM p
+         |       WHERE px IS NOT NULL
+         |         AND ROUND(SQRT((x-px)*(x-px)+(y-py)*(y-py)),6) <= 20.0),
+         |runs AS (SELECT user_id,
+         |           pos - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos) AS grp
+         |         FROM st),
+         |seg AS (SELECT user_id, grp, COUNT(*) AS len
+         |        FROM runs GROUP BY user_id, grp HAVING COUNT(*) >= 2)
+         |SELECT user_id, COUNT(*) AS n_stays, CAST(MAX(len) AS BIGINT) AS longest,
+         |       ${bsumS("len")} AS slow_steps
+         |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val p = Tables.pts(s, dir, "purchase")
+          .select(col("user_id"), col("x"), col("y"),
+            row_number().over(w).as("pos"),
+            lag(col("x"), 1).over(w).as("px"),
+            lag(col("y"), 1).over(w).as("py"))
+        val slow = p.filter(col("px").isNotNull &&
+          round(sqrt((col("x") - col("px")) * (col("x") - col("px")) +
+            (col("y") - col("py")) * (col("y") - col("py"))), 6) <= 20.0)
+        val wd = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+        slow.select(col("user_id"), (col("pos") - row_number().over(wd)).as("grp"))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .filter(col("len") >= 2)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_stays"), max(col("len")).cast("long").as("longest"),
+            sum(col("len")).as("slow_steps"))
+          .orderBy(col("user_id"))
+    },
+
+    // Origin–destination flow matrix: per (user, day) the FIRST and LAST
+    // purchase point, flows counted between their t13 grid cells. Day is
+    // exact integer µs division; first/last resolve by the tie-free
+    // (ts_us, event_id) order — two window ranks over the SAME hash
+    // partitioning (user_id, day), then a co-partitioned self-join of the
+    // two single-row-per-key frames.
+    DeclaredQuery("t19_od_matrix",
+      s"""WITH p AS (SELECT user_id,
+         |             (ts_us - 1704067200000000) // 86400000000 AS day,
+         |             ts_us, event_id, x, y
+         |           FROM ${ptsViewS("purchase")} v),
+         |w AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |                           ORDER BY ts_us, event_id) AS ra,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |                           ORDER BY ts_us DESC, event_id DESC) AS rd
+         |      FROM p),
+         |o AS (SELECT user_id, day, CAST(FLOOR(x/5) AS BIGINT) AS gx0,
+         |             CAST(FLOOR(y/20) AS BIGINT) AS gy0 FROM w WHERE ra = 1),
+         |d AS (SELECT user_id, day, CAST(FLOOR(x/5) AS BIGINT) AS gx1,
+         |             CAST(FLOOR(y/20) AS BIGINT) AS gy1 FROM w WHERE rd = 1)
+         |SELECT o.gx0, o.gy0, d.gx1, d.gy1, COUNT(*) AS n_flows
+         |FROM o JOIN d ON o.user_id = d.user_id AND o.day = d.day
+         |GROUP BY o.gx0, o.gy0, d.gx1, d.gy1
+         |ORDER BY n_flows DESC, gx0, gy0, gx1, gy1 LIMIT 30""".stripMargin) {
+      (s, dir) =>
+        val p = Tables.pts(s, dir, "purchase")
+          .withColumn("day", expr("(ts_us - 1704067200000000) DIV 86400000000"))
+        val wk = Window.partitionBy(col("user_id"), col("day"))
+        val wAsc = wk.orderBy(col("ts_us"), col("event_id"))
+        val wDesc = wk.orderBy(col("ts_us").desc, col("event_id").desc)
+        val w = p.select(col("user_id"), col("day"), col("x"), col("y"),
+          row_number().over(wAsc).as("ra"), row_number().over(wDesc).as("rd"))
+        def cell(f: String) = Seq(
+          floor(col("x") / 5).cast("long").as(s"gx$f"),
+          floor(col("y") / 20).cast("long").as(s"gy$f"))
+        val o = w.filter(col("ra") === 1)
+          .select(Seq(col("user_id").as("uo"), col("day").as("do_")) ++ cell("0"): _*)
+        val d = w.filter(col("rd") === 1)
+          .select(Seq(col("user_id").as("ud"), col("day").as("dd")) ++ cell("1"): _*)
+        o.join(d, col("uo") === col("ud") && col("do_") === col("dd"))
+          .groupBy(col("gx0"), col("gy0"), col("gx1"), col("gy1"))
+          .agg(count(lit(1)).as("n_flows"))
+          .orderBy(col("n_flows").desc, col("gx0"), col("gy0"), col("gx1"), col("gy1"))
+          .limit(30)
+    },
+
+    // Radius of gyration per user (González/Hidalgo/Barabási 2008's mobility
+    // statistic): rms distance of a user's points from their centroid.
+    // ONE aggregation pass via the moment identity Σ(n·xi−Σx)² = n²Σxi²−n(Σx)²
+    // — no join-back of the centroid. Coordinates fixed-point FIRST
+    // (x micro-days, y centi-units) so every sum is an exact integer in any
+    // aggregation order; moments accumulate in decimal(38,0) (DuckDB HUGEINT
+    // parity — int64 would wrap once n·Σx² passes 2^63 at cluster scale);
+    // ONE final double expression, written identically in both engines.
+    DeclaredQuery("t20_radius_gyration",
+      s"""WITH f AS (SELECT user_id,
+         |             CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) AS xf,
+         |             ${centsS("y")} AS yf
+         |           FROM ${ptsViewS("purchase")} v),
+         |m AS (SELECT user_id, COUNT(*) AS n,
+         |        SUM(xf) AS sx, SUM(yf) AS sy,
+         |        SUM(xf*xf) AS qx, SUM(yf*yf) AS qy
+         |      FROM f GROUP BY user_id)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_points,
+         |       ROUND(SQRT((CAST(n*qx - sx*sx AS DOUBLE)/1e12
+         |                   + CAST(n*qy - sy*sy AS DOUBLE)/1e4)
+         |                  / CAST(n*n AS DOUBLE)), 6) AS rg
+         |FROM m ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val dec = "decimal(38,0)"
+        val f = Tables.pts(s, dir, "purchase")
+          .select(col("user_id"),
+            floor(col("x") * lit(1000000) + lit(0.5)).cast("long").as("xf"),
+            cents(col("y")).as("yf"))
+        f.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xf").cast(dec)).as("sx"), sum(col("yf").cast(dec)).as("sy"),
+            sum(col("xf").cast(dec) * col("xf").cast(dec)).as("qx"),
+            sum(col("yf").cast(dec) * col("yf").cast(dec)).as("qy"))
+          .select(col("user_id"), col("n").cast("long").as("n_points"),
+            round(sqrt(
+              ((col("n").cast(dec) * col("qx") - col("sx") * col("sx")).cast("double") / lit(1e12)
+                + (col("n").cast(dec) * col("qy") - col("sy") * col("sy")).cast("double") / lit(1e4))
+                / (col("n") * col("n")).cast("double")), 6).as("rg"))
+          .orderBy(col("user_id"))
     }
   )
 }

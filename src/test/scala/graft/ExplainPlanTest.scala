@@ -253,6 +253,31 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 1, p)
   }
 
+  test("t18: gaps-and-islands rides ONE user_id exchange (windows + aggs co-partitioned)") {
+    val p = plan("t18_stay_segments")
+    // lag window, run-id window, two aggregations — all keyed by user_id:
+    // exactly one shuffle of the point stream
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t19: origin/destination frames co-partition on (user, day) — no extra exchange for the self-join") {
+    val p = plan("t19_od_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both window ranks and the join key on (user_id, day): the point scan
+    // shuffles once; only the final cell-group agg re-shuffles
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id")) <= 2, p)
+  }
+
+  test("t20: moment identity needs ONE aggregation pass, no centroid join-back") {
+    val p = plan("t20_radius_gyration")
+    assert(!p.contains("Join"), p)
+    // partial+final of a single groupBy(user_id)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+  }
+
   test("Rank.topKPerGroup gets the WindowGroupLimit pushdown (bounded heaps, no full sort of losers)") {
     // Spark 4 plans a single rank() <= k filter as WindowGroupLimit:
     // per-partition bounded heaps BEFORE the window sort. Both levels of the
