@@ -87,4 +87,52 @@ object VectorOps {
         round(refineDot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= t)
   }
+
+  /** Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) over a COLLECTED shortlist: at each step pick the candidate
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d,s)` (first pick:
+    * just `λ·rel`), ties broken by id ascending.
+    *
+    * Architecture note (100 TB): MMR is inherently sequential in k, so the
+    * distributed part of the operator is producing the BOUNDED shortlist
+    * (ANN / TakeOrdered top-N); the greedy loop then runs over N rows on
+    * the driver — the standard retrieve-then-rerank split. N and k are
+    * capped by the caller, never data-sized.
+    *
+    * Pure function of its input order-independently: candidate similarity
+    * uses the same strict left-to-right double fold as [[dot]], and the
+    * argmax ordering is (score desc, id asc) — bit-deterministic.
+    *
+    * @return (rank 1..k, id, mmrScore) in selection order.
+    */
+  def mmrGreedy(cands: Seq[(Long, Array[Float], Double)], k: Int, lambda: Double)
+      : Seq[(Int, Long, Double)] = {
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    while (out.length < k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.valuesIterator.foreach { case (id, emb, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => dotFF(emb, s._2)).max
+        val score = lambda * rel - (1 - lambda) * maxSim
+        if (score > bestScore || (score == bestScore && (bestId < 0 || id < bestId))) {
+          bestScore = score; bestId = id
+        }
+      }
+      val (_, emb, _) = remaining.remove(bestId).get
+      selected += ((bestId, emb))
+      out += ((out.length + 1, bestId, bestScore))
+    }
+    out.toSeq
+  }
 }

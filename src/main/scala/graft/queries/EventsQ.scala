@@ -262,6 +262,46 @@ object EventsQ {
           .groupBy(expr("hr DIV 24").as("day_bucket"), col("event_type"))
           .agg(max(col("n")).as("peak_hourly_n"), sum(col("n")).as("day_n"))
           .orderBy(col("day_bucket"), col("event_type"))
+    },
+
+    // Rate-anomaly detection: hours whose event count sits >3σ above the
+    // trailing-24-observed-hours mean, per type — the monitoring query
+    // behind every "traffic spike" alert. ENTIRELY integer: the 3σ test
+    // (n−μ)² > 9σ² cross-multiplies to (24n−S)² > 9(24Q−S²) over the
+    // trailing count/sum/sum-of-squares, so there is NO float anywhere —
+    // portable by construction, no rounding contract needed. One hourly
+    // hash agg, one window pass partitioned by type (25 partitions of ~700
+    // rows each at any SF — the hourly frame, not the event stream).
+    DeclaredQuery("e11_rate_anomaly",
+      s"""WITH h AS (SELECT event_type, ts_us // 3600000000 AS hr, COUNT(*) AS n
+         |           FROM ${eViewS} e GROUP BY 1, 2),
+         |w AS (SELECT event_type, hr, n,
+         |        COUNT(*) OVER tr AS k,
+         |        CAST(SUM(n)   OVER tr AS BIGINT) AS s,
+         |        CAST(SUM(n*n) OVER tr AS BIGINT) AS q
+         |      FROM h
+         |      WINDOW tr AS (PARTITION BY event_type ORDER BY hr
+         |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, hr, n, s AS trail_sum
+         |FROM w
+         |WHERE k = 24 AND 24*n - s > 0
+         |  AND (24*n - s)*(24*n - s) > 9*(24*q - s*s)
+         |ORDER BY event_type, hr""".stripMargin) {
+      (s, dir) =>
+        val tr = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-24, -1)
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("hr"), col("n"),
+            count(lit(1)).over(tr).as("k"),
+            sum(col("n")).over(tr).as("s"),
+            sum(col("n") * col("n")).over(tr).as("q"))
+          .filter(col("k") === 24 && lit(24) * col("n") - col("s") > 0 &&
+            (lit(24) * col("n") - col("s")) * (lit(24) * col("n") - col("s")) >
+              lit(9) * (lit(24) * col("q") - col("s") * col("s")))
+          .select(col("event_type"), col("hr"), col("n"), col("s").as("trail_sum"))
+          .orderBy(col("event_type"), col("hr"))
     }
   )
 }

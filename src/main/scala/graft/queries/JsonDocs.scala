@@ -424,6 +424,38 @@ object JsonDocs {
           .orderBy(col("l1"), col("l2"))
     },
 
+    // MMR-diversified retrieval (Carbonell & Goldstein SIGIR'98): v1's
+    // query, but the top-10 is re-ranked for DIVERSITY — each pick trades
+    // query relevance against similarity to the already-picked set
+    // (λ=0.7). The distributed stage produces the bounded top-50 shortlist
+    // (TakeOrdered on the codegen dot — same plan as v1); the inherently
+    // sequential greedy loop then runs over those 50 rows on the driver
+    // (the standard retrieve-then-rerank split — shortlist size is capped
+    // by the operator, never data-sized). Oracle-exempt (greedy argmax is
+    // not SQL-expressible); OperatorsTest proves ≡ a naive re-implementation,
+    // first-pick ≡ v1's top-1, and rerank ⊂ shortlist.
+    DeclaredQuery.noOracle("v7_mmr_rerank") {
+      (s, dir) =>
+        graft.functions.FloatDotProduct.register(s)
+        val em = Tables.table(s, dir, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        // embeddings are unit-norm (FIXTURES.md) → dot IS cosine relevance
+        val shortlist = em.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"),
+            expr("graft_dot(q_emb, embedding)").as("rel"))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(50)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+          .toSeq
+        val picked = graft.operators.VectorOps.mmrGreedy(shortlist, 10, 0.7)
+        import s.implicits._
+        picked.map { case (rank, id, sc) =>
+          (rank.toLong, id, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toDF("rank", "vec_id", "mmr_score")
+    },
+
     // Fuzzy dedup END-TO-END — the keep-one step d6 stops short of: every
     // near-dup component keeps only its canonical (min-id) member, and the
     // query reports the surviving corpus per language. Dropping is an

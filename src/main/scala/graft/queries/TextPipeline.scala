@@ -494,6 +494,42 @@ object TextPipeline {
             round((-col("slp")).cast("double") / col("n_bigrams").cast("double") / lit(1e6), 6)
               .as("avg_nll"))
           .orderBy(col("doc_id"))
+    },
+
+    // Per-doc token-distribution (Shannon) entropy — the repetitiveness
+    // signal orthogonal to p20's corpus-level surprisal: low entropy flags
+    // internally repetitive docs even when every token is common. Same
+    // determinism design: each term's −ln(tf/n) is fixed-pointed to integer
+    // micro-nats, so the per-doc sum is an exact BIGINT in any aggregation
+    // order. The doc length joins in as a window sum over the SAME doc_id
+    // partitioning as the tf groupBy — one exchange, no join-back.
+    DeclaredQuery("p22_token_entropy",
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |tf2 AS (SELECT doc_id, tf,
+        |          CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |        FROM tf),
+        |e AS (SELECT doc_id, n,
+        |        tf * CAST(FLOOR((LN(CAST(n AS DOUBLE)) - LN(CAST(tf AS DOUBLE)))*1e6 + 0.5) AS BIGINT) AS c
+        |      FROM tf2)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_toks,
+        |       ROUND(CAST(SUM(c) AS BIGINT) / CAST(MAX(n) AS BIGINT) / 1e6, 6) AS entropy
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val tf = Tables.docTokens(s, dir)
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val wd = Window.partitionBy(col("doc_id"))
+        tf.select(col("doc_id"), col("tf"), sum(col("tf")).over(wd).as("n"))
+          .select(col("doc_id"), col("n"),
+            (col("tf") * floor((log(col("n").cast("double")) - log(col("tf").cast("double")))
+              * lit(1e6) + lit(0.5)).cast("long")).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).cast("long").as("n_toks"),
+            round(sum(col("c")).cast("double") / max(col("n")).cast("double") / lit(1e6), 6)
+              .as("entropy"))
+          .orderBy(col("doc_id"))
     }
   )
 }

@@ -298,4 +298,48 @@ class OperatorsTest extends AnyFunSuite {
     assert(row15.getAs[Int]("edr") ==
       graft.geo.Metrics.edr(xa, ya, xb, yb, 2.0, 25.0))
   }
+
+  test("v7 MMR: greedy ≡ naive re-implementation; first pick = v1 top-1; rerank ⊂ shortlist") {
+    val v7 = SparkEntry.queries("v7_mmr_rerank")(spark, TestSpark.sf0001).collect()
+    assert(v7.length == 10)
+    assert(v7.map(_.getLong(0)).toSeq == (1L to 10L)) // ranks 1..10 in order
+    val v1Top = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .collect().head.getLong(0)
+    assert(v7.head.getLong(1) == v1Top, "first MMR pick must be the most relevant vector")
+
+    // naive reference: same shortlist, direct O(k·N·|S|) recompute
+    val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    graft.functions.FloatDotProduct.register(spark)
+    val q = em.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val shortlist = em.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", $"embedding", expr("graft_dot(q_emb, embedding)").as("rel"))
+      .orderBy($"rel".desc, $"vec_id").limit(50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2))).toSeq
+    val ids = shortlist.map(_._1).toSet
+    assert(v7.forall(r => ids.contains(r.getLong(1))), "picks must come from the shortlist")
+
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    var remaining = shortlist
+    var selected = List.empty[(Long, Array[Float])]
+    val naive = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    while (naive.length < 10) {
+      val scored = remaining.map { case (id, emb, rel) =>
+        val ms = if (selected.isEmpty) 0.0 else selected.map(s => dotFF(emb, s._2)).max
+        (id, emb, 0.7 * rel - 0.3 * ms)
+      }
+      val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+      naive += ((best._1, best._3))
+      selected ::= ((best._1, best._2))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    assert(v7.map(_.getLong(1)).toSeq == naive.map(_._1).toSeq,
+      "greedy operator must equal the naive MMR selection")
+    // determinism: second run identical
+    val again = SparkEntry.queries("v7_mmr_rerank")(spark, TestSpark.sf0001).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      v7.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
 }
