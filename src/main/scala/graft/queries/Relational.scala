@@ -860,6 +860,36 @@ object Relational {
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"))
           .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q18 shape: bulk orders — orders whose total line quantity tops
+    // a threshold, with the customer resolved. The HAVING aggregate runs on
+    // lineitem ALONE keyed by orderkey (600k→150k before any join); orders
+    // and customer attach to the already-tiny qualifying set. Quantity sums
+    // are exact integer centi-units.
+    DeclaredQuery("r29_bulk_orders",
+      s"""WITH q AS (SELECT l_orderkey, SUM(${centsS("l_quantity")}) AS qc
+         |           FROM lineitem GROUP BY l_orderkey
+         |           HAVING SUM(${centsS("l_quantity")}) > 21000)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+         |       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+         |       CAST(q.qc AS DOUBLE)/100.0 AS total_qty
+         |FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+         |       JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY q.qc DESC, o.o_orderkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val q = Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(cents(col("l_quantity"))).as("qc"))
+          .filter(col("qc") > 21000)
+        q.join(Tables.table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("qc"), (col("qc").cast("double") / lit(100.0)).as("total_qty"))
+          .orderBy(col("qc").desc, col("o_orderkey"))
+          .limit(20)
+          .drop("qc")
     }
   )
 }

@@ -72,6 +72,32 @@ object SetsAndFuncs {
           .orderBy(col("n_nationkey").asc_nulls_last, col("n_name").asc_nulls_last)
     },
 
+    // Bag-semantics set operations — the ALL variants s3 deliberately skips
+    // (multiplicity-preserving EXCEPT ALL / INTERSECT ALL lower to
+    // count-balancing hash aggregations, not the distinct-hash of s3).
+    // Input bags: customer nation keys vs supplier nation keys.
+    DeclaredQuery("s6_set_ops_all",
+      """SELECT 'except_all' AS op, COUNT(*) AS n
+        |  FROM (SELECT c_nationkey FROM customer
+        |        EXCEPT ALL SELECT s_nationkey FROM supplier) t1
+        |UNION ALL SELECT 'intersect_all', COUNT(*)
+        |  FROM (SELECT c_nationkey FROM customer
+        |        INTERSECT ALL SELECT s_nationkey FROM supplier) t2
+        |UNION ALL SELECT 'union_all', COUNT(*)
+        |  FROM (SELECT c_nationkey FROM customer
+        |        UNION ALL SELECT s_nationkey FROM supplier) t3
+        |ORDER BY op""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.table(s, dir, "customer").select(col("c_nationkey"))
+        val su = Tables.table(s, dir, "supplier").select(col("s_nationkey").as("c_nationkey"))
+        def one(op: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+        one("except_all", c.exceptAll(su))
+          .unionAll(one("intersect_all", c.intersectAll(su)))
+          .unionAll(one("union_all", c.unionAll(su)))
+          .orderBy(col("op"))
+    },
+
     DeclaredQuery("f1_part_name_stats",
       """SELECT regexp_extract(p_name, '^[a-z]+') AS first_word, COUNT(*) AS n,
         |       MIN(CONCAT(UPPER(p_brand), '|', TRIM(p_type))) AS min_tag,

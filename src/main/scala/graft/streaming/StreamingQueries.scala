@@ -292,4 +292,50 @@ object StreamingQueries {
           Iterator.single(FunnelRow(user, stage, v, c, p))
       }
   }
+
+  final case class AnomalyRow(event_type: String, hr: Long, n: Long, trail_sum: Long)
+
+  /** Per-type hourly count buffer for [[rateAnomalyCustom]]. Hour counts
+    * must stay buffered (not just a trailing deque): a late-arriving event
+    * for an old hour changes that hour's count and can flip anomaly
+    * verdicts downstream of it. State is one entry per OBSERVED (type,
+    * hour) — production would evict hours the watermark has passed beyond
+    * the 24-hour lookback, capping state at ~25 entries per type. */
+  final case class RateState(counts: Map[Long, Long])
+
+  /** e11 counterpart: trailing-24-observed-hours 3σ rate anomaly as
+    * explicit per-type state (flatMapGroupsWithState, Update mode). Each
+    * micro-batch merges the batch's (hour → count) deltas and re-emits the
+    * type's CURRENT anomaly snapshot (plus an hr = −1 sentinel so every
+    * batch produces a snapshot even when it is empty); the LAST snapshot
+    * per type equals batch e11 exactly — same all-integer
+    * (24n−S)² > 9(24Q−S²) test, any arrival order. */
+  def rateAnomalyCustom(events: DataFrame): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, AnomalyRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[(String, Long)], state: GroupState[RateState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, hr) => counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L) }
+          state.update(RateState(counts))
+          val hours = counts.toArray.sortBy(_._1)
+          val out = scala.collection.mutable.ListBuffer(AnomalyRow(typ, -1L, 0L, 0L))
+          var i = 24
+          while (i < hours.length) {
+            val (hr, n) = hours(i)
+            var s = 0L; var q = 0L
+            var j = i - 24
+            while (j < i) { val c = hours(j)._2; s += c; q += c * c; j += 1 }
+            val d = 24L * n - s
+            if (d > 0 && d * d > 9L * (24L * q - s * s)) out += AnomalyRow(typ, hr, n, s)
+            i += 1
+          }
+          out.iterator
+      }
+  }
 }

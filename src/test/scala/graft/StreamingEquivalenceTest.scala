@@ -355,6 +355,27 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("e11 streaming rate anomaly (flatMapGroupsWithState) == batch") {
+    // Update mode: each micro-batch re-emits the type's full anomaly
+    // snapshot (hr = -1 sentinel keeps empty snapshots observable); the
+    // LAST snapshot per type must equal the batch query.
+    val acc = mutable.ArrayBuffer.empty[(Long, (String, Long, Long, Long))]
+    val q = StreamingQueries.rateAnomalyCustom(StreamingQueries.eventsStream(spark, replayDir))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.AnomalyRow], bid: Long) =>
+        df.collect().foreach(r => acc += ((bid, (r.event_type, r.hr, r.n, r.trail_sum))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = acc.groupBy(_._2._1).toSeq.flatMap { case (_, snaps) =>
+      val last = snaps.map(_._1).max
+      snaps.filter(s => s._1 == last && s._2._2 >= 0).map(_._2)
+    }.sortBy(r => (r._1, r._2))
+    val want = SparkEntry.queries("e11_rate_anomaly")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("e8 streaming funnel (flatMapGroupsWithState) == batch min-chain") {
     // Update mode: each micro-batch emits the user's current chain
     // snapshot; the LAST snapshot per user (highest batch id) must equal
