@@ -890,6 +890,29 @@ object Relational {
           .orderBy(col("qc").desc, col("o_orderkey"))
           .limit(20)
           .drop("qc")
+    },
+
+    // Mergeable one-pass quantile SKETCH (Greenwald–Khanna summaries —
+    // Spark's approx_percentile) — the 100 TB complement to r10's exact
+    // percentile_cont: exact quantiles need a full sort per group; the
+    // sketch is a bounded-memory map-side structure merged associatively
+    // across partitions (the same shape a 1000-executor scan needs).
+    // Sketch answers are approximation-dependent, so NO DuckDB oracle —
+    // OperatorsTest proves each reported value's exact RANK is within the
+    // documented 1/accuracy error of its target quantile.
+    DeclaredQuery.noOracle("r30_quantile_sketch") {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr(s"approx_percentile(${"CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)"}, array(0.5, 0.9, 0.99), 10000)")
+              .as("qs"))
+          .select(col("l_returnflag"), col("n"),
+            col("qs").getItem(0).as("p50_cents"),
+            col("qs").getItem(1).as("p90_cents"),
+            col("qs").getItem(2).as("p99_cents"))
+          .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -530,6 +530,54 @@ object TextPipeline {
             round(sum(col("c")).cast("double") / max(col("n")).cast("double") / lit(1e6), 6)
               .as("entropy"))
           .orderBy(col("doc_id"))
+    },
+
+    // Token co-occurrence PMI — the PPMI association matrix construction
+    // (Church & Hanks 1990) behind count-based embeddings and collocation
+    // mining. Doc-level co-occurrence: the pair space is the within-doc
+    // self-join of DISTINCT doc tokens, bounded per doc by distinct-token
+    // count (≤31-token vocab here; a 100 TB corpus caps it the standard way
+    // — restrict to a top-V vocabulary first, keeping the join equi-keyed
+    // on doc_id and the pair fan-out V-bounded). PMI is computed ONCE per
+    // distinct pair from exact integer counts and fixed-pointed to
+    // micro-nats; ordering/threshold on exact integers only.
+    DeclaredQuery("p23_pmi_pairs",
+      """WITH dt AS (SELECT DISTINCT doc_id, tok
+        |            FROM (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |                  FROM documents) u),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+        |c1 AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+        |c12 AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c
+        |        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |        GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5),
+        |pmi AS (SELECT t1, t2, c12.c AS n_docs,
+        |          CAST(FLOOR(LN(CAST(c12.c AS DOUBLE) * nd.n / ca.c / cb.c)*1e6 + 0.5) AS BIGINT) AS pmi_micro
+        |        FROM c12 JOIN c1 ca ON c12.t1 = ca.tok
+        |                JOIN c1 cb ON c12.t2 = cb.tok, nd)
+        |SELECT t1, t2, n_docs, pmi_micro
+        |FROM pmi ORDER BY pmi_micro DESC, t1, t2 LIMIT 50""".stripMargin) {
+      (s, dir) =>
+        val dt = Tables.docTokens(s, dir)
+          .select(col("doc_id"), col("tok")).distinct()
+        val nd = dt.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
+        val c1 = dt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val a = dt.select(col("doc_id"), col("tok").as("t1"))
+        val b = dt.select(col("doc_id").as("doc2"), col("tok").as("t2"))
+        val c12 = a.join(b, col("doc_id") === col("doc2") && col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 5)
+        // vocabulary-sized frames broadcast to the pair frame
+        val ca = c1.select(col("tok").as("ka"), col("c").as("ca"))
+        val cb = c1.select(col("tok").as("kb"), col("c").as("cb"))
+        c12.join(broadcast(ca), col("t1") === col("ka"))
+          .join(broadcast(cb), col("t2") === col("kb"))
+          .crossJoin(broadcast(nd))
+          .select(col("t1"), col("t2"), col("n_docs"),
+            floor(log(col("n_docs").cast("double") * col("n") / col("ca") / col("cb"))
+              * lit(1e6) + lit(0.5)).cast("long").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+          .limit(50)
     }
   )
 }

@@ -299,6 +299,32 @@ class OperatorsTest extends AnyFunSuite {
       graft.geo.Metrics.edr(xa, ya, xb, yb, 2.0, 25.0))
   }
 
+  test("r30 quantile sketch: each value's exact rank within the documented error bound") {
+    val got = SparkEntry.queries("r30_quantile_sketch")(spark, TestSpark.sf001).collect()
+    assert(got.nonEmpty)
+    val li = Tables.table(spark, TestSpark.sf001, "lineitem")
+      .select($"l_returnflag", expr("CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)").as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val xs = li(flag)
+      val n = xs.length
+      assert(r.getLong(1) == n)
+      Seq((2, 0.5), (3, 0.9), (4, 0.99)).foreach { case (i, q) =>
+        val v = r.getLong(i)
+        // exact rank window of v in the sorted data vs target rank —
+        // GK guarantee: |rank - q·n| <= n/accuracy (generous 2x slack for
+        // the interpolation convention at the window edges)
+        val lo = xs.count(_ < v)
+        val hi = xs.count(_ <= v)
+        val target = q * n
+        val tol = 2.0 * n / 10000 + 1
+        assert(lo - tol <= target && target <= hi + tol,
+          s"$flag p$q: value $v rank window [$lo,$hi] vs target $target ± $tol")
+      }
+    }
+  }
+
   test("v7 MMR: greedy ≡ naive re-implementation; first pick = v1 top-1; rerank ⊂ shortlist") {
     val v7 = SparkEntry.queries("v7_mmr_rerank")(spark, TestSpark.sf0001).collect()
     assert(v7.length == 10)
