@@ -48,16 +48,29 @@ object SpanDedup {
   }
 
   /** Per-document span-duplication stats: (doc_id, n_grams, n_dup,
-    * dup_ratio), dup_ratio rounded to 6 places. */
+    * dup_ratio), dup_ratio rounded to 6 places.
+    *
+    * Shape: the position stream collapses ONCE to (doc_id, gid, npos) —
+    * after that the window-lead build is out of the plan entirely, and the
+    * cross-doc test is a plain count over the per-doc frame (one row per
+    * (doc, gram): COUNT(*) == doc count — no countDistinct state). Both
+    * consumers of the per-doc frame (the dup-gram filter and the join probe)
+    * re-shuffle it by gid identically, so the exchange is planned once and
+    * reused. */
   def dupSpanStats(docs: DataFrame, textCol: String = "text", k: Int = 8): DataFrame = {
-    val g = gramPositions(docs, textCol, k)
-    val dup = g.groupBy(col("gid"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("gid"), lit(1).as("isdup"))
-    g.join(dup, Seq("gid"), "left")
+    val pg = gramPositions(docs, textCol, k)
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(count(lit(1)).as("npos"))
+    // cross-doc count as an UNORDERED window over the per-doc gram frame —
+    // a LINEAR plan (collapse → window → per-doc agg): the expensive
+    // window-lead gram build exists exactly once in the plan, with no
+    // self-join subtree for Spark to duplicate (plan-guarded).
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
+    pg.select(col("doc_id"), col("npos"),
+        count(lit(1)).over(wg).as("nd"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(col("isdup")).as("n_dup"))
+      .agg(sum(col("npos")).as("n_grams"),
+        coalesce(sum(when(col("nd") > 1, col("npos"))), lit(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_ratio"))
   }

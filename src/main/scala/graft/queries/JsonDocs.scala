@@ -522,11 +522,15 @@ object JsonDocs {
         |FROM sh JOIN df ON sh.shingle = df.shingle
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin) {
       (s, dir) =>
+        // corpus doc-frequency as an UNORDERED window over the distinct
+        // (doc, shingle) frame — a LINEAR plan (shingle build → distinct →
+        // window → per-doc agg), so the shingle explosion exists once in
+        // the plan instead of being duplicated into a self-join's two sides
         val sh = graft.operators.Decontaminate.wordShingles(
             Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 3)
           .select(col("doc_id"), col("shingle")).distinct()
-        val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
-        sh.join(df, Seq("shingle"))
+        val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+        sh.select(col("doc_id"), count(lit(1)).over(wsh).as("c"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("c") === 1, 1).otherwise(0)).cast("long").as("n_unique"))

@@ -347,21 +347,32 @@ object Relational {
         |                                          AND l3.l_suppkey <> w.l_suppkey)
         |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin) {
       (s, dir) =>
+        // Decorrelated further than the semi/anti pair: ONE lineitem scan
+        // flags each (order, supplier) as late-or-not; per-order counts
+        // then encode both subqueries — EXISTS other supplier ⇔ n_supp ≥ 2,
+        // NOT EXISTS other late one ⇔ n_late = 1 (the row itself is late).
+        // Every aggregation/join after the first keys on l_orderkey, so the
+        // (orderkey, suppkey) distinct exchange is planned once and reused.
         val l = Tables.table(s, dir, "lineitem")
         val o = Tables.table(s, dir, "orders")
-        val ls = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val late = l.join(o, l("l_orderkey") === o("o_orderkey") &&
-            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"))
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val l2 = ls.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-        val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
         val sup = Tables.table(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))
-        late
-          .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
-            "left_semi")
-          .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
-            "left_anti")
+        val flagged = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"))
+              .cast("int").as("late"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("late")).as("is_late"))
+        // per-order counts as an UNORDERED window over the same frame — a
+        // LINEAR plan (agg → window → filter), no self-referencing subtree
+        // for Spark to plan twice; lineitem is scanned exactly once
+        // (plan-guarded).
+        val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+        flagged
+          .select(col("l_orderkey"), col("l_suppkey"), col("is_late"),
+            count(lit(1)).over(wOrd).as("n_supp"),
+            sum(col("is_late")).over(wOrd).as("n_late"))
+          .filter(col("is_late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
           .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("numwait"))

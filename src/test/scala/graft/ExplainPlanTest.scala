@@ -149,10 +149,12 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
   }
 
-  test("d8: span-dedup join keys are the 64-bit gram hashes, not gram strings") {
+  test("d8: span-dedup shuffles the 64-bit gram hashes, not gram strings") {
     val p = plan("d8_span_dedup")
-    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
-    assert(joinLines.contains("gid"), joinLines)
+    // every gram exchange keys on the xxhash64 gid; no string-keyed shuffle
+    val gramEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("gid")).toSeq
+    assert(gramEx.nonEmpty, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -214,6 +216,18 @@ class ExplainPlanTest extends AnyFunSuite {
     // 2 logical aggregations × partial+final = ≥4 HashAggregates; no join
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
     assert(!p.contains("Join"), p)
+  }
+
+  test("r15: flag-agg decorrelation scans lineitem ONCE (was 3× in the semi/anti form)") {
+    val p = plan("r15_only_late_supplier")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1, p)
+    assert(p.linesIterator.count(_.contains("orders.parquet")) == 1, p)
+  }
+
+  test("d8: linear plan — the gram build exists once, documents scanned once") {
+    val p = plan("d8_span_dedup")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1, p)
+    assert(!p.contains("Join"), "cross-doc count is a window, not a self-join\n" + p)
   }
 
   test("r22: both nation maps broadcast below the fact join; no cartesian") {
