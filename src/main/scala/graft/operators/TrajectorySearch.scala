@@ -177,15 +177,33 @@ object TrajectorySearch {
     * kernel evaluated only on per-query survivors. */
   def topKBatchPruned(ta0: DataFrame, queryUsers: Seq[Long], k: Int,
                       metric: String = "hausdorff", seedFactor: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.SlicedBoxLb.register(ta0.sparkSession)
     val ta = ensureBoxes(ta0)
+    batchPrunedOf(ta, ta.filter(col("user_id").isInCollection(queryUsers)),
+      k, metric, seedFactor)
+  }
+
+  /** k-nearest-neighbor JOIN under a trajectory metric: for EVERY
+    * trajectory, its k most similar others — the reference workload (O15)
+    * as a single self-join operator rather than a query loop. Same
+    * relational bound-seeding as [[topKBatchPruned]] with the query set =
+    * the whole table; at 10⁸ trajectories the slim boxes frame outgrows a
+    * broadcast and the STR tile pre-filter (StrPartition) supplies the pair
+    * enumeration instead — the per-query seed/threshold/refine stages are
+    * unchanged. */
+  def knnJoin(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+              seedFactor: Int = 3): DataFrame = {
+    val ta = ensureBoxes(ta0)
+    batchPrunedOf(ta, ta, k, metric, seedFactor)
+  }
+
+  private def batchPrunedOf(ta: DataFrame, q0: DataFrame, k: Int,
+                            metric: String, seedFactor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SlicedBoxLb.register(ta.sparkSession)
     val fn = metricCol(metric, ta.sparkSession)
 
-    val qSlim = ta.filter(col("user_id").isInCollection(queryUsers))
-      .select(col("user_id").as("q_user"), col("boxes").as("qboxes"))
-    val qFat = ta.filter(col("user_id").isInCollection(queryUsers))
-      .select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
+    val qSlim = q0.select(col("user_id").as("q_user"), col("boxes").as("qboxes"))
+    val qFat = q0.select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
     val fat = ta.select(col("user_id"), col("xs"), col("ys"))
     val exact = round(fn(col("xs"), col("ys"), col("qxs"), col("qys")), 6)
 

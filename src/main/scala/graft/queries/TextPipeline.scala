@@ -578,6 +578,112 @@ object TextPipeline {
               * lit(1e6) + lit(0.5)).cast("long").as("pmi_micro"))
           .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
           .limit(50)
+    },
+
+    // END-TO-END curation funnel — the composition a real training-data run
+    // executes as ONE job: language filter → quality rules (p19) → keep-one
+    // near-dup dedup (d9's CC canonical) → decontamination vs the held-out
+    // benchmark (d5, ≥3 shingle hits = contaminated; the benchmark split
+    // itself leaves at this stage). Per-doc stage flags compose in ONE scan
+    // pass (monotone f1 ≥ f2 ≥ f3 ≥ f4), the drop/hit sets arrive as
+    // doc_id-keyed LEFT joins (never driver-side lists), and the funnel is
+    // a single aggregation unpivoted to rows. Reuses the SAME memoized CC
+    // labeling and shingle builds as d5/d6/d9 — the build-once artifacts.
+    DeclaredQuery("p24_curation_funnel",
+      """WITH RECURSIVE
+        |dtoks AS (SELECT DISTINCT doc_id, lang, tok
+        |          FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |          WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM dtoks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |          FROM dtoks a JOIN dtoks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                    AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM inter JOIN sizes s1 ON s1.doc_id=d1
+        |          JOIN sizes s2 ON s2.doc_id=d2
+        |          WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |                WHERE e.b <> r.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+        |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> group_id),
+        |q AS (SELECT doc_id,
+        |             len(list_filter(string_split(text,' '), x -> x <> '')) AS nt,
+        |             len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS nd,
+        |             list_sum(list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+        |                                     w -> length(w))) AS chars
+        |      FROM documents),
+        |keepq AS (SELECT doc_id FROM q
+        |          WHERE nt >= 30 AND 5*chars <= 24*nt AND 20*nd >= 7*nt),
+        |stoks AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
+        |          FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)-1),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |       FROM stoks WHERE len(ts) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n
+        |         FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |         WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
+        |f AS (SELECT d.doc_id,
+        |        CASE WHEN d.lang <> 'zh' THEN 1 ELSE 0 END AS f1,
+        |        CASE WHEN d.lang <> 'zh'
+        |              AND d.doc_id IN (SELECT doc_id FROM keepq) THEN 1 ELSE 0 END AS f2,
+        |        CASE WHEN d.lang <> 'zh'
+        |              AND d.doc_id IN (SELECT doc_id FROM keepq)
+        |              AND d.doc_id NOT IN (SELECT doc_id FROM dropped) THEN 1 ELSE 0 END AS f3,
+        |        CASE WHEN d.lang <> 'zh'
+        |              AND d.doc_id IN (SELECT doc_id FROM keepq)
+        |              AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |              AND d.doc_id % 50 <> 0
+        |              AND COALESCE((SELECT n FROM hits h WHERE h.doc_id = d.doc_id), 0) < 3
+        |             THEN 1 ELSE 0 END AS f4
+        |      FROM documents d)
+        |SELECT * FROM (
+        |  SELECT '1_all' AS stage, COUNT(*) AS n_docs FROM f
+        |  UNION ALL SELECT '2_lang', CAST(SUM(f1) AS BIGINT) FROM f
+        |  UNION ALL SELECT '3_quality', CAST(SUM(f2) AS BIGINT) FROM f
+        |  UNION ALL SELECT '4_dedup', CAST(SUM(f3) AS BIGINT) FROM f
+        |  UNION ALL SELECT '5_decontam', CAST(SUM(f4) AS BIGINT) FROM f)
+        |ORDER BY stage""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.table(s, dir, "documents")
+        val t = docs.select(col("doc_id"), col("lang"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("nt"),
+            size(array_distinct(col("toks"))).cast("long").as("nd"),
+            expr("aggregate(toks, 0L, (s, w) -> s + length(w))").as("chars"))
+        val qualityKeep = col("nt") >= 30 &&
+          lit(5) * col("chars") <= lit(24) * col("nt") &&
+          lit(20) * col("nd") >= lit(7) * col("nt")
+        val dropped = graft.operators.Components.connectedComponentsCached(
+            graft.operators.DocSimilarity.nearDupPairs(s, dir)
+              .select(col("d1").as("a"), col("d2").as("b")),
+            cacheKey = s"$dir#neardup", assumeCanonical = true)
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"), lit(1).as("is_dropped"))
+        val sh = graft.operators.Decontaminate.wordShingles(
+          docs.select(col("doc_id"), col("text")), 3)
+        val hits = graft.operators.Decontaminate.hitsBloom(
+            sh.filter(col("doc_id") % 50 =!= 0),
+            sh.filter(col("doc_id") % 50 === 0))
+          .select(col("doc_id"), col("n_hits"))
+        val f1 = (col("lang") =!= "zh").cast("long")
+        val f2 = f1 * qualityKeep.cast("long")
+        val f3 = f2 * col("is_dropped").isNull.cast("long")
+        val f4 = f3 * (col("doc_id") % 50 =!= 0).cast("long") *
+          (coalesce(col("n_hits"), lit(0L)) < 3).cast("long")
+        val agg = t
+          .join(dropped, Seq("doc_id"), "left")
+          .join(hits, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("1_all"), sum(f1).as("2_lang"), sum(f2).as("3_quality"),
+            sum(f3).as("4_dedup"), sum(f4).as("5_decontam"))
+        agg.select(expr(
+            "stack(5, '1_all', `1_all`, '2_lang', `2_lang`, '3_quality', `3_quality`, " +
+            "'4_dedup', `4_dedup`, '5_decontam', `5_decontam`) AS (stage, n_docs)"))
+          .orderBy(col("stage"))
     }
   )
 }

@@ -459,6 +459,41 @@ object Trajectories {
           .limit(30)
     },
 
+    // k-nearest-neighbor JOIN under Hausdorff (k=3) — the reference's O15
+    // workload as ONE self-join operator: every trajectory gets its 3 most
+    // similar others, via the fully relational per-query bound seeding of
+    // TrajectorySearch.knnJoin (slim box-bound pair scan → per-query seed
+    // threshold r_q as a windowed aggregate → early-abandon refine of
+    // lb ≤ r_q survivors → two-stage rank). No driver-side threshold or
+    // query loop anywhere.
+    DeclaredQuery("t21_knn_join",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |d AS (SELECT a.user_id u1, b.user_id u2, a.event_id ea, b.event_id eb,
+         |             SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist
+         |      FROM pts a JOIN pts b ON a.user_id <> b.user_id),
+         |hab AS (SELECT u1, u2, MAX(md) AS h FROM
+         |        (SELECT u1, u2, ea, MIN(dist) AS md FROM d GROUP BY u1, u2, ea) q1
+         |        GROUP BY u1, u2),
+         |hba AS (SELECT u1, u2, MAX(md) AS h FROM
+         |        (SELECT u1, u2, eb, MIN(dist) AS md FROM d GROUP BY u1, u2, eb) q2
+         |        GROUP BY u1, u2),
+         |hd AS (SELECT hab.u1 AS q_user, hab.u2 AS user_id,
+         |              ROUND(GREATEST(hab.h, hba.h), 6) AS dist
+         |       FROM hab JOIN hba ON hab.u1 = hba.u1 AND hab.u2 = hba.u2)
+         |SELECT q_user, user_id, dist,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY q_user
+         |                               ORDER BY dist, user_id) AS BIGINT) AS rk
+         |FROM hd
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_user ORDER BY dist, user_id) <= 3
+         |ORDER BY q_user, rk""".stripMargin) {
+      (s, dir) =>
+        val wq = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
+        graft.operators.TrajectorySearch.knnJoin(
+            Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff")
+          .withColumn("rk", row_number().over(wq).cast("long"))
+          .orderBy(col("q_user"), col("rk"))
+    },
+
     // Radius of gyration per user (González/Hidalgo/Barabási 2008's mobility
     // statistic): rms distance of a user's points from their centroid.
     // ONE aggregation pass via the moment identity Σ(n·xi−Σx)² = n²Σxi²−n(Σx)²

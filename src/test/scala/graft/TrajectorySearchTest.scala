@@ -88,6 +88,18 @@ class TrajectorySearchTest extends AnyFunSuite {
     }
   }
 
+  test("knnJoin equals the unpruned batch search with every user as query") {
+    for (dir <- Seq(TestSpark.sf0001)) {
+      val ta = Tables.trajArrays(spark, dir)
+      val allUsers = ta.select($"user_id").collect().map(_.getLong(0)).toSeq
+      val exact = TrajectorySearch.topKBatch(ta, allUsers, 3, "hausdorff")
+        .collect().map(_.toString).toSeq
+      val joined = TrajectorySearch.knnJoin(ta, 3, "hausdorff")
+        .collect().map(_.toString).toSeq
+      assert(joined == exact, dir)
+    }
+  }
+
   test("trajArraysOf caps a mega-user (SURVEY §7.5 risk 5) and search completes") {
     val mega = (0 until 200000).map(i =>
       (999L, i.toLong, i.toLong, i * 0.001, math.sin(i * 0.01) * 10))
