@@ -456,6 +456,44 @@ object JsonDocs {
         }.toDF("rank", "vec_id", "mmr_score")
     },
 
+    // Binary-quantized similarity search (sign quantization + Hamming
+    // rerank — the memory end of the ANN spectrum: 64 dims → 8 BYTES/vector
+    // vs 256 for float32, distance = two XOR+popcount instructions). The
+    // sign bits pack into two 32-bit halves of BIGINTs (bit 63 avoided —
+    // DuckDB overflows on 1<<63), packing and Hamming are EXACT integer
+    // ops, so unlike LSH/IVF/PQ this approximate index is fully
+    // deterministic and oracle-checkable. At 100 TB the packed column is a
+    // build-once artifact; the scan is a linear codegen pass, top-k a
+    // per-partition heap.
+    DeclaredQuery("v8_hamming_knn",
+      """WITH p AS (SELECT vec_id,
+        |             CAST(list_sum(list_transform(range(0,32),
+        |               i -> CASE WHEN embedding[i+1] >= 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS h1,
+        |             CAST(list_sum(list_transform(range(0,32),
+        |               i -> CASE WHEN embedding[i+33] >= 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS h2
+        |           FROM embeddings),
+        |q AS (SELECT h1 AS q1, h2 AS q2 FROM p WHERE vec_id = 0)
+        |SELECT p.vec_id,
+        |       CAST(bit_count(xor(p.h1, q.q1)) + bit_count(xor(p.h2, q.q2)) AS BIGINT) AS hamming
+        |FROM p, q WHERE p.vec_id <> 0
+        |ORDER BY hamming, p.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        def half(off: Int) =
+          s"aggregate(sequence(0, 31), 0L, (s, i) -> s + CASE WHEN " +
+            s"element_at(embedding, i + ${off + 1}) >= 0 THEN shiftleft(1L, i) ELSE 0L END)"
+        val p = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(half(0)).as("h1"), expr(half(32)).as("h2"))
+        val q = p.filter(col("vec_id") === 0)
+          .select(col("h1").as("q1"), col("h2").as("q2"))
+        p.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            (expr("bit_count(h1 ^ q1)") + expr("bit_count(h2 ^ q2)"))
+              .cast("long").as("hamming"))
+          .orderBy(col("hamming"), col("vec_id"))
+          .limit(10)
+    },
+
     // Fuzzy dedup END-TO-END — the keep-one step d6 stops short of: every
     // near-dup component keeps only its canonical (min-id) member, and the
     // query reports the surviving corpus per language. Dropping is an

@@ -293,6 +293,47 @@ object StreamingQueries {
       }
   }
 
+  final case class AsofRow(user_id: Long, n_after_err: Long, sum_us: Long)
+
+  /** Buffered per-user event log for [[asofLastErrorCustom]]. The as-of
+    * running MAX is order-sensitive: a late-arriving error re-assigns
+    * `last_err` for every later event, so events stay buffered and the
+    * snapshot recomputes from the sorted log. Production bounds this with a
+    * watermark: once no event older than t can arrive, the prefix ≤ t
+    * collapses into (last_err, count, sum) scalars and the buffer drops. */
+  final case class AsofState(events: List[(Long, Long, Boolean)])
+
+  /** w6 counterpart: as-of "time since last error" enrichment as explicit
+    * per-user state (flatMapGroupsWithState, Update mode). Each micro-batch
+    * appends, re-sorts by the tie-free (ts_us, event_id), and emits the
+    * user's current (count, Σ ts−last_err) snapshot in EXACT integer µs;
+    * the LAST snapshot per user equals batch w6, any arrival order. */
+  def asofLastErrorCustom(events: DataFrame): Dataset[AsofRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("event_type") === "error").as("is_err"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Boolean)], state: GroupState[AsofState]) =>
+          var evs = state.getOption.map(_.events).getOrElse(Nil)
+          it.foreach { case (_, ts, eid, err) => evs = (ts, eid, err) :: evs }
+          state.update(AsofState(evs))
+          var lastErr = Long.MinValue
+          var n = 0L
+          var sum = 0L
+          evs.sortBy(e => (e._1, e._2)).foreach { case (ts, _, err) =>
+            if (err) lastErr = ts
+            if (lastErr != Long.MinValue) { n += 1; sum += ts - lastErr }
+          }
+          if (n == 0) Iterator.empty
+          else Iterator.single(AsofRow(user, n, sum))
+      }
+  }
+
   final case class AnomalyRow(event_type: String, hr: Long, n: Long, trail_sum: Long)
 
   /** Per-type hourly count buffer for [[rateAnomalyCustom]]. Hour counts

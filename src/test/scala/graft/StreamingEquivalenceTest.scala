@@ -376,6 +376,25 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("w6 streaming as-of enrichment (flatMapGroupsWithState) == batch window form") {
+    val acc = mutable.ArrayBuffer.empty[(Long, (Long, Long, Long))]
+    val q = StreamingQueries.asofLastErrorCustom(StreamingQueries.eventsStream(spark, replayDir))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.AsofRow], bid: Long) =>
+        df.collect().foreach(r => acc += ((bid, (r.user_id, r.n_after_err, r.sum_us))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = acc.groupBy(_._2._1).map { case (_, snaps) =>
+      val (u, n, s) = snaps.maxBy(_._1)._2
+      (u, n, BigDecimal(s.toDouble / n / 1e6)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val want = SparkEntry.queries("w6_asof_last_error")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
   test("e8 streaming funnel (flatMapGroupsWithState) == batch min-chain") {
     // Update mode: each micro-batch emits the user's current chain
     // snapshot; the LAST snapshot per user (highest batch id) must equal
