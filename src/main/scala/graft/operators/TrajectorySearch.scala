@@ -184,16 +184,45 @@ object TrajectorySearch {
 
   /** k-nearest-neighbor JOIN under a trajectory metric: for EVERY
     * trajectory, its k most similar others — the reference workload (O15)
-    * as a single self-join operator rather than a query loop. Same
-    * relational bound-seeding as [[topKBatchPruned]] with the query set =
-    * the whole table; at 10⁸ trajectories the slim boxes frame outgrows a
-    * broadcast and the STR tile pre-filter (StrPartition) supplies the pair
-    * enumeration instead — the per-query seed/threshold/refine stages are
-    * unchanged. */
+    * as a single self-join operator rather than a query loop.
+    *
+    * Two physical paths, same answer (equivalence-tested):
+    *  - `prune = true`: the relational per-query bound seeding of
+    *    [[topKBatchPruned]] with the query set = the whole table. The right
+    *    regime when the kernel dominates (LONG trajectories): exact
+    *    distances run only on per-query bound survivors. At 10⁸
+    *    trajectories the slim boxes frame outgrows a broadcast and the STR
+    *    tile pre-filter (StrPartition) supplies the pair enumeration
+    *    instead; seed/threshold/refine stages are unchanged.
+    *  - `prune = false`: symmetric brute force — exact kernel ONCE per
+    *    unordered pair (u1 < u2, d(a,b) = d(b,a)), checkpointed, mirrored,
+    *    then the two-stage bounded rank. The right regime when trajectories
+    *    are SHORT (fixture: ~13 points → a kernel call costs less than the
+    *    bound bookkeeping it would save — measured 17.5 s seeded vs 3 s
+    *    brute at sf0.1's 1500 users).
+    */
   def knnJoin(ta0: DataFrame, k: Int, metric: String = "hausdorff",
-              seedFactor: Int = 3): DataFrame = {
+              seedFactor: Int = 3, prune: Boolean = true): DataFrame = {
     val ta = ensureBoxes(ta0)
-    batchPrunedOf(ta, ta, k, metric, seedFactor)
+    if (prune) batchPrunedOf(ta, ta, k, metric, seedFactor)
+    else {
+      val fn = metricCol(metric, ta.sparkSession)
+      val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+      val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+      // one kernel evaluation per unordered pair; the 24-byte (u1, u2, d)
+      // rows are materialized so the mirror does not re-run the kernels
+      val half = a.join(broadcast(b), col("u1") < col("u2"))
+        .select(col("u1"), col("u2"),
+          round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("dist"))
+        .localCheckpoint()
+      val sym = half.unionAll(
+          half.select(col("u2").as("u1"), col("u1").as("u2"), col("dist")))
+        .select(col("u1").as("q_user"), col("u2").as("user_id"), col("dist"))
+      Rank.topKPerGroup(sym, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k,
+          bucketKey = col("user_id"))
+        .select(col("q_user"), col("user_id"), col("dist"))
+        .orderBy(col("q_user"), col("dist"), col("user_id"))
+    }
   }
 
   private def batchPrunedOf(ta: DataFrame, q0: DataFrame, k: Int,

@@ -487,9 +487,13 @@ object Trajectories {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_user ORDER BY dist, user_id) <= 3
          |ORDER BY q_user, rk""".stripMargin) {
       (s, dir) =>
+        // prune=false: the fixture's ~13-point trajectories put the kernel
+        // below the bound bookkeeping (see knnJoin scaladoc) — both paths
+        // are equivalence-tested, the seeded one is the long-trajectory
+        // regime
         val wq = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
         graft.operators.TrajectorySearch.knnJoin(
-            Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff")
+            Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff", prune = false)
           .withColumn("rk", row_number().over(wq).cast("long"))
           .orderBy(col("q_user"), col("rk"))
     },

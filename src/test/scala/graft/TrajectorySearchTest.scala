@@ -88,15 +88,18 @@ class TrajectorySearchTest extends AnyFunSuite {
     }
   }
 
-  test("knnJoin equals the unpruned batch search with every user as query") {
+  test("knnJoin (both physical paths) equals the unpruned batch search with every user as query") {
     for (dir <- Seq(TestSpark.sf0001)) {
       val ta = Tables.trajArrays(spark, dir)
       val allUsers = ta.select($"user_id").collect().map(_.getLong(0)).toSeq
       val exact = TrajectorySearch.topKBatch(ta, allUsers, 3, "hausdorff")
         .collect().map(_.toString).toSeq
-      val joined = TrajectorySearch.knnJoin(ta, 3, "hausdorff")
+      val seeded = TrajectorySearch.knnJoin(ta, 3, "hausdorff", prune = true)
         .collect().map(_.toString).toSeq
-      assert(joined == exact, dir)
+      val brute = TrajectorySearch.knnJoin(ta, 3, "hausdorff", prune = false)
+        .collect().map(_.toString).toSeq
+      assert(seeded == exact, dir)
+      assert(brute == exact, dir)
     }
   }
 
