@@ -456,6 +456,31 @@ object JsonDocs {
         }.toDF("rank", "vec_id", "mmr_score")
     },
 
+    // Higher-order array functions as the DECLARED surface (they power many
+    // internals): filter/exists/forall/aggregate over the token array, per
+    // doc, with exact integer outputs — the codegen'd per-element lambdas
+    // that replace row-exploding UDFs for per-row collection work.
+    DeclaredQuery("j5_array_hof",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ts, w -> length(w) > 6)) AS BIGINT) AS n_long,
+        |  CAST(CASE WHEN list_contains(ts, 'select') THEN 1 ELSE 0 END AS BIGINT) AS has_select,
+        |  CAST(CASE WHEN len(list_filter(ts, w -> length(w) > 10)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS all_short,
+        |  CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS len_sum
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("ts"))
+          .select(col("doc_id"),
+            size(expr("filter(ts, w -> length(w) > 6)")).cast("long").as("n_long"),
+            array_contains(col("ts"), "select").cast("long").as("has_select"),
+            expr("forall(ts, w -> length(w) <= 10)").cast("long").as("all_short"),
+            expr("aggregate(ts, 0L, (s, w) -> s + length(w))").as("len_sum"))
+          .orderBy(col("doc_id"))
+    },
+
     // Binary-quantized similarity search (sign quantization + Hamming
     // rerank — the memory end of the ANN spectrum: 64 dims → 8 BYTES/vector
     // vs 256 for float32, distance = two XOR+popcount instructions). The

@@ -170,6 +170,27 @@ object Windows {
           .orderBy(col("user_id"))
     },
 
+    // CUME_DIST — the rank-family member w5 skips: bottom-quartile
+    // customers by account balance within their nation. The order key is
+    // (exact cents, custkey) so the distribution is tie-free and the 6dp
+    // round is portable.
+    DeclaredQuery("w9_cume_dist",
+      s"""SELECT * FROM (
+         |  SELECT c_custkey, c_nationkey,
+         |         ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
+         |               ORDER BY ${centsS("c_acctbal")}, c_custkey), 6) AS cd
+         |  FROM customer) t
+         |WHERE cd <= 0.25 ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(cents(col("c_acctbal")), col("c_custkey"))
+        Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .filter(col("cd") <= 0.25)
+          .orderBy(col("c_custkey"))
+    },
+
     // RANGE frame (value-based, not row-based): rolling 24h purchase sum per
     // user keyed on the integer µs timestamp. RANGE includes PEERS, so tied
     // timestamps get identical sums in every engine regardless of tie order.
