@@ -302,6 +302,58 @@ object EventsQ {
               lit(9) * (lit(24) * col("q") - col("s") * col("s")))
           .select(col("event_type"), col("hr"), col("n"), col("s").as("trail_sum"))
           .orderBy(col("event_type"), col("hr"))
+    },
+
+    // DYNAMIC-gap sessionization: each event extends its session by a gap
+    // that depends on the event itself (purchases hold attention 60 min,
+    // everything else 30) — the `session_window(ts, CASE ...)` semantic,
+    // expressed exactly in batch as running-max gaps-and-islands: a session
+    // breaks where ts reaches the running MAX (half-open [ts, ts+gap) windows — the
+    // exact merge rule of Spark's dynamic session_window, so the streaming
+    // twin is bit-equivalent) of all previous (ts + gap)
+    // ends. Entirely integer µs; three window passes + two aggs, ALL keyed
+    // on user_id — one exchange.
+    DeclaredQuery("e12_dynamic_sessions",
+      s"""WITH p AS (SELECT user_id, ts_us, event_id,
+         |             CASE WHEN event_type = 'purchase' THEN 3600000000
+         |                  ELSE 1800000000 END AS gap
+         |           FROM ${eViewS} e),
+         |w AS (SELECT user_id, ts_us,
+         |        MAX(ts_us + gap) OVER (PARTITION BY user_id
+         |                               ORDER BY ts_us, event_id
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING
+         |                               AND 1 PRECEDING) AS prev_end,
+         |        event_id
+         |      FROM p),
+         |s AS (SELECT user_id,
+         |        CAST(SUM(CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+         |                      THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+         |      FROM w),
+         |g AS (SELECT user_id, sess_id, COUNT(*) AS n FROM s GROUP BY user_id, sess_id)
+         |SELECT user_id, COUNT(*) AS n_sessions, ${bsumS("n")} AS n_events,
+         |       CAST(MAX(n) AS BIGINT) AS longest_session
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            when(col("event_type") === "purchase", lit(3600000000L))
+              .otherwise(lit(1800000000L)).as("gap"))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            max(col("ts_us") + col("gap")).over(wPrev).as("prev_end"))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            sum(when(col("prev_end").isNull || col("ts_us") >= col("prev_end"), 1)
+              .otherwise(0)).over(wRun).cast("long").as("sess_id"))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+            max(col("n")).cast("long").as("longest_session"))
+          .orderBy(col("user_id"))
     }
   )
 }

@@ -89,6 +89,22 @@ object StreamingQueries {
       .select(unix_micros(col("session_window.start")).as("sess_start_us"),
         col("user_id"), col("n_ev"), col("dur_us"))
 
+  /** e12 counterpart: DYNAMIC-gap session windows — the gap is an
+    * expression of the event (purchases hold 60 min, others 30). Spark
+    * merges half-open [ts, ts+gap) windows transitively, which is exactly
+    * e12's batch running-max break rule (`ts ≥ prev_end` starts a session),
+    * so the per-session rows roll up to the identical per-user stats. */
+  def dynamicSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_time", "2 hours")
+      .groupBy(session_window(col("ev_time"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("user_id"), col("n_ev"))
+
   /** e4 counterpart: exact stream dedup on event_id. */
   def dedupCount(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id").groupBy().agg(count(lit(1)).as("n_ids"))

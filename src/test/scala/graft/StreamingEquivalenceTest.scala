@@ -376,6 +376,45 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("e12 streaming dynamic-gap sessions == batch running-max islands") {
+    // append mode + sentinel flush, like e3
+    val dir = Files.createTempDirectory("graft-stream-e12")
+    val srcs = Files.list(Paths.get(replayDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    srcs.zipWithIndex.foreach { case (p, i) =>
+      val dst = Files.copy(p, dir.resolve(p.getFileName))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val maxTs = Tables.table(spark, TestSpark.sf0001, "events")
+      .agg(max($"ts")).as[Long].head()
+    val sentinel = Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = Files.createTempDirectory("graft-sentinel-e12")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    Files.move(part, dir.resolve("batch99.parquet"))
+
+    val acc = mutable.Map.empty[(Long, Long), Long]
+    val q = StreamingQueries.dynamicSessions(StreamingQueries.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          acc((r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us"))) =
+            r.getAs[Long]("n_ev")
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = acc.toSeq.filter(_._1._1 >= 0)
+      .groupBy(_._1._1)
+      .map { case (user, sess) =>
+        (user, sess.size.toLong, sess.map(_._2).sum, sess.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    val want = SparkEntry.queries("e12_dynamic_sessions")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("w6 streaming as-of enrichment (flatMapGroupsWithState) == batch window form") {
     val acc = mutable.ArrayBuffer.empty[(Long, (Long, Long, Long))]
     val q = StreamingQueries.asofLastErrorCustom(StreamingQueries.eventsStream(spark, replayDir))
