@@ -903,6 +903,76 @@ object Relational {
           .drop("qc")
     },
 
+    // TPC-H Q10 shape: returned-item reporting — customers ranked by the
+    // revenue they returned in a quarter, with their nation. Lineitem
+    // reduces FIRST (returnflag + the quarter's orders via the orderkey
+    // join), revenue pre-aggregates per order BEFORE the customer join —
+    // r2's partial-aggregation pushdown on the filtered slice.
+    DeclaredQuery("r31_returned_revenue",
+      s"""SELECT c.c_custkey, c.c_name, n.n_name, $mrevS AS revenue
+         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |     JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+         |  AND l.l_returnflag = 'R'
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY $mrevS DESC, c.c_custkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val o = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val perOrder = Tables.table(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rc"))
+        perOrder
+          .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("rc"), (col("rc").cast("double") / lit(100.0)).as("revenue"))
+          .orderBy(col("rc").desc, col("c_custkey"))
+          .limit(20)
+          .drop("rc")
+    },
+
+    // TPC-H Q16 shape: supplier variety per (brand, size band) for parts
+    // NOT touched by any sub-par supplier (negative account balance) — the
+    // NOT IN decorrelates to an ANTI join on the part key (plan-guarded);
+    // distinct-supplier counting happens AFTER the anti reduction.
+    DeclaredQuery("r32_supplier_variety",
+      """WITH bad AS (SELECT DISTINCT l.l_partkey FROM lineitem l
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             WHERE s.s_acctbal < 0),
+        |ok AS (SELECT p_partkey, p_brand, CAST(p_size // 10 AS BIGINT) AS size_band
+        |       FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM bad))
+        |SELECT ok.p_brand, ok.size_band,
+        |       COUNT(DISTINCT l.l_suppkey) AS n_suppliers, COUNT(*) AS n_lines
+        |FROM lineitem l JOIN ok ON l.l_partkey = ok.p_partkey
+        |GROUP BY ok.p_brand, ok.size_band
+        |ORDER BY n_suppliers DESC, ok.p_brand, ok.size_band LIMIT 25""".stripMargin) {
+      (s, dir) =>
+        val bad = Tables.table(s, dir, "lineitem")
+          .join(broadcast(Tables.table(s, dir, "supplier")
+            .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_partkey")).distinct()
+        val ok = Tables.table(s, dir, "part")
+          .join(bad, col("p_partkey") === col("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_brand"),
+            expr("p_size DIV 10").cast("long").as("size_band"))
+        Tables.table(s, dir, "lineitem")
+          .join(broadcast(ok), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("size_band"))
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("n_suppliers").desc, col("p_brand"), col("size_band"))
+          .limit(25)
+    },
+
     // Mergeable one-pass quantile SKETCH (Greenwald–Khanna summaries —
     // Spark's approx_percentile) — the 100 TB complement to r10's exact
     // percentile_cont: exact quantiles need a full sort per group; the
