@@ -23,6 +23,61 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
+  /** Tokens in LONG FORM with a DENSE 0-based position among non-empty
+    * tokens: (doc_id, pos, tok). Density matters: span coverage arithmetic
+    * (pos .. pos+k−1) must count real tokens, not raw split slots. */
+  def tokenPositions(docs: DataFrame, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_pos"))
+    docs
+      .select(col("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_t0")))
+      .filter(col("_t0") =!= "")
+      .select(col("doc_id"), (row_number().over(w) - 1).as("pos"), col("_t0").as("tok"))
+  }
+
+  /** Exact duplicated-span SURGERY (the removal step [[dupSpanStats]] only
+    * measures — Lee et al. 2022's dedup applied to spans): every token
+    * covered by a k-gram that also occurs in another document is cut, and
+    * the document is rebuilt from the surviving tokens in order.
+    *
+    * Relational end to end: dense token positions → lead-window grams
+    * (64-bit gids) → cross-doc window count over the distinct (doc, gid)
+    * frame → coverage explode `sequence(pos, pos+k−1)` → anti join back to
+    * the token stream → ordered reconstruction via
+    * `array_join(transform(array_sort(collect_list(struct(pos, tok)))))`.
+    * Output carries md5 of the rebuilt text so the oracle can compare
+    * documents without shipping them.
+    */
+  def spanSurgery(docs: DataFrame, textCol: String = "text", k: Int = 8): DataFrame = {
+    val toks = tokenPositions(docs, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).foldLeft(toks.withColumnRenamed("tok", "_t0")) { (df, i) =>
+      df.withColumn(s"_t$i", lead(col("_t0"), i).over(w))
+    }
+    val grams = leads.filter(col(s"_t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until k).map(i => col(s"_t$i")): _*).as("gid"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
+    val dupDocGrams = grams.select(col("doc_id"), col("gid")).distinct()
+      .select(col("doc_id"), col("gid"), count(lit(1)).over(wg).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("doc_id"), col("gid"))
+    val covered = grams.join(dupDocGrams, Seq("doc_id", "gid"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("kept_text"))
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("kept_text"), lit("")).cast("binary")).as("kept_md5"))
+  }
+
   /** One row per k-gram POSITION: (doc_id, gid) with gid = xxhash64 over
     * the k tokens of the shingle. Documents shorter than k tokens contribute
     * no rows.

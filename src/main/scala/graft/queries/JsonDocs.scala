@@ -456,6 +456,46 @@ object JsonDocs {
         }.toDF("rank", "vec_id", "mmr_score")
     },
 
+    // Exact duplicated-span SURGERY — the removal step d8 only measures
+    // (Lee et al. ACL'22 dedup applied to spans): tokens covered by any
+    // cross-document 8-gram are cut and the doc is rebuilt from the
+    // survivors in order. Fully relational (operators.SpanDedup
+    // .spanSurgery): dense positions → gid grams → cross-doc window count →
+    // coverage explode → anti join → ordered array_sort reconstruction;
+    // output ships md5 of the rebuilt text, not the text.
+    DeclaredQuery("d11_span_surgery",
+      """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |           FROM documents),
+        |toks0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
+        |                 i -> {'pos': i-1, 'tok': ts[i]})) AS s FROM l),
+        |toks AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM toks0),
+        |grams0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)-6),
+        |                  i -> {'pos': i-1, 'gram': array_to_string(ts[i:i+7], ' ')})) AS g
+        |           FROM l),
+        |grams AS (SELECT doc_id, g.pos AS pos, g.gram AS gram FROM grams0),
+        |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams) q
+        |        GROUP BY gram HAVING COUNT(*) > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS pos
+        |          FROM grams g JOIN dup d ON g.gram = d.gram) q),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |              md5(string_agg(tok, ' ' ORDER BY pos)) AS kmd5
+        |       FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM toks GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_total,
+        |       CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(ka.kmd5, md5('')) AS kept_md5
+        |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+        |ORDER BY tot.doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.SpanDedup.spanSurgery(
+            Tables.table(s, dir, "documents"), "text", k = 8)
+          .orderBy(col("doc_id"))
+    },
+
     // Higher-order array functions as the DECLARED surface (they power many
     // internals): filter/exists/forall/aggregate over the token array, per
     // doc, with exact integer outputs — the codegen'd per-element lambdas

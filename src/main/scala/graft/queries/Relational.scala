@@ -973,6 +973,28 @@ object Relational {
           .limit(25)
     },
 
+    // TPC-H Q6 shape: forecast revenue change — one tight scan-level filter
+    // (year × discount band × quantity cap) into a single global aggregate;
+    // the query IS the predicate-pushdown test at 100 TB (plan-guarded:
+    // every filter reaches PushedFilters).
+    DeclaredQuery("r33_forecast_revenue",
+      s"""SELECT ${msumS("l_extendedprice*l_discount")} AS revenue_delta,
+         |       COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(msum(col("l_extendedprice") * col("l_discount")).as("revenue_delta"),
+            count(lit(1)).as("n"))
+    },
+
     // Mergeable one-pass quantile SKETCH (Greenwald–Khanna summaries —
     // Spark's approx_percentile) — the 100 TB complement to r10's exact
     // percentile_cont: exact quantiles need a full sort per group; the
