@@ -531,4 +531,61 @@ object Sketches {
       .limit(k)
   }
 
+  /** IVF-PQ composite ANN — the production index shape (coarse quantizer
+    * routes the query to `nprobe` lists, the ADC table scans ONLY those
+    * lists' PQ codes, exact cosine re-ranks the bounded shortlist). Both
+    * component indexes are the SAME build-once artifacts the standalone
+    * p9/v5 queries use — composition adds routing, not a new build. At
+    * scale this is the faiss `IVFx,PQy` layout: memory per vector = one
+    * list id + m code bytes, scan cost = |probed lists| not n. */
+  def annIvfPqKnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+                  nlist: Int = 16, nprobe: Int = 8, m: Int = 16, kCodes: Int = 16,
+                  shortlist: Int = 128): DataFrame = {
+    graft.functions.FloatDotProduct.register(s)
+    val ivf = buildIvfIndex(s, dir, nlist)
+    val pq = buildPqIndex(s, dir, m, kCodes)
+    val dim = 64
+    val subDim = dim / m
+    val qEmb = queryEmbedding(s, dir, queryId)
+    val qa = qEmb.map(_.toDouble).toArray
+    // coarse routing: nlist center distances on the driver (bounded scalars)
+    val probeLists = ivf.centers.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qa).map { case (x, y) => val t = x - y; t * t }.sum
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+    val qn = math.sqrt(qa.map(x => x * x).sum)
+    val qu = if (qn == 0) qa else qa.map(_ / qn)
+    val dtable: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      Array.tabulate(kCodes) { j =>
+        val c = pq.codebooks(mi)(j)
+        var d = 0.0; var t = 0
+        while (t < subDim) { val df = qu(mi * subDim + t) - c(t); d += df * df; t += 1 }
+        d
+      }
+    }
+    val bTable = s.sparkContext.broadcast(dtable)
+    val adc = udf { (codes: Seq[Int]) =>
+      val tb = bTable.value
+      var d = 0.0; var mi = 0
+      while (mi < tb.length) { d += tb(mi)(codes(mi)); mi += 1 }
+      d
+    }
+    val short = pq.codes
+      .join(ivf.assigned.select(col("vec_id").as("a_id"), col("list_id")),
+        col("vec_id") === col("a_id"))
+      .filter(col("vec_id") =!= queryId && col("list_id").isInCollection(probeLists))
+      .select(col("vec_id"), col("embedding"), adc(col("codes")).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(shortlist)
+    short
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
+          (sqrt(VectorOps.norm2Col("embedding")) *
+            sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
 }

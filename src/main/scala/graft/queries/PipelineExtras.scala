@@ -88,6 +88,16 @@ object PipelineExtras {
       (s, dir) => Sketches.annIvfKnn(s, dir)
     },
 
+    // IVF-PQ composite ANN (the faiss `IVFx,PQy` production layout): coarse
+    // quantizer routes to nprobe lists, ADC scans only those lists' PQ
+    // codes, exact cosine re-ranks the bounded shortlist. Reuses the SAME
+    // build-once IVF and PQ artifacts as p9/v5 — composition adds routing,
+    // not a new build. No oracle (seeded randomized k-means); recall- and
+    // determinism-tested in SketchesTest.
+    DeclaredQuery.noOracle("v9_ivfpq_ann") {
+      (s, dir) => Sketches.annIvfPqKnn(s, dir)
+    },
+
     // As-of join as a composable operator (union-tag + running last):
     // each event joined to the latest error event of the same user at or
     // before it.

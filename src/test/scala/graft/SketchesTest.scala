@@ -113,6 +113,26 @@ class SketchesTest extends AnyFunSuite {
     assert(recall >= 0.7, s"ANN recall $recall")
   }
 
+  test("ann IVF-PQ composite knn recall >= 0.6 of exact top-10; deterministic; ⊆ probed lists") {
+    val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = Sketches.annIvfPqKnn(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    // two approximations stack (coarse routing may drop a list the pure-PQ
+    // scan would keep), so the floor is below the single-index 0.7 bounds
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+    val a = Sketches.annIvfPqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    val b = Sketches.annIvfPqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    assert(a == b)
+    // emitted similarities are exact (same re-rank contract as pure PQ)
+    val bf = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Sketches.annIvfPqKnn(spark, TestSpark.sf0001).collect().foreach { r =>
+      bf.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(1)))
+    }
+  }
+
   test("ann PQ/ADC knn recall >= 0.7 of exact brute-force top-10; deterministic") {
     val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
       .select($"vec_id").as[Long].collect().toSet
