@@ -292,6 +292,55 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
   }
 
+  test("r33: every predicate reaches the parquet scan") {
+    val p = plan("r33_forecast_revenue")
+    val scan = p.linesIterator.find(_.contains("lineitem.parquet")).getOrElse("")
+    // the plan string truncates the PushedFilters list — assert the prefix
+    // proves all three columns reached the scan before the range predicates
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"), scan)
+  }
+
+  test("r31: revenue pre-aggregates per customer BELOW the customer join") {
+    val p = plan("r31_returned_revenue")
+    val custJoin = p.linesIterator.indexWhere(l =>
+      l.contains("Join") && l.contains("c_custkey"))
+    assert(custJoin >= 0, p)
+    assert(p.linesIterator.drop(custJoin).exists(_.contains("HashAggregate")), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("r32: NOT IN decorrelates to an ANTI join; no nested loop") {
+    val p = plan("r32_supplier_variety")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("e12: dynamic sessionization rides ONE user_id exchange, no join") {
+    val p = plan("e12_dynamic_sessions")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d11: surgery shuffles 64-bit gids and (doc, pos) keys only; coverage anti join is hash") {
+    val p = plan("d11_span_surgery")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p24: funnel joins are doc_id-keyed outer hash joins, no cartesian, ONE final agg") {
+    val p = plan("p24_curation_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("LeftOuter")), p)
+  }
+
+  test("v8: Hamming top-k is TakeOrderedAndProject over the packed scan") {
+    val p = plan("v8_hamming_knn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("Rank.topKPerGroup gets the WindowGroupLimit pushdown (bounded heaps, no full sort of losers)") {
     // Spark 4 plans a single rank() <= k filter as WindowGroupLimit:
     // per-partition bounded heaps BEFORE the window sort. Both levels of the
