@@ -995,6 +995,22 @@ object Relational {
             count(lit(1)).as("n"))
     },
 
+    // HyperLogLog++ distinct-count SKETCH per group — the mergeable
+    // bounded-memory companion to r6's exact distinct aggregation, and the
+    // only distinct count that runs in one pass over 100 TB (the exact
+    // rewrite needs a second shuffle keyed by the counted column). NO
+    // oracle (estimator-dependent); OperatorsTest bounds the relative error
+    // per group against the exact counts at the declared precision.
+    DeclaredQuery.noOracle("r34_approx_distinct") {
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+          .orderBy(col("l_returnflag"))
+    },
+
     // Mergeable one-pass quantile SKETCH (Greenwald–Khanna summaries —
     // Spark's approx_percentile) — the 100 TB complement to r10's exact
     // percentile_cont: exact quantiles need a full sort per group; the

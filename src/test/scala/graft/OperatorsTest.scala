@@ -299,6 +299,22 @@ class OperatorsTest extends AnyFunSuite {
       graft.geo.Metrics.edr(xa, ya, xb, yb, 2.0, 25.0))
   }
 
+  test("r34 HLL sketch: per-group estimates within the declared 2% rsd (5x slack)") {
+    val got = SparkEntry.queries("r34_approx_distinct")(spark, TestSpark.sf001).collect()
+    assert(got.nonEmpty)
+    val exact = Tables.table(spark, TestSpark.sf001, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("p"), countDistinct($"l_suppkey").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val (ep, es) = exact(r.getString(0))
+      assert(math.abs(r.getLong(2) - ep).toDouble / ep <= 0.10,
+        s"${r.getString(0)} parts ${r.getLong(2)} vs $ep")
+      assert(math.abs(r.getLong(3) - es).toDouble / es <= 0.10,
+        s"${r.getString(0)} supps ${r.getLong(3)} vs $es")
+    }
+  }
+
   test("r30 quantile sketch: each value's exact rank within the documented error bound") {
     val got = SparkEntry.queries("r30_quantile_sketch")(spark, TestSpark.sf001).collect()
     assert(got.nonEmpty)
