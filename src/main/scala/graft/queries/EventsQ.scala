@@ -354,6 +354,54 @@ object EventsQ {
           .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
             max(col("n")).cast("long").as("longest_session"))
           .orderBy(col("user_id"))
+    },
+
+    // Time-series RESAMPLE / gap-fill: the dense hourly grid per event type
+    // (missing hours materialized as zero) plus the gap diagnosis a
+    // monitoring pipeline needs — silent-hour count and the LONGEST silent
+    // streak (gaps-and-islands over the generated grid). The grid generates
+    // from each type's (min, max) hour span — sequence+explode, never a
+    // driver-side range; everything integer.
+    DeclaredQuery("e13_gap_fill",
+      s"""WITH h AS (SELECT event_type, ts_us // 3600000000 AS hr, COUNT(*) AS n
+         |           FROM ${eViewS} e GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM h GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM b),
+         |f AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+         |      FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr),
+         |r AS (SELECT event_type, hr, n,
+         |        hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS grp
+         |      FROM f WHERE n = 0),
+         |streaks AS (SELECT event_type, COUNT(*) AS len
+         |            FROM r GROUP BY event_type, grp)
+         |SELECT f.event_type, COUNT(*) AS n_hours, ${bsumS("f.n")} AS n_events,
+         |       CAST(SUM(CASE WHEN f.n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS silent_hours,
+         |       CAST(COALESCE((SELECT MAX(len) FROM streaks s
+         |                      WHERE s.event_type = f.event_type), 0) AS BIGINT) AS longest_silence
+         |FROM f GROUP BY f.event_type ORDER BY f.event_type""".stripMargin) {
+      (s, dir) =>
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val grid = h.groupBy(col("event_type"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val f = grid.join(h, Seq("event_type", "hr"), "left_outer")
+          .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+        val wt = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        val streaks = f.filter(col("n") === 0)
+          .select(col("event_type"), (col("hr") - row_number().over(wt)).as("grp"))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("event_type"))
+          .agg(max(col("len")).as("ls"))
+        f.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"),
+            sum(when(col("n") === 0, 1).otherwise(0)).cast("long").as("silent_hours"))
+          .join(streaks, Seq("event_type"), "left_outer")
+          .select(col("event_type"), col("n_hours"), col("n_events"),
+            col("silent_hours"), coalesce(col("ls"), lit(0L)).as("longest_silence"))
+          .orderBy(col("event_type"))
     }
   )
 }

@@ -113,6 +113,34 @@ object SetsAndFuncs {
           .orderBy(col("first_word"))
     },
 
+    // Scalar string-function breadth in one pass: translate / lpad / rpad /
+    // reverse / repeat / instr / substring / concat_ws — each portable
+    // across engines (asserted by the oracle hash). Top-50 parts by key so
+    // the output is bounded and totally ordered.
+    DeclaredQuery("f8_string_kitchen",
+      """SELECT p_partkey,
+        |       TRANSLATE(p_name, 'aeiou', 'AEIOU') AS tx,
+        |       LPAD(p_brand, 12, '.') AS lp,
+        |       RPAD(SUBSTRING(p_type, 1, 6), 10, '_') AS rp,
+        |       REVERSE(p_name) AS rev,
+        |       REPEAT('ab', CAST(p_size % 3 AS INT) + 1) AS rep,
+        |       CAST(INSTR(p_name, ' ') AS BIGINT) AS sp_at,
+        |       CONCAT_WS('|', p_brand, p_type) AS cw
+        |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin) {
+      (s, dir) =>
+        Tables.table(s, dir, "part")
+          .filter(col("p_partkey") <= 50)
+          .select(col("p_partkey"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("tx"),
+            lpad(col("p_brand"), 12, ".").as("lp"),
+            rpad(substring(col("p_type"), 1, 6), 10, "_").as("rp"),
+            reverse(col("p_name")).as("rev"),
+            repeat(lit("ab"), (col("p_size") % 3).cast("int") + lit(1)).as("rep"),
+            instr(col("p_name"), " ").cast("long").as("sp_at"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("cw"))
+          .orderBy(col("p_partkey"))
+    },
+
     DeclaredQuery("f2_orders_by_month",
       s"""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
          |       CAST(MIN(YEAR(o_orderdate)) AS BIGINT) AS yr, COUNT(*) AS n,
