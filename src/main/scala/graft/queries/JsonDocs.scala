@@ -456,6 +456,43 @@ object JsonDocs {
         }.toDF("rank", "vec_id", "mmr_score")
     },
 
+    // Near-dup GRAPH degree histogram: how many docs have 0, 1, 2, …
+    // near-duplicate partners — the connectivity diagnosis that decides
+    // between pairwise dedup (degrees ≈ 1) and component collapse (hub
+    // degrees). Reuses the SAME memoized pair set as d3/d6/d9; zero-degree
+    // docs enter via a LEFT join from the corpus.
+    DeclaredQuery("d12_dup_degree_histogram",
+      """WITH toks AS (SELECT DISTINCT doc_id, lang, tok
+        |              FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+        |                    FROM documents) u WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |          FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                  AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM inter JOIN sizes s1 ON s1.doc_id=d1
+        |          JOIN sizes s2 ON s2.doc_id=d2
+        |          WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |edges AS (SELECT d1 AS a FROM pairs UNION ALL SELECT d2 FROM pairs),
+        |deg AS (SELECT d.doc_id, CAST(COALESCE(e.n, 0) AS BIGINT) AS degree
+        |        FROM documents d LEFT JOIN
+        |             (SELECT a, COUNT(*) AS n FROM edges GROUP BY a) e
+        |        ON d.doc_id = e.a)
+        |SELECT degree, COUNT(*) AS n_docs
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) {
+      (s, dir) =>
+        val pairs = graft.operators.DocSimilarity.nearDupPairs(s, dir)
+        val deg = pairs.select(col("d1").as("a"))
+          .unionAll(pairs.select(col("d2").as("a")))
+          .groupBy(col("a")).agg(count(lit(1)).as("n"))
+        Tables.table(s, dir, "documents").select(col("doc_id"))
+          .join(deg, col("doc_id") === col("a"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("degree"))
+          .groupBy(col("degree"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("degree"))
+    },
+
     // Exact duplicated-span SURGERY — the removal step d8 only measures
     // (Lee et al. ACL'22 dedup applied to spans): tokens covered by any
     // cross-document 8-gram are cut and the doc is rebuilt from the
