@@ -20,6 +20,25 @@ object MetricUdfs {
     udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
       Metrics.dtw(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
     }
+  /** Min distance from a point to a polyline given as parallel coordinate
+    * arrays (reference O2 lifted to the whole trajectory): min over
+    * segments of [[Metrics.pointSegDist]]. Single-point polylines degrade
+    * to plain point distance. */
+  val polylineDist: UserDefinedFunction =
+    udf { (px: Double, py: Double, xs: Seq[Double], ys: Seq[Double]) =>
+      val n = xs.length
+      if (n == 1) Metrics.pointSegDist(px, py, xs(0), ys(0), xs(0), ys(0))
+      else {
+        var best = Double.MaxValue
+        var i = 0
+        while (i < n - 1) {
+          val d = Metrics.pointSegDist(px, py, xs(i), ys(i), xs(i + 1), ys(i + 1))
+          if (d < best) best = d
+          i += 1
+        }
+        best
+      }
+    }
   /** Early-abandoning Hausdorff (exact below the bound — see
     * Metrics.hausdorffBounded). */
   val hausdorffBounded: UserDefinedFunction =

@@ -498,6 +498,54 @@ object Trajectories {
           .orderBy(col("q_user"), col("rk"))
     },
 
+    // CORRIDOR range query (reference O2/O16 composed): for every other
+    // user, how many of their points lie within distance 10 of user 0's
+    // trajectory POLYLINE — segment distance, not point-set distance, so
+    // the corridor covers the path BETWEEN samples. The 1-row query
+    // trajectory broadcasts (the reference broadcasts its query the same
+    // way); per-point work is the O(|segments|) kernel, embarrassingly
+    // parallel; the oracle replicates the projection-clamp formula
+    // term-for-term so the IEEE expression trees are identical.
+    DeclaredQuery("t22_corridor_count",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |q AS (SELECT x, y, ts_us, event_id FROM pts WHERE user_id = 0),
+         |seg AS (SELECT x AS ax, y AS ay,
+         |               LEAD(x) OVER (ORDER BY ts_us, event_id) AS bx,
+         |               LEAD(y) OVER (ORDER BY ts_us, event_id) AS by
+         |        FROM q QUALIFY bx IS NOT NULL),
+         |p AS (SELECT user_id, event_id, x, y FROM pts WHERE user_id <> 0),
+         |c1 AS (SELECT p.user_id, p.event_id, p.x, p.y, s.ax, s.ay,
+         |              s.bx - s.ax AS vx, s.by - s.ay AS vy
+         |       FROM p, seg s),
+         |c2 AS (SELECT *, vx*vx + vy*vy AS len2 FROM c1),
+         |c3 AS (SELECT *, CASE WHEN len2 = 0 THEN 0.0
+         |                      ELSE GREATEST(0.0, LEAST(1.0,
+         |                             ((x-ax)*vx + (y-ay)*vy) / len2)) END AS t
+         |       FROM c2),
+         |c4 AS (SELECT user_id, event_id,
+         |              SQRT((x-(ax+t*vx))*(x-(ax+t*vx)) + (y-(ay+t*vy))*(y-(ay+t*vy))) AS dist
+         |       FROM c3),
+         |d AS (SELECT user_id, event_id, MIN(dist) AS md FROM c4 GROUP BY user_id, event_id)
+         |SELECT user_id, COUNT(*) AS n_points,
+         |       CAST(SUM(CASE WHEN ROUND(md, 6) <= 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_in_corridor
+         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val q = Tables.trajArrays(s, dir, "purchase")
+          .filter(col("user_id") === 0)
+          .select(col("xs").as("qxs"), col("ys").as("qys"))
+        Tables.pts(s, dir, "purchase")
+          .filter(col("user_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("user_id"),
+            round(graft.functions.MetricUdfs.polylineDist(
+              col("x"), col("y"), col("qxs"), col("qys")), 6).as("md"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(col("md") <= 10.0, 1).otherwise(0)).cast("long").as("n_in_corridor"))
+          .orderBy(col("user_id"))
+    },
+
     // Radius of gyration per user (González/Hidalgo/Barabási 2008's mobility
     // statistic): rms distance of a user's points from their centroid.
     // ONE aggregation pass via the moment identity Σ(n·xi−Σx)² = n²Σxi²−n(Σx)²
