@@ -113,6 +113,42 @@ object SetsAndFuncs {
           .orderBy(col("first_word"))
     },
 
+    // Relational DIVISION (universal quantification): customers who bought
+    // from ALL of NATION_3's suppliers. Decorrelates to count-matching —
+    // distinct-supplier count per customer over the semi-joined fact equals
+    // the (single-row, broadcast) divisor cardinality. No per-element
+    // loop, no double negation.
+    DeclaredQuery("s7_division",
+      """WITH s3 AS (SELECT s_suppkey FROM supplier s
+        |            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |            WHERE n.n_name = 'NATION_3'),
+        |tot AS (SELECT COUNT(*) AS c FROM s3),
+        |cs AS (SELECT o.o_custkey, COUNT(DISTINCT l.l_suppkey) AS k
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       WHERE l.l_suppkey IN (SELECT s_suppkey FROM s3)
+        |       GROUP BY o.o_custkey)
+        |SELECT c.c_custkey, c.c_name
+        |FROM cs JOIN customer c ON cs.o_custkey = c.c_custkey, tot
+        |WHERE cs.k = tot.c ORDER BY c.c_custkey""".stripMargin) {
+      (s, dir) =>
+        val s3 = Tables.table(s, dir, "supplier")
+          .join(broadcast(Tables.table(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val tot = s3.agg(count(lit(1)).as("c"))
+        val cs = Tables.table(s, dir, "lineitem")
+          .join(broadcast(s3), Seq("s_suppkey").map(_ => col("l_suppkey") === col("s_suppkey")).head, "left_semi")
+          .join(Tables.table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(countDistinct(col("l_suppkey")).as("k"))
+        cs.crossJoin(broadcast(tot))
+          .filter(col("k") === col("c"))
+          .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+    },
+
     // Scalar string-function breadth in one pass: translate / lpad / rpad /
     // reverse / repeat / instr / substring / concat_ws — each portable
     // across engines (asserted by the oracle hash). Top-50 parts by key so

@@ -191,6 +191,49 @@ object Windows {
           .orderBy(col("c_custkey"))
     },
 
+    // LOCF (last observation carried forward) — the other half of e13's
+    // resampling story: over each type's dense hourly grid, silent hours
+    // inherit the last ACTIVE hour's count via IGNORE NULLS last_value.
+    // Output stays bounded (per-type rollup: carried-hour count + the exact
+    // integer checksum of the carried series).
+    DeclaredQuery("w10_locf",
+      s"""WITH h AS (SELECT event_type, ts_us // 3600000000 AS hr, COUNT(*) AS n
+         |           FROM ${eViewS} e GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM h GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM b),
+         |f AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+         |      FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr),
+         |l AS (SELECT event_type, hr, n,
+         |        LAST_VALUE(CASE WHEN n > 0 THEN n END IGNORE NULLS)
+         |          OVER (PARTITION BY event_type ORDER BY hr
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+         |      FROM f)
+         |SELECT event_type, COUNT(*) AS n_hours,
+         |       CAST(SUM(CASE WHEN n = 0 AND locf IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS carried_hours,
+         |       ${bsumS("COALESCE(locf, 0)")} AS locf_checksum
+         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val grid = h.groupBy(col("event_type"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val f = grid.join(h, Seq("event_type", "hr"), "left_outer")
+          .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+        val wl = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f.select(col("event_type"), col("n"),
+            last(when(col("n") > 0, col("n")), ignoreNulls = true).over(wl).as("locf"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("n") === 0 && col("locf").isNotNull, 1).otherwise(0)).cast("long")
+              .as("carried_hours"),
+            sum(coalesce(col("locf"), lit(0L))).as("locf_checksum"))
+          .orderBy(col("event_type"))
+    },
+
     // RANGE frame (value-based, not row-based): rolling 24h purchase sum per
     // user keyed on the integer µs timestamp. RANGE includes PEERS, so tied
     // timestamps get identical sums in every engine regardless of tie order.
