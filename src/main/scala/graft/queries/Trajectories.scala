@@ -498,6 +498,56 @@ object Trajectories {
           .orderBy(col("q_user"), col("rk"))
     },
 
+    // Spatial HOTSPOT detection (Getis-Ord Gi* flavored, integer-exact):
+    // grid cells whose 3×3-neighborhood point count sits >2σ above the mean
+    // neighborhood count. e11's all-integer discipline in 2-D: the
+    // neighborhood sum spreads each cell's count to its 9 neighbor keys
+    // (explode + re-aggregate — co-partitioned equi work, no self-join
+    // range scan), and the 2σ test cross-multiplies to pure int64 via the
+    // moment identity — no float anywhere.
+    DeclaredQuery("t23_hotspots",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |cells AS (SELECT CAST(FLOOR(x/2) AS BIGINT) AS gx,
+         |                 CAST(FLOOR(y/10) AS BIGINT) AS gy, COUNT(*) AS n
+         |          FROM pts GROUP BY 1, 2),
+         |nb AS (SELECT gx + dx.d AS cx, gy + dy.d AS cy, CAST(SUM(n) AS BIGINT) AS s
+         |       FROM cells, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+         |       GROUP BY 1, 2),
+         |occ AS (SELECT nb.cx, nb.cy, nb.s FROM nb
+         |        JOIN cells c ON c.gx = nb.cx AND c.gy = nb.cy),
+         |m AS (SELECT COUNT(*) AS k, CAST(SUM(s) AS BIGINT) AS ss,
+         |             CAST(SUM(s*s) AS BIGINT) AS sq FROM occ)
+         |SELECT occ.cx AS gx, occ.cy AS gy, occ.s AS neighborhood_n
+         |FROM occ, m
+         |WHERE occ.s * m.k - m.ss > 0
+         |  AND (occ.s * m.k - m.ss) * (occ.s * m.k - m.ss) > 4 * (m.k * m.sq - m.ss * m.ss)
+         |ORDER BY neighborhood_n DESC, gx, gy""".stripMargin) {
+      (s, dir) =>
+        val cells = Tables.pts(s, dir, "purchase")
+          .groupBy(floor(col("x") / 2).cast("long").as("gx"),
+            floor(col("y") / 10).cast("long").as("gy"))
+          .agg(count(lit(1)).as("n"))
+        val nb = cells
+          .select(col("gx"), col("gy"), col("n"),
+            explode(expr("array(-1L, 0L, 1L)")).as("dx"))
+          .select(col("gx"), col("gy"), col("n"), col("dx"),
+            explode(expr("array(-1L, 0L, 1L)")).as("dy"))
+          .groupBy((col("gx") + col("dx")).as("cx"), (col("gy") + col("dy")).as("cy"))
+          .agg(sum(col("n")).as("s"))
+        // only OCCUPIED cells are candidates (the oracle's semi join); the
+        // halo cells exist solely as neighbor accumulators
+        val occ = nb.join(cells.select(col("gx"), col("gy")),
+          col("cx") === col("gx") && col("cy") === col("gy"), "left_semi")
+        val m = occ.agg(count(lit(1)).as("k"), sum(col("s")).as("ss"),
+          sum(col("s") * col("s")).as("sq"))
+        occ.crossJoin(broadcast(m))
+          .filter(col("s") * col("k") - col("ss") > 0 &&
+            (col("s") * col("k") - col("ss")) * (col("s") * col("k") - col("ss")) >
+              lit(4) * (col("k") * col("sq") - col("ss") * col("ss")))
+          .select(col("cx").as("gx"), col("cy").as("gy"), col("s").as("neighborhood_n"))
+          .orderBy(col("neighborhood_n").desc, col("gx"), col("gy"))
+    },
+
     // CORRIDOR range query (reference O2/O16 composed): for every other
     // user, how many of their points lie within distance 10 of user 0's
     // trajectory POLYLINE — segment distance, not point-set distance, so
