@@ -20,6 +20,13 @@ object MetricUdfs {
     udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
       Metrics.dtw(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
     }
+  /** Closest approach between two polylines (min seg-seg distance; 0 when
+    * the paths cross) — reference O3 over whole trajectories. */
+  val closestApproach: UserDefinedFunction =
+    udf { (xa: Seq[Double], ya: Seq[Double], xb: Seq[Double], yb: Seq[Double]) =>
+      Metrics.closestApproach(xa.toArray, ya.toArray, xb.toArray, yb.toArray)
+    }
+
   /** Min distance from a point to a polyline given as parallel coordinate
     * arrays (reference O2 lifted to the whole trajectory): min over
     * segments of [[Metrics.pointSegDist]]. Single-point polylines degrade

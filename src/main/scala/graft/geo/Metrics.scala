@@ -245,6 +245,32 @@ object Metrics {
       math.min(pointSegDist(cx, cy, ax, ay, bx, by), pointSegDist(dx, dy, ax, ay, bx, by)))
   }
 
+  /** Closest approach between two polylines (reference O3 lifted to whole
+    * trajectories): min over all segment pairs of [[segSegDist]] — 0 when
+    * the paths cross. Single-point trajectories degrade to a degenerate
+    * (p, p) segment. Min over a set of doubles is order-independent, so the
+    * loop order cannot perturb the result. */
+  def closestApproach(xa: Array[Double], ya: Array[Double],
+                      xb: Array[Double], yb: Array[Double]): Double = {
+    val na = math.max(xa.length - 1, 1)
+    val nb = math.max(xb.length - 1, 1)
+    def seg(xs: Array[Double], i: Int): Int = math.min(i + 1, xs.length - 1)
+    var best = Double.MaxValue
+    var i = 0
+    while (i < na) {
+      var j = 0
+      while (j < nb) {
+        val d = segSegDist(
+          xa(i), ya(i), xa(seg(xa, i)), ya(seg(xa, i)),
+          xb(j), yb(j), xb(seg(xb, j)), yb(seg(xb, j)))
+        if (d < best) best = d
+        j += 1
+      }
+      i += 1
+    }
+    best
+  }
+
   /** Naive exponential-recursion Fréchet (memoized) — the definitional form,
     * used only as the property-test oracle for the DP (SURVEY §5.2). */
   def discreteFrechetNaive(xa: Array[Double], ya: Array[Double],

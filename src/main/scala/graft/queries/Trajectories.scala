@@ -498,6 +498,65 @@ object Trajectories {
           .orderBy(col("q_user"), col("rk"))
     },
 
+    // Closest approach between trajectory PAIRS (reference O3 lifted to
+    // whole paths): min over all segment pairs of the segment–segment
+    // distance — 0 when the paths cross. The continuous-path companion to
+    // t2's point-set Hausdorff: sampling-robust proximity (two paths can
+    // pass arbitrarily close BETWEEN sample points). The oracle replicates
+    // the kernel term-for-term: the strict-orientation crossing test, then
+    // min of the four endpoint→segment projection-clamp distances.
+    DeclaredQuery("t24_closest_approach",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |seg AS (SELECT user_id, ROW_NUMBER() OVER w AS sid,
+         |               x AS ax, y AS ay, LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
+         |        FROM pts WHERE user_id <= 20
+         |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |        QUALIFY bx IS NOT NULL),
+         |pp AS (SELECT a.user_id u1, b.user_id u2, a.sid s1, b.sid s2,
+         |              a.ax, a.ay, a.bx, a.by,
+         |              b.ax AS cx, b.ay AS cy, b.bx AS dx, b.by AS dy
+         |       FROM seg a JOIN seg b ON a.user_id < b.user_id),
+         |o AS (SELECT *,
+         |        (bx-ax)*(cy-ay)-(by-ay)*(cx-ax) AS o1,
+         |        (bx-ax)*(dy-ay)-(by-ay)*(dx-ax) AS o2,
+         |        (dx-cx)*(ay-cy)-(dy-cy)*(ax-cx) AS o3,
+         |        (dx-cx)*(by-cy)-(dy-cy)*(bx-cx) AS o4
+         |      FROM pp),
+         |oi AS (SELECT *, CASE WHEN ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+         |                       AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+         |                 THEN 1 ELSE 0 END AS inter FROM o),
+         |e4 AS (SELECT u1, u2, s1, s2, inter, ax AS px, ay AS py,
+         |              cx AS sax, cy AS say, dx AS sbx, dy AS sby FROM oi
+         |  UNION ALL SELECT u1, u2, s1, s2, inter, bx, by, cx, cy, dx, dy FROM oi
+         |  UNION ALL SELECT u1, u2, s1, s2, inter, cx, cy, ax, ay, bx, by FROM oi
+         |  UNION ALL SELECT u1, u2, s1, s2, inter, dx, dy, ax, ay, bx, by FROM oi),
+         |c1 AS (SELECT u1, u2, s1, s2, inter, px, py, sax, say,
+         |              sbx - sax AS vx, sby - say AS vy FROM e4),
+         |c2 AS (SELECT *, vx*vx + vy*vy AS len2 FROM c1),
+         |c3 AS (SELECT *, CASE WHEN len2 = 0 THEN 0.0
+         |                      ELSE GREATEST(0.0, LEAST(1.0,
+         |                             ((px-sax)*vx + (py-say)*vy) / len2)) END AS t
+         |       FROM c2),
+         |c4 AS (SELECT u1, u2, s1, s2, inter,
+         |              SQRT((px-(sax+t*vx))*(px-(sax+t*vx))
+         |                   + (py-(say+t*vy))*(py-(say+t*vy))) AS dist
+         |       FROM c3),
+         |sp AS (SELECT u1, u2, s1, s2,
+         |              CASE WHEN MAX(inter) = 1 THEN 0.0 ELSE MIN(dist) END AS d
+         |       FROM c4 GROUP BY u1, u2, s1, s2)
+         |SELECT u1, u2, ROUND(MIN(d), 6) AS closest
+         |FROM sp GROUP BY u1, u2 ORDER BY u1, u2""".stripMargin) {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase").filter(col("user_id") <= 20)
+        val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+        val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            round(graft.functions.MetricUdfs.closestApproach(
+              col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("closest"))
+          .orderBy(col("u1"), col("u2"))
+    },
+
     // Spatial HOTSPOT detection (Getis-Ord Gi* flavored, integer-exact):
     // grid cells whose 3×3-neighborhood point count sits >2σ above the mean
     // neighborhood count. e11's all-integer discipline in 2-D: the

@@ -196,6 +196,25 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("closestApproach: symmetric, ≤ min point distance ≤ hausdorff, 0 for crossing paths") {
+    cases.take(60).foreach { case ((xa, ya), (xb, yb)) =>
+      val ca = Metrics.closestApproach(xa, ya, xb, yb)
+      assert(ca == Metrics.closestApproach(xb, yb, xa, ya), "symmetry")
+      val minPoint = xa.indices.flatMap(i => xb.indices.map { j =>
+        val dx = xa(i) - xb(j); val dy = ya(i) - yb(j)
+        math.sqrt(dx * dx + dy * dy)
+      }).min
+      assert(ca <= minPoint, s"closest approach $ca must not exceed min point dist $minPoint")
+      assert(ca <= Metrics.hausdorff(xa, ya, xb, yb))
+      assert(ca >= 0.0)
+    }
+    // planted X crossing: paths intersect strictly between sample points
+    val cross = Metrics.closestApproach(
+      Array(0.0, 10.0), Array(0.0, 10.0),
+      Array(0.0, 10.0), Array(10.0, 0.0))
+    assert(cross == 0.0, s"crossing paths must have approach 0, got $cross")
+  }
+
   test("hausdorff equals brute-force max-of-min (no early-break effect)") {
     cases.take(60).foreach { case ((xa, ya), (xb, yb)) =>
       def brute(x1: Array[Double], y1: Array[Double], x2: Array[Double], y2: Array[Double]) =
