@@ -580,6 +580,49 @@ object TextPipeline {
           .limit(50)
     },
 
+    // Greedy next-token argmax under the corpus bigram MLE — the
+    // "generation" read-path of the p21 model: for the 10 highest-marginal
+    // first words, the most likely continuation and its exact conditional
+    // probability. Argmax per prefix is a rank-1 window with a
+    // lexicographic tie-break (deterministic at equal counts); probability
+    // is one division of two exact BIGINTs.
+    DeclaredQuery("p25_bigram_argmax",
+      """WITH sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |                     i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |            FROM (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
+        |                  FROM documents) q WHERE len(ts) >= 2),
+        |c2 AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |              COUNT(*) AS c
+        |       FROM sh GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |top1 AS (SELECT w1, w2, c FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+        |                     ORDER BY c DESC, w2) AS rn FROM c2) q
+        |         WHERE rn = 1)
+        |SELECT t.w1, c1.c1 AS n_prefix, t.w2 AS next_word,
+        |       CAST(t.c AS BIGINT) AS n_pair,
+        |       ROUND(CAST(t.c AS DOUBLE) / c1.c1, 6) AS p
+        |FROM top1 t JOIN c1 ON t.w1 = c1.w1
+        |ORDER BY c1.c1 DESC, t.w1 LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val c2 = graft.operators.Decontaminate.wordShingles(
+            Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 2)
+          .select(split(col("shingle"), " ").getItem(0).as("w1"),
+            split(col("shingle"), " ").getItem(1).as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+          .withColumnRenamed("w1", "k1")
+        val wTop = Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))
+        val top1 = c2.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        top1.join(c1, col("w1") === col("k1"))
+          .select(col("w1"), col("c1").as("n_prefix"), col("w2").as("next_word"),
+            col("c").as("n_pair"),
+            round(col("c").cast("double") / col("c1"), 6).as("p"))
+          .orderBy(col("n_prefix").desc, col("w1"))
+          .limit(10)
+    },
+
     // END-TO-END curation funnel — the composition a real training-data run
     // executes as ONE job: language filter → quality rules (p19) → keep-one
     // near-dup dedup (d9's CC canonical) → decontamination vs the held-out
