@@ -234,6 +234,53 @@ object Windows {
           .orderBy(col("event_type"))
     },
 
+    // First-touch ATTRIBUTION: each purchase credits the event type that
+    // OPENED its session (e3's 30-min-gap sessions) — the standard
+    // marketing-attribution join of sessionization + window-first. One
+    // user-keyed exchange carries the break flags, session ids, and the
+    // session-opener lookup; the final rollup is by (tiny) touch type.
+    DeclaredQuery("w11_first_touch",
+      s"""WITH e AS (SELECT * FROM ${eViewS}),
+         |g AS (SELECT user_id, event_id, ts_us, event_type,
+         |             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+         |                       ORDER BY ts_us, event_id) > 1800000000
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |s AS (SELECT user_id, event_id, ts_us, event_type,
+         |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |      FROM g),
+         |f AS (SELECT user_id, sess, event_type, ts_us, event_id,
+         |             FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sess
+         |                         ORDER BY ts_us, event_id) AS touch
+         |      FROM s)
+         |SELECT touch, COUNT(*) AS n_purchases,
+         |       COUNT(DISTINCT CONCAT(CAST(user_id AS VARCHAR), '#', CAST(sess AS VARCHAR)))
+         |         AS n_sessions
+         |FROM f WHERE event_type = 'purchase'
+         |GROUP BY touch ORDER BY touch""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1)
+              .otherwise(0).as("brk"))
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+            sum(col("brk")).over(wRun).as("sess"))
+        val wSess = Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("ts_us"), col("event_id"))
+        sess
+          .select(col("user_id"), col("sess"), col("event_type"),
+            first(col("event_type")).over(wSess).as("touch"))
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("touch"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(concat(col("user_id").cast("string"), lit("#"),
+              col("sess").cast("string"))).as("n_sessions"))
+          .orderBy(col("touch"))
+    },
+
     // RANGE frame (value-based, not row-based): rolling 24h purchase sum per
     // user keyed on the integer µs timestamp. RANGE includes PEERS, so tied
     // timestamps get identical sums in every engine regardless of tie order.
