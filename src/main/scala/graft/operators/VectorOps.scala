@@ -64,7 +64,8 @@ object VectorOps {
         sqrt(expr(s"aggregate(transform($embCol, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s,v) -> s+v)")).as("nrm"),
         sqrt(expr(tailSq)).as("tnrm")) ++ heads: _*)
 
-    def side(p: String) = stats.select(stats.columns.map(c => col(c).as(p + c)): _*)
+    def side(p: String) =
+      stats.select(stats.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
     val a = side("a_")
     val b = side("b_")
     val headDot = (0 until headDim)
