@@ -290,6 +290,8 @@ object Sketches {
     mhMemo.clear()
     lshCandMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     lshCandMemo.clear()
+    hamMemo.values.foreach { case (df, _) => try df.unpersist() catch { case _: Throwable => () } }
+    hamMemo.clear()
   }
 
   /** Build (or load) the IVF index: if the (centers, assigned) parquet
@@ -530,6 +532,26 @@ object Sketches {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  private val hamMemo = TrieMap.empty[(SparkSession, String), (DataFrame, Boolean)]
+
+  /** Sign-quantized Hamming pack (v8's index): (vec_id, h1, h2) with the
+    * 64 sign bits in two 32-bit BIGINT halves (bit 63 avoided — engines
+    * disagree on 1<<63 overflow). A build-once IndexStore artifact like the
+    * IVF/PQ structures: 8 bytes/vector, one linear pass to build, any
+    * number of Hamming queries to amortize it over.
+    * @return (packed frame, served-from-artifact flag) */
+  def hammingPack(s: SparkSession, dir: String): (DataFrame, Boolean) =
+    hamMemo.getOrElseUpdate((s, dir), {
+      def half(off: Int) =
+        s"aggregate(sequence(0, 31), 0L, (s, i) -> s + CASE WHEN " +
+          s"element_at(embedding, i + ${off + 1}) >= 0 THEN shiftleft(1L, i) ELSE 0L END)"
+      val (df, fromArtifact) = graft.sources.IndexStore.materialize(s, dir, "hamming_pack") {
+        graft.Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(half(0)).as("h1"), expr(half(32)).as("h2"))
+      }
+      (df.persist(StorageLevel.MEMORY_AND_DISK), fromArtifact)
+    })
 
   /** IVF-PQ composite ANN — the production index shape (coarse quantizer
     * routes the query to `nprobe` lists, the ADC table scans ONLY those

@@ -580,11 +580,9 @@ object JsonDocs {
         |FROM p, q WHERE p.vec_id <> 0
         |ORDER BY hamming, p.vec_id LIMIT 10""".stripMargin) {
       (s, dir) =>
-        def half(off: Int) =
-          s"aggregate(sequence(0, 31), 0L, (s, i) -> s + CASE WHEN " +
-            s"element_at(embedding, i + ${off + 1}) >= 0 THEN shiftleft(1L, i) ELSE 0L END)"
-        val p = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), expr(half(0)).as("h1"), expr(half(32)).as("h2"))
+        // the packed column is a build-once IndexStore artifact (8
+        // bytes/vector) — later sessions load it instead of re-packing
+        val p = graft.operators.Sketches.hammingPack(s, dir)._1
         val q = p.filter(col("vec_id") === 0)
           .select(col("h1").as("q1"), col("h2").as("q2"))
         p.filter(col("vec_id") =!= 0)

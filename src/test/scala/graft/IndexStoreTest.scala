@@ -54,6 +54,26 @@ class IndexStoreTest extends AnyFunSuite {
     }
   }
 
+  test("hamming pack artifact: second session loads the packed column; v8 answers unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-ham").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      Sketches.resetCaches()
+      val (p1, from1) = Sketches.hammingPack(spark, TestSpark.sf001)
+      val rows1 = p1.orderBy("vec_id").collect().map(_.toString).toSeq
+      assert(!from1, "first call must build")
+      Sketches.resetCaches()
+      val (p2, from2) = Sketches.hammingPack(spark, TestSpark.sf001)
+      assert(from2, "second session must load the artifact")
+      assert(p2.orderBy("vec_id").collect().map(_.toString).toSeq == rows1)
+      val knn = SparkEntry.queries("v8_hamming_knn")(spark, TestSpark.sf001).collect()
+      assert(knn.length == 10)
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   test("trajArrays artifact: reload serves identical arrays and boxes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-idx2").toString
     spark.conf.set("graft.index.dir", tmp)
