@@ -376,6 +376,28 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("watermark-bounded dedup survives INJECTED duplicate batches (at-least-once replay)") {
+    // replay the 4 batches plus a duplicate copy of batch 1 — the retry
+    // arrives within the watermark, so bounded dedup must still count each
+    // event_id once
+    val dir = Files.createTempDirectory("graft-stream-dup")
+    val srcs = Files.list(Paths.get(replayDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    srcs.zipWithIndex.foreach { case (p, i) =>
+      val dst = Files.copy(p, dir.resolve(p.getFileName))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    Files.copy(dir.resolve("batch01.parquet"), dir.resolve("batch01b.parquet"))
+    Files.setLastModifiedTime(dir.resolve("batch01b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + 1500))
+    val got = runComplete(
+      StreamingQueries.dedupCountBounded(StreamingQueries.eventsStream(spark, dir.toString)),
+      "s_dedup_wm").collect().head.getLong(0)
+    val want = Tables.table(spark, TestSpark.sf0001, "events")
+      .select($"event_id").distinct().count()
+    assert(got == want, s"bounded dedup counted $got, exact distinct is $want")
+  }
+
   test("e12 streaming dynamic-gap sessions == batch running-max islands") {
     // append mode + sentinel flush, like e3
     val dir = Files.createTempDirectory("graft-stream-e12")
