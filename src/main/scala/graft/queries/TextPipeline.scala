@@ -580,6 +580,31 @@ object TextPipeline {
           .limit(50)
     },
 
+    // Count-min sketch heavy hitters — the frequency-sketch member of the
+    // family (HLL=r34 distinct, GK=r30 quantiles, CMS=frequency): a
+    // mergeable ε=0.001 sketch built in ONE distributed aggregation pass,
+    // then point-queried for the exact top-20 tokens. The sketch blob is a
+    // bounded KB-scale artifact (the one driver-side value), seeded so
+    // estimates are deterministic; CMS never under-counts and the overshoot
+    // is ≤ ε·N w.h.p. (asserted in OperatorsTest). NO oracle (DuckDB has no
+    // CMS); the exact column doubles as the in-row ground truth.
+    DeclaredQuery.noOracle("p26_cms_heavy_hitters") {
+      (s, dir) =>
+        import s.implicits._
+        val toks = Tables.docTokens(s, dir)
+        val blob = toks
+          .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(blob))
+        val bc = s.sparkContext.broadcast(cms)
+        val est = udf { (t: String) => bc.value.estimateCount(t) }
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok"))
+          .limit(20)
+          .select(col("tok"), col("n_exact"), est(col("tok")).as("n_est"))
+    },
+
     // Greedy next-token argmax under the corpus bigram MLE — the
     // "generation" read-path of the p21 model: for the 10 highest-marginal
     // first words, the most likely continuation and its exact conditional

@@ -315,6 +315,21 @@ class OperatorsTest extends AnyFunSuite {
     }
   }
 
+  test("p26 CMS heavy hitters: never under-counts; overshoot within eps*N; deterministic") {
+    val got = SparkEntry.queries("p26_cms_heavy_hitters")(spark, TestSpark.sf001).collect()
+    assert(got.length == 20)
+    val total = Tables.docTokens(spark, TestSpark.sf001).count()
+    got.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS must never under-count ($est < $exact)")
+      assert(est - exact <= (0.001 * total).toLong + 1,
+        s"${r.getString(0)}: overshoot ${est - exact} beyond eps*N")
+    }
+    val again = SparkEntry.queries("p26_cms_heavy_hitters")(spark, TestSpark.sf001)
+      .collect().map(_.toString).toSeq
+    assert(again == got.map(_.toString).toSeq, "seeded sketch must be deterministic")
+  }
+
   test("r30 quantile sketch: each value's exact rank within the documented error bound") {
     val got = SparkEntry.queries("r30_quantile_sketch")(spark, TestSpark.sf001).collect()
     assert(got.nonEmpty)
