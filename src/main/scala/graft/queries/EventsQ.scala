@@ -297,9 +297,17 @@ object EventsQ {
             count(lit(1)).over(tr).as("k"),
             sum(col("n")).over(tr).as("s"),
             sum(col("n") * col("n")).over(tr).as("q"))
-          .filter(col("k") === 24 && lit(24) * col("n") - col("s") > 0 &&
-            (lit(24) * col("n") - col("s")) * (lit(24) * col("n") - col("s")) >
-              lit(9) * (lit(24) * col("q") - col("s") * col("s")))
+          .filter {
+            // the squared deviation products in decimal(38,0): DuckDB
+            // promotes to HUGEINT, and at cluster-scale hourly counts
+            // (24n)² passes 2^63 — 64-bit Spark arithmetic would wrap
+            // silently (the r16/r17 lesson applied here)
+            val dev = (lit(24) * col("n") - col("s")).cast("decimal(38,0)")
+            val varN = (lit(24) * col("q").cast("decimal(38,0)") -
+              col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+            col("k") === 24 && lit(24) * col("n") - col("s") > 0 &&
+              dev * dev > lit(9) * varN
+          }
           .select(col("event_type"), col("hr"), col("n"), col("s").as("trail_sum"))
           .orderBy(col("event_type"), col("hr"))
     },

@@ -600,9 +600,14 @@ object Trajectories {
         val m = occ.agg(count(lit(1)).as("k"), sum(col("s")).as("ss"),
           sum(col("s") * col("s")).as("sq"))
         occ.crossJoin(broadcast(m))
-          .filter(col("s") * col("k") - col("ss") > 0 &&
-            (col("s") * col("k") - col("ss")) * (col("s") * col("k") - col("ss")) >
-              lit(4) * (col("k") * col("sq") - col("ss") * col("ss")))
+          .filter {
+            // decimal(38,0) like e11: (s·k)² wraps int64 once neighborhood
+            // counts reach cluster scale; DuckDB computes in HUGEINT
+            val dev = (col("s") * col("k") - col("ss")).cast("decimal(38,0)")
+            val varN = col("k").cast("decimal(38,0)") * col("sq").cast("decimal(38,0)") -
+              col("ss").cast("decimal(38,0)") * col("ss").cast("decimal(38,0)")
+            col("s") * col("k") - col("ss") > 0 && dev * dev > lit(4) * varN
+          }
           .select(col("cx").as("gx"), col("cy").as("gy"), col("s").as("neighborhood_n"))
           .orderBy(col("neighborhood_n").desc, col("gx"), col("gy"))
     },

@@ -400,8 +400,11 @@ object StreamingQueries {
             var s = 0L; var q = 0L
             var j = i - 24
             while (j < i) { val c = hours(j)._2; s += c; q += c * c; j += 1 }
-            val d = 24L * n - s
-            if (d > 0 && d * d > 9L * (24L * q - s * s)) out += AnomalyRow(typ, hr, n, s)
+            // BigInt products — the batch form computes these in
+            // decimal(38,0) for the same reason (int64 wraps at scale)
+            val d = BigInt(24L * n - s)
+            if (d > 0 && d * d > BigInt(9) * (BigInt(24) * BigInt(q) - BigInt(s) * BigInt(s)))
+              out += AnomalyRow(typ, hr, n, s)
             i += 1
           }
           out.iterator
