@@ -196,6 +196,31 @@ class MetricPropertiesTest extends AnyFunSuite {
     }
   }
 
+  test("pointSegDist→polyline: zero on vertices, ≤ nearest-vertex distance, clamp inside endpoints") {
+    val rnd = new Random(11)
+    (0 until 40).foreach { _ =>
+      val n = 2 + rnd.nextInt(12)
+      val xs = Array.fill(n)(rnd.nextDouble() * 30)
+      val ys = Array.fill(n)(rnd.nextDouble() * 200)
+      def poly(px: Double, py: Double): Double =
+        (0 until n - 1).map(i =>
+          Metrics.pointSegDist(px, py, xs(i), ys(i), xs(i + 1), ys(i + 1))).min
+      // a vertex lies ON the polyline
+      val vi = rnd.nextInt(n)
+      assert(poly(xs(vi), ys(vi)) == 0.0)
+      // any point: polyline distance never exceeds its nearest VERTEX distance
+      val (px, py) = (rnd.nextDouble() * 30, rnd.nextDouble() * 200)
+      val minVertex = (0 until n).map { i =>
+        val dx = px - xs(i); val dy = py - ys(i); math.sqrt(dx * dx + dy * dy)
+      }.min
+      assert(poly(px, py) <= minVertex + 1e-12)
+      // midpoint of a segment is also on the polyline
+      val mi = rnd.nextInt(n - 1)
+      val (mx, my) = ((xs(mi) + xs(mi + 1)) / 2, (ys(mi) + ys(mi + 1)) / 2)
+      assert(poly(mx, my) <= 1e-9, s"midpoint dist ${poly(mx, my)}")
+    }
+  }
+
   test("closestApproach: symmetric, ≤ min point distance ≤ hausdorff, 0 for crossing paths") {
     cases.take(60).foreach { case ((xa, ya), (xb, yb)) =>
       val ca = Metrics.closestApproach(xa, ya, xb, yb)
