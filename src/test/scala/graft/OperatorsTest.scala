@@ -299,6 +299,22 @@ class OperatorsTest extends AnyFunSuite {
       graft.geo.Metrics.edr(xa, ya, xb, yb, 2.0, 25.0))
   }
 
+  test("mmrGreedy edges: k > candidates returns all; empty input returns empty; lambda=1 is pure relevance order") {
+    import graft.operators.VectorOps.mmrGreedy
+    assert(mmrGreedy(Nil, 5, 0.7).isEmpty)
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f), 0.9),
+      (2L, Array(0.0f, 1.0f), 0.8),
+      (3L, Array(0.7f, 0.7f), 0.7))
+    val all = mmrGreedy(cands, 10, 0.7)
+    assert(all.map(_._2).toSet == Set(1L, 2L, 3L) && all.length == 3)
+    // λ=1: diversity term vanishes → pure relevance order with id tie-break
+    val rel = mmrGreedy(cands, 3, 1.0)
+    assert(rel.map(_._2) == Seq(1L, 2L, 3L))
+    // ranks are 1..k in emission order
+    assert(rel.map(_._1) == Seq(1, 2, 3))
+  }
+
   test("r34 HLL sketch: per-group estimates within the declared 2% rsd (5x slack)") {
     val got = SparkEntry.queries("r34_approx_distinct")(spark, TestSpark.sf001).collect()
     assert(got.nonEmpty)
