@@ -182,47 +182,117 @@ object TrajectorySearch {
       k, metric, seedFactor)
   }
 
+  /** Physical path of [[knnJoin]]. `Auto` (the default) picks from measured
+    * table stats — see [[choosePath]] for the crossover. */
+  sealed abstract class KnnPath
+  object KnnPath {
+    /** Measure the table, pick the regime (default). */
+    case object Auto extends KnnPath
+    /** Force the symmetric all-pairs kernel scan (short-trajectory regime). */
+    case object Brute extends KnnPath
+    /** Force the relational bound-seeded plan (long-trajectory / large-N regime). */
+    case object Seeded extends KnnPath
+  }
+
+  /** Brute is faster only while a kernel call (O(n̄·m̄) point ops) costs less
+    * than the bound bookkeeping it would save: measured at n̄ ≈ 13 points
+    * (1 500 users, sf0.1) brute = 3.5 s vs seeded = 17.5 s, and the ratio
+    * decays as n̄² — by n̄ ≈ 32 (≥ ~1 000 point ops/pair, ~6× the fixture's
+    * kernel) the bound pass plus survivor-only refine wins. */
+  private[graft] val BruteMaxMedianPoints = 32.0
+  /** Both paths scan all N·(N−1)/2 pairs, but only seeded prunes the KERNEL
+    * to bound survivors; past ~2·10⁸ pairs the unpruned kernel total
+    * dominates any per-pair saving, and the brute broadcast of the full
+    * coordinate table stops being broadcast-sized. 20 000 users ≈ 13× the
+    * measured fixture — comfortably inside the regime the 5× win was
+    * measured in, well before the quadratic total turns the corner. */
+  private[graft] val BruteMaxTrajectories = 20000L
+  /** Cap for the brute path's broadcast hint: above this estimated build
+    * size, drop the hint and let Spark/AQE plan the pair scan (ADVICE: a
+    * forced broadcast of an over-sized array table is a driver OOM, not a
+    * plan fallback). */
+  private[graft] val BruteBroadcastMaxBytes = 64L << 20
+
+  /** Measured stats of a trajectory-array table: one tiny aggregate over the
+    * persisted one-row-per-user frame (never the raw events). */
+  private[graft] case class TrajStats(users: Long, medianPoints: Double) {
+    /** Estimated bytes of the brute join's broadcast build side: two double
+      * arrays per user plus per-row struct overhead. */
+    def estArrayBytes: Long = (users * (16.0 * medianPoints + 100.0)).toLong
+  }
+
+  private[graft] def trajStats(ta: DataFrame): TrajStats = {
+    val r = ta.agg(count(lit(1)), median(size(col("xs")))).head()
+    TrajStats(r.getLong(0), r.getDouble(1))
+  }
+
+  /** Data-driven regime choice for [[knnJoin]] (the reference's O11 bound
+    * seeding made a measured decision, not a flag): brute wins only when the
+    * kernel is cheap (short trajectories, [[BruteMaxMedianPoints]]) AND the
+    * quadratic kernel total is small (few trajectories,
+    * [[BruteMaxTrajectories]]); everything else — long trajectories or big
+    * N, i.e. every at-scale invocation — takes the bound-seeded path whose
+    * exact kernels run on per-query survivors only. */
+  private[graft] def choosePath(st: TrajStats): KnnPath =
+    if (st.medianPoints <= BruteMaxMedianPoints && st.users <= BruteMaxTrajectories)
+      KnnPath.Brute
+    else KnnPath.Seeded
+
   /** k-nearest-neighbor JOIN under a trajectory metric: for EVERY
     * trajectory, its k most similar others — the reference workload (O15)
     * as a single self-join operator rather than a query loop.
     *
-    * Two physical paths, same answer (equivalence-tested):
-    *  - `prune = true`: the relational per-query bound seeding of
+    * Two physical paths, same answer (equivalence-tested); the default
+    * `KnnPath.Auto` picks per-invocation from measured stats ([[choosePath]]):
+    *  - `Seeded`: the relational per-query bound seeding of
     *    [[topKBatchPruned]] with the query set = the whole table. The right
-    *    regime when the kernel dominates (LONG trajectories): exact
-    *    distances run only on per-query bound survivors. At 10⁸
-    *    trajectories the slim boxes frame outgrows a broadcast and the STR
-    *    tile pre-filter (StrPartition) supplies the pair enumeration
-    *    instead; seed/threshold/refine stages are unchanged.
-    *  - `prune = false`: symmetric brute force — exact kernel ONCE per
-    *    unordered pair (u1 < u2, d(a,b) = d(b,a)), checkpointed, mirrored,
-    *    then the two-stage bounded rank. The right regime when trajectories
-    *    are SHORT (fixture: ~13 points → a kernel call costs less than the
-    *    bound bookkeeping it would save — measured 17.5 s seeded vs 3 s
-    *    brute at sf0.1's 1500 users).
+    *    regime when the kernel dominates (LONG trajectories) or the pair
+    *    count is large: exact distances run only on per-query bound
+    *    survivors. At 10⁸ trajectories the slim boxes frame outgrows a
+    *    broadcast and the STR tile pre-filter (StrPartition) supplies the
+    *    pair enumeration instead; seed/threshold/refine stages are unchanged.
+    *  - `Brute`: symmetric brute force — exact kernel ONCE per unordered
+    *    pair (u1 < u2, d(a,b) = d(b,a)), checkpointed, mirrored, then the
+    *    two-stage bounded rank. The right regime when trajectories are SHORT
+    *    and the table small (fixture: ~13 points → a kernel call costs less
+    *    than the bound bookkeeping it would save — measured 17.5 s seeded vs
+    *    3.5 s brute at sf0.1's 1500 users). The broadcast hint is applied
+    *    only under [[BruteBroadcastMaxBytes]]; a forced Brute on a bigger
+    *    table plans without the hint instead of OOMing the driver.
     */
   def knnJoin(ta0: DataFrame, k: Int, metric: String = "hausdorff",
-              seedFactor: Int = 3, prune: Boolean = true): DataFrame = {
+              seedFactor: Int = 3, path: KnnPath = KnnPath.Auto): DataFrame = {
     val ta = ensureBoxes(ta0)
-    if (prune) batchPrunedOf(ta, ta, k, metric, seedFactor)
-    else {
-      val fn = metricCol(metric, ta.sparkSession)
-      val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
-      val b = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
-      // one kernel evaluation per unordered pair; the 24-byte (u1, u2, d)
-      // rows are materialized so the mirror does not re-run the kernels
-      val half = a.join(broadcast(b), col("u1") < col("u2"))
-        .select(col("u1"), col("u2"),
-          round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("dist"))
-        .localCheckpoint()
-      val sym = half.unionAll(
-          half.select(col("u2").as("u1"), col("u1").as("u2"), col("dist")))
-        .select(col("u1").as("q_user"), col("u2").as("user_id"), col("dist"))
-      Rank.topKPerGroup(sym, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k,
-          bucketKey = col("user_id"))
-        .select(col("q_user"), col("user_id"), col("dist"))
-        .orderBy(col("q_user"), col("dist"), col("user_id"))
+    path match {
+      case KnnPath.Seeded => batchPrunedOf(ta, ta, k, metric, seedFactor)
+      case _ =>
+        val st = trajStats(ta)
+        val brute = path == KnnPath.Brute || choosePath(st) == KnnPath.Brute
+        if (!brute) batchPrunedOf(ta, ta, k, metric, seedFactor)
+        else bruteKnnJoin(ta, k, metric,
+          hintBroadcast = st.estArrayBytes <= BruteBroadcastMaxBytes)
     }
+  }
+
+  private def bruteKnnJoin(ta: DataFrame, k: Int, metric: String,
+                           hintBroadcast: Boolean): DataFrame = {
+    val fn = metricCol(metric, ta.sparkSession)
+    val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+    val b0 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
+    val b = if (hintBroadcast) broadcast(b0) else b0
+    // one kernel evaluation per unordered pair; the 24-byte (u1, u2, d)
+    // rows are materialized so the mirror does not re-run the kernels
+    val half = a.join(b, col("u1") < col("u2"))
+      .select(col("u1"), col("u2"),
+        round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("dist"))
+      .localCheckpoint()
+    val sym = half.unionAll(
+        half.select(col("u2").as("u1"), col("u1").as("u2"), col("dist")))
+      .select(col("u1").as("q_user"), col("u2").as("user_id"), col("dist"))
+    Rank.topKPerGroup(sym, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k,
+        bucketKey = col("user_id"))
+      .select(col("q_user"), col("user_id"), col("dist"))
+      .orderBy(col("q_user"), col("dist"), col("user_id"))
   }
 
   private def batchPrunedOf(ta: DataFrame, q0: DataFrame, k: Int,

@@ -126,6 +126,10 @@ object VectorOps {
           if (selected.isEmpty) 0.0
           else selected.iterator.map(s => dotFF(emb, s._2)).max
         val score = lambda * rel - (1 - lambda) * maxSim
+        // NaN comparisons are all false — an all-NaN round would leave
+        // bestId = -1 and crash opaquely below; fail with the cause instead
+        require(!score.isNaN,
+          s"mmrGreedy: NaN score for candidate $id (NaN embedding or rel?)")
         if (score > bestScore || (score == bestScore && (bestId < 0 || id < bestId))) {
           bestScore = score; bestId = id
         }

@@ -296,14 +296,19 @@ object EventsQ {
           .select(col("event_type"), col("hr"), col("n"),
             count(lit(1)).over(tr).as("k"),
             sum(col("n")).over(tr).as("s"),
-            sum(col("n") * col("n")).over(tr).as("q"))
+            // square in the WIDENED type: n*n in int64 wraps once an hourly
+            // count passes ~3·10⁹ — exactly the cluster-scale regime the
+            // decimal(38,0) arithmetic below exists for (DuckDB promotes
+            // the whole expression to HUGEINT)
+            sum(col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+              .over(tr).as("q"))
           .filter {
             // the squared deviation products in decimal(38,0): DuckDB
             // promotes to HUGEINT, and at cluster-scale hourly counts
             // (24n)² passes 2^63 — 64-bit Spark arithmetic would wrap
             // silently (the r16/r17 lesson applied here)
             val dev = (lit(24) * col("n") - col("s")).cast("decimal(38,0)")
-            val varN = (lit(24) * col("q").cast("decimal(38,0)") -
+            val varN = (lit(24) * col("q") -
               col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
             col("k") === 24 && lit(24) * col("n") - col("s") > 0 &&
               dev * dev > lit(9) * varN

@@ -487,13 +487,14 @@ object Trajectories {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_user ORDER BY dist, user_id) <= 3
          |ORDER BY q_user, rk""".stripMargin) {
       (s, dir) =>
-        // prune=false: the fixture's ~13-point trajectories put the kernel
-        // below the bound bookkeeping (see knnJoin scaladoc) — both paths
-        // are equivalence-tested, the seeded one is the long-trajectory
-        // regime
+        // KnnPath.Auto: the dispatcher measures the table (median points per
+        // trajectory, trajectory count) and picks the regime — brute on this
+        // fixture's ~13-point trajectories, seeded past the documented
+        // crossover (TrajectorySearch.choosePath); both paths are
+        // equivalence-tested
         val wq = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
         graft.operators.TrajectorySearch.knnJoin(
-            Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff", prune = false)
+            Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff")
           .withColumn("rk", row_number().over(wq).cast("long"))
           .orderBy(col("q_user"), col("rk"))
     },
@@ -511,7 +512,14 @@ object Trajectories {
          |               x AS ax, y AS ay, LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
          |        FROM pts WHERE user_id <= 20
          |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |        QUALIFY bx IS NOT NULL),
+         |        QUALIFY bx IS NOT NULL
+         |        -- degenerate 1-point users → the kernel's zero-length
+         |        -- (p,p) segment (Metrics clamps the segment index), so
+         |        -- the pair is kept instead of dropped
+         |        UNION ALL
+         |        SELECT user_id, 1, MIN(x), MIN(y), MIN(x), MIN(y)
+         |        FROM pts WHERE user_id <= 20
+         |        GROUP BY user_id HAVING COUNT(*) = 1),
          |pp AS (SELECT a.user_id u1, b.user_id u2, a.sid s1, b.sid s2,
          |              a.ax, a.ay, a.bx, a.by,
          |              b.ax AS cx, b.ay AS cy, b.bx AS dx, b.by AS dy
@@ -598,13 +606,15 @@ object Trajectories {
         val occ = nb.join(cells.select(col("gx"), col("gy")),
           col("cx") === col("gx") && col("cy") === col("gy"), "left_semi")
         val m = occ.agg(count(lit(1)).as("k"), sum(col("s")).as("ss"),
-          sum(col("s") * col("s")).as("sq"))
+          // square in the widened type — s*s in int64 wraps once a
+          // neighborhood count passes ~3·10⁹ (same fix as e11)
+          sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("sq"))
         occ.crossJoin(broadcast(m))
           .filter {
             // decimal(38,0) like e11: (s·k)² wraps int64 once neighborhood
             // counts reach cluster scale; DuckDB computes in HUGEINT
             val dev = (col("s") * col("k") - col("ss")).cast("decimal(38,0)")
-            val varN = col("k").cast("decimal(38,0)") * col("sq").cast("decimal(38,0)") -
+            val varN = col("k").cast("decimal(38,0)") * col("sq") -
               col("ss").cast("decimal(38,0)") * col("ss").cast("decimal(38,0)")
             col("s") * col("k") - col("ss") > 0 && dev * dev > lit(4) * varN
           }
@@ -623,10 +633,17 @@ object Trajectories {
     DeclaredQuery("t22_corridor_count",
       s"""WITH pts AS ${ptsViewS("purchase")},
          |q AS (SELECT x, y, ts_us, event_id FROM pts WHERE user_id = 0),
-         |seg AS (SELECT x AS ax, y AS ay,
-         |               LEAD(x) OVER (ORDER BY ts_us, event_id) AS bx,
-         |               LEAD(y) OVER (ORDER BY ts_us, event_id) AS by
-         |        FROM q QUALIFY bx IS NOT NULL),
+         |seg AS (SELECT ax, ay, bx, by FROM
+         |          (SELECT x AS ax, y AS ay,
+         |                  LEAD(x) OVER (ORDER BY ts_us, event_id) AS bx,
+         |                  LEAD(y) OVER (ORDER BY ts_us, event_id) AS by
+         |           FROM q QUALIFY bx IS NOT NULL)
+         |        -- degenerate 1-point query → the kernel's zero-length
+         |        -- (p,p) segment (Metrics clamps the segment index), so the
+         |        -- oracle mirrors it instead of dropping the query
+         |        UNION ALL
+         |        SELECT MIN(x), MIN(y), MIN(x), MIN(y) FROM q
+         |        HAVING COUNT(*) = 1),
          |p AS (SELECT user_id, event_id, x, y FROM pts WHERE user_id <> 0),
          |c1 AS (SELECT p.user_id, p.event_id, p.x, p.y, s.ax, s.ay,
          |              s.bx - s.ax AS vx, s.by - s.ay AS vy

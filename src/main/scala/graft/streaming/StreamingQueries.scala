@@ -397,13 +397,14 @@ object StreamingQueries {
           var i = 24
           while (i < hours.length) {
             val (hr, n) = hours(i)
-            var s = 0L; var q = 0L
+            var s = 0L; var q = BigInt(0)
             var j = i - 24
-            while (j < i) { val c = hours(j)._2; s += c; q += c * c; j += 1 }
-            // BigInt products — the batch form computes these in
-            // decimal(38,0) for the same reason (int64 wraps at scale)
+            // accumulate the squares in BigInt — c*c in Long wraps once a
+            // per-hour count passes ~3·10⁹; the batch form computes these
+            // in decimal(38,0) for the same reason
+            while (j < i) { val c = hours(j)._2; s += c; q += BigInt(c) * BigInt(c); j += 1 }
             val d = BigInt(24L * n - s)
-            if (d > 0 && d * d > BigInt(9) * (BigInt(24) * BigInt(q) - BigInt(s) * BigInt(s)))
+            if (d > 0 && d * d > BigInt(9) * (BigInt(24) * q - BigInt(s) * BigInt(s)))
               out += AnomalyRow(typ, hr, n, s)
             i += 1
           }

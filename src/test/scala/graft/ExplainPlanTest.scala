@@ -262,9 +262,7 @@ class ExplainPlanTest extends AnyFunSuite {
     val p = plan("r27_disjunctive_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Union"), p)
-    assert(p.linesIterator.count(_.contains("FileScan parquet") &&
-      p.contains("lineitem")) <= p.linesIterator.size) // single lineitem scan
-    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 1, p)
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 1, p) // single lineitem scan
   }
 
   test("t18: gaps-and-islands rides ONE user_id exchange (windows + aggs co-partitioned)") {

@@ -94,13 +94,61 @@ class TrajectorySearchTest extends AnyFunSuite {
       val allUsers = ta.select($"user_id").collect().map(_.getLong(0)).toSeq
       val exact = TrajectorySearch.topKBatch(ta, allUsers, 3, "hausdorff")
         .collect().map(_.toString).toSeq
-      val seeded = TrajectorySearch.knnJoin(ta, 3, "hausdorff", prune = true)
+      val seeded = TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+          path = TrajectorySearch.KnnPath.Seeded)
         .collect().map(_.toString).toSeq
-      val brute = TrajectorySearch.knnJoin(ta, 3, "hausdorff", prune = false)
+      val brute = TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+          path = TrajectorySearch.KnnPath.Brute)
+        .collect().map(_.toString).toSeq
+      val auto = TrajectorySearch.knnJoin(ta, 3, "hausdorff")
         .collect().map(_.toString).toSeq
       assert(seeded == exact, dir)
       assert(brute == exact, dir)
+      assert(auto == exact, dir)
     }
+  }
+
+  /** Synthetic fixtures for the data-driven dispatch: short trajectories in
+    * a small table → Brute; long trajectories → Seeded. Both regimes must
+    * return the exact (unpruned batch) answer. */
+  test("knnJoin Auto dispatch picks brute on short trajectories and seeded on long ones — both exact") {
+    val rnd = new scala.util.Random(7)
+    def fixture(nUsers: Int, nPts: Int) = {
+      val rows = (0L until nUsers.toLong).map { u =>
+        val cx = (u % 6) * 10.0; val cy = (u % 4) * 10.0
+        (u, Seq.fill(nPts)(cx + rnd.nextDouble() * 3),
+            Seq.fill(nPts)(cy + rnd.nextDouble() * 3))
+      }
+      rows.toDF("user_id", "xs", "ys")
+    }
+
+    val short = Tables.withSliceBoxes(fixture(30, 12))
+    val long = Tables.withSliceBoxes(fixture(30, 120))
+    assert(TrajectorySearch.choosePath(TrajectorySearch.trajStats(short)) ==
+      TrajectorySearch.KnnPath.Brute, "12-point trajectories → brute regime")
+    assert(TrajectorySearch.choosePath(TrajectorySearch.trajStats(long)) ==
+      TrajectorySearch.KnnPath.Seeded, "120-point trajectories → seeded regime")
+    // a huge table is never brute, however short its trajectories
+    assert(TrajectorySearch.choosePath(
+      TrajectorySearch.TrajStats(users = 1000000L, medianPoints = 10.0)) ==
+      TrajectorySearch.KnnPath.Seeded, "10⁶ users → seeded regardless of length")
+
+    for (ta <- Seq(short, long)) {
+      val allUsers = ta.select($"user_id").collect().map(_.getLong(0)).toSeq
+      val exact = TrajectorySearch.topKBatch(ta, allUsers, 3, "hausdorff")
+        .collect().map(_.toString).toSeq
+      val auto = TrajectorySearch.knnJoin(ta, 3, "hausdorff")
+        .collect().map(_.toString).toSeq
+      assert(auto == exact)
+    }
+  }
+
+  test("brute knnJoin drops the broadcast hint past the size cap (plan fallback, not OOM)") {
+    // estArrayBytes: the cap trips at users*(16*pts+100) > 64 MiB
+    val small = TrajectorySearch.TrajStats(users = 1500L, medianPoints = 13.0)
+    val huge = TrajectorySearch.TrajStats(users = 3000000L, medianPoints = 13.0)
+    assert(small.estArrayBytes <= TrajectorySearch.BruteBroadcastMaxBytes)
+    assert(huge.estArrayBytes > TrajectorySearch.BruteBroadcastMaxBytes)
   }
 
   test("trajArraysOf caps a mega-user (SURVEY §7.5 risk 5) and search completes") {
