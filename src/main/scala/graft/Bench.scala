@@ -49,7 +49,13 @@ object Bench {
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"failed":$failed,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"failed":$failed,"runs_per_query":$runsPer,"sf":"$sfDir"}"""
+    println(json)
+    // Full-fidelity artifact: the driver's log tail truncates long stdout,
+    // losing per-query numbers — the complete map is always on disk too
+    // (overwritten per run; BENCH_r*.json snapshots it per round).
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
