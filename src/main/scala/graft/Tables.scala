@@ -1,6 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,16 +24,17 @@ object Tables {
   // Memoization contract: inputs under sfDir are immutable for the life of
   // the session (true for the driver's fixtures). resetCaches() exists for
   // tests that need to force re-execution.
-  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // bounded at 256 entries (~23 keys per data dir → ~11 dirs warm at once)
+  // with unpersist-on-evict, so a service session over many dirs cannot
+  // accumulate storage without end
+  private val cache = new graft.util.Memo[(SparkSession, String, String), DataFrame](
+    maxEntries = 256)(graft.util.Memo.unpersistDf)
 
-  /** Drop all memoized/persisted frames (tests only). */
-  def resetCaches(): Unit = {
-    cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    cache.clear()
-  }
+  /** Drop all memoized/persisted frames, releasing executor storage. */
+  def resetCaches(): Unit = cache.clear()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, name), {
+    cache.getOrElseUpdate((spark, sfDir, name)) {
       if (name == "events") {
         // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4.x refuses it
         // unless the legacy flag maps it to BIGINT nanoseconds. Must be set
@@ -42,7 +42,7 @@ object Tables {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       }
       spark.read.parquet(s"$sfDir/$name.parquet")
-    })
+    }
 
   /** `events` with the canonical microsecond time column `ts_us`
     * (FIXTURES.md convention 1: raw ns is not portable across engines). */
@@ -87,7 +87,7 @@ object Tables {
     * exact for the declared oracles.
     */
   def trajArrays(spark: SparkSession, sfDir: String, eventType: String = "purchase"): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, s"trajArrays:$eventType"), {
+    cache.getOrElseUpdate((spark, sfDir, s"trajArrays:$eventType")) {
       // persisted index artifact (arrays + slice boxes): a later session
       // reads the parquet instead of re-aggregating the event stream
       // name carries the layout version (f4 = flat 4-double boxes) so a code
@@ -98,7 +98,7 @@ object Tables {
         }._1
         // tiny (one row per user); shared by t2 (self-join both sides) and t3
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Core of [[trajArrays]] over any (user_id, ts_us, event_id, x, y) frame —
     * exposed so tests can drive synthetic (e.g. mega-user) trajectories. */
@@ -139,12 +139,12 @@ object Tables {
     * across the document-pipeline queries so the corpus is exploded once
     * per session, not once per query. */
   def docTokens(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, "docTokens"), {
+    cache.getOrElseUpdate((spark, sfDir, "docTokens")) {
       table(spark, sfDir, "documents")
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Cache the frequently-scanned fact tables in memory — called by Bench
     * (one scan instead of ~40 across the declared set). At cluster scale the

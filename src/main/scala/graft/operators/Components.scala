@@ -32,10 +32,11 @@ object Components {
     * the labeling is a shared derived artifact (d6 group stats and d9
     * keep-one filtering both consume the SAME labels over the same memoized
     * pair set), so a warm session runs the contraction loop once. */
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val memo =
+    new graft.util.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame]()(
+      graft.util.Memo.releaseCheckpoint)
 
-  /** Drop memoized labelings (tests only). */
+  /** Drop memoized labelings, releasing their checkpoint storage. */
   def clearMemo(): Unit = memo.clear()
 
   /** [[connectedComponents]] with the result memoized + materialized per
@@ -43,7 +44,7 @@ object Components {
   def connectedComponentsCached(edges: DataFrame, cacheKey: String,
                                 maxIter: Int = 30,
                                 assumeCanonical: Boolean = false): DataFrame =
-    memo.getOrElseUpdate((edges.sparkSession, cacheKey),
+    memo.getOrElseUpdate((edges.sparkSession, cacheKey))(
       connectedComponents(edges, maxIter, assumeCanonical).localCheckpoint())
 
   /** One contraction round over canonical (u > v) edges: rewire either the

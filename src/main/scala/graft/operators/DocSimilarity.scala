@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,13 +27,17 @@ import graft.Tables
   */
 object DocSimilarity {
 
-  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Memo entry: the pair-set frame plus any persisted intermediates it was
+    * built over (e.g. the distinct-token frame) — eviction releases ALL of
+    * them, not just the result. */
+  private case class Cached(result: DataFrame, deps: Seq[DataFrame] = Nil)
+  private val memo = new graft.util.Memo[(SparkSession, String), Cached]()(
+    c => (c.result +: c.deps).foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () }))
 
-  /** Drop memoized pair sets (tests only; inputs are immutable per session). */
-  def resetCaches(): Unit = {
-    memo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    memo.clear()
-  }
+  /** Drop memoized pair sets, releasing their executor storage (inputs are
+    * immutable per session). */
+  def resetCaches(): Unit = memo.clear()
 
   /** Vocabulary bound for the bitmap strategy: 64 words × 64 bits. Above
     * this the dictionary stops being a cheap broadcast and the prefix-
@@ -45,19 +47,20 @@ object DocSimilarity {
   /** All same-lang doc pairs (d1 < d2) with 5·|∩| ≥ 3·|∪| (Jaccard ≥ 0.6
     * in exact integer arithmetic): columns (d1, d2, lang, jaccard). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir), {
+    memo.getOrElseUpdate((s, dir)) {
       // persisted: consumed by the vocab probe plus two branches of the DAG
       val toks = distinctTokens(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      jaccardPairs(toks, 3, 5).persist(StorageLevel.MEMORY_AND_DISK)
-    })
+      Cached(jaccardPairs(toks, 3, 5).persist(StorageLevel.MEMORY_AND_DISK),
+        deps = Seq(toks))
+    }.result
 
   /** All ordered same-lang containment pairs at 10·|∩| ≥ 9·|S(d1)| —
     * memoized + persisted per (session, dir) like [[nearDupPairs]]. */
   def containmentNearDups(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, s"$dir#containment"), {
-      containmentPairs(distinctTokens(s, dir), 9, 10)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    memo.getOrElseUpdate((s, s"$dir#containment")) {
+      Cached(containmentPairs(distinctTokens(s, dir), 9, 10)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    }.result
 
   /** Strategy chooser on MEASURED vocabulary size: a corpus whose distinct
     * token set fits [[MaxMaskVocab]] bits gets the bitmap join (popcount

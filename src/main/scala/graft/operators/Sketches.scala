@@ -1,6 +1,5 @@
 package graft.operators
 
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,14 +107,15 @@ object Sketches {
     * params) — a deterministic derived artifact (seeded hashes) consumed by
     * p6 and by any downstream near-dup verify, so a warm session builds the
     * ~|near-dup-pairs|-row candidate set once (the d3-pair-set precedent). */
-  private val mhMemo = TrieMap.empty[(SparkSession, String, Int, Int, Int), DataFrame]
+  private val mhMemo =
+    new graft.util.Memo[(SparkSession, String, Int, Int, Int), DataFrame]()(graft.util.Memo.unpersistDf)
 
   def minhashCandidates(s: SparkSession, dir: String, k: Int = 16, bands: Int = 8,
                         maxBucketSize: Int = Int.MaxValue): DataFrame =
-    mhMemo.getOrElseUpdate((s, dir, k, bands, maxBucketSize), {
+    mhMemo.getOrElseUpdate((s, dir, k, bands, maxBucketSize)) {
       minhashCandidatesUncached(s, dir, k, bands, maxBucketSize)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private def minhashCandidatesUncached(s: SparkSession, dir: String, k: Int, bands: Int,
                                         maxBucketSize: Int): DataFrame = {
@@ -206,7 +206,8 @@ object Sketches {
     * params), NOT by the DataFrame, so passing a different `vecs` under a
     * reused key returns the first call's persisted candidate set. Pass None
     * to disable memoization for ad-hoc inputs. */
-  private val lshCandMemo = TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
+  private val lshCandMemo =
+    new graft.util.Memo[(SparkSession, String, Int, Int), DataFrame]()(graft.util.Memo.unpersistDf)
 
   def lshRefinedPairs(vecs: DataFrame, nPlanes: Int = 8, tables: Int = 12,
                       cacheKey: Option[String] = None): DataFrame = {
@@ -247,7 +248,7 @@ object Sketches {
         .select(col("id1"), col("id2")).distinct()
     }
     val cand = cacheKey match {
-      case Some(key) => lshCandMemo.getOrElseUpdate((s, key, nPlanes, tables),
+      case Some(key) => lshCandMemo.getOrElseUpdate((s, key, nPlanes, tables))(
         buildCand().persist(StorageLevel.MEMORY_AND_DISK))
       case None => buildCand()
     }
@@ -279,19 +280,14 @@ object Sketches {
   final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame,
                             fromArtifact: Boolean)
 
-  private val ivfMemo = TrieMap.empty[(SparkSession, String, Int), IvfIndex]
+  private val ivfMemo = new graft.util.Memo[(SparkSession, String, Int), IvfIndex]()(
+    ix => ix.assigned.unpersist())
 
-  /** Drop memoized IVF indexes and LSH candidate sets (tests only; disk
-    * artifacts stay). */
+  /** Evict every memoized index/candidate set, releasing executor storage
+    * (disk IndexStore artifacts stay). */
   def resetCaches(): Unit = {
-    ivfMemo.values.foreach(ix => try ix.assigned.unpersist() catch { case _: Throwable => () })
-    ivfMemo.clear()
-    mhMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    mhMemo.clear()
-    lshCandMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    lshCandMemo.clear()
-    hamMemo.values.foreach { case (df, _) => try df.unpersist() catch { case _: Throwable => () } }
-    hamMemo.clear()
+    ivfMemo.clear(); mhMemo.clear(); lshCandMemo.clear()
+    pqMemo.clear(); hamMemo.clear()
   }
 
   /** Build (or load) the IVF index: if the (centers, assigned) parquet
@@ -299,7 +295,7 @@ object Sketches {
     * run the seeded k-means fit once, assign each vector to its list, and
     * write both artifacts for the next session. */
   def buildIvfIndex(s: SparkSession, dir: String, nlist: Int = 16): IvfIndex =
-    ivfMemo.getOrElseUpdate((s, dir, nlist), {
+    ivfMemo.getOrElseUpdate((s, dir, nlist)) {
       import graft.sources.IndexStore
       val cPath = IndexStore.artifactPath(s, dir, s"ivf${nlist}_centers")
       val aPath = IndexStore.artifactPath(s, dir, s"ivf${nlist}_assigned")
@@ -333,7 +329,7 @@ object Sketches {
         IvfIndex(centers, assigned.persist(StorageLevel.MEMORY_AND_DISK),
           fromArtifact = false)
       }
-    })
+    }
 
   /** IVF (inverted-file) ANN: the query ranks the index's centroids on the
     * driver (nlist bounded scalars — no data scan), probes its `nprobe`
@@ -409,7 +405,8 @@ object Sketches {
     * encoded codes table (vec_id, codes, embedding). */
   final case class PqIndex(codebooks: Array[Array[Array[Double]]], codes: DataFrame,
                            fromArtifact: Boolean)
-  private val pqMemo = TrieMap.empty[(SparkSession, String, Int, Int), PqIndex]
+  private val pqMemo = new graft.util.Memo[(SparkSession, String, Int, Int), PqIndex]()(
+    ix => ix.codes.unpersist())
 
   /** Build (or load) the PQ index: the 64-dim space splits into `m`
     * subspaces; each gets its own seeded k-means codebook (k centroids of
@@ -420,7 +417,7 @@ object Sketches {
     * that lets a 100 TB corpus's shortlist scan fit in memory. Artifacts
     * persist via IndexStore like the IVF index (construct-once). */
   def buildPqIndex(s: SparkSession, dir: String, m: Int = 16, k: Int = 16): PqIndex =
-    pqMemo.getOrElseUpdate((s, dir, m, k), {
+    pqMemo.getOrElseUpdate((s, dir, m, k)) {
       import graft.sources.IndexStore
       val dim = 64
       val subDim = dim / m
@@ -486,7 +483,7 @@ object Sketches {
         unit.unpersist()
         PqIndex(books, codes.persist(StorageLevel.MEMORY_AND_DISK), fromArtifact = false)
       }
-    })
+    }
 
   /** PQ ANN via ADC (asymmetric distance computation): the query builds an
     * m×k distance table against the codebooks (driver-side, bounded), the
@@ -533,7 +530,8 @@ object Sketches {
       .limit(k)
   }
 
-  private val hamMemo = TrieMap.empty[(SparkSession, String), (DataFrame, Boolean)]
+  private val hamMemo = new graft.util.Memo[(SparkSession, String), (DataFrame, Boolean)]()(
+    v => v._1.unpersist())
 
   /** Sign-quantized Hamming pack (v8's index): (vec_id, h1, h2) with the
     * 64 sign bits in two 32-bit BIGINT halves (bit 63 avoided — engines
@@ -542,7 +540,7 @@ object Sketches {
     * number of Hamming queries to amortize it over.
     * @return (packed frame, served-from-artifact flag) */
   def hammingPack(s: SparkSession, dir: String): (DataFrame, Boolean) =
-    hamMemo.getOrElseUpdate((s, dir), {
+    hamMemo.getOrElseUpdate((s, dir)) {
       def half(off: Int) =
         s"aggregate(sequence(0, 31), 0L, (s, i) -> s + CASE WHEN " +
           s"element_at(embedding, i + ${off + 1}) >= 0 THEN shiftleft(1L, i) ELSE 0L END)"
@@ -551,7 +549,7 @@ object Sketches {
           .select(col("vec_id"), expr(half(0)).as("h1"), expr(half(32)).as("h2"))
       }
       (df.persist(StorageLevel.MEMORY_AND_DISK), fromArtifact)
-    })
+    }
 
   /** IVF-PQ composite ANN — the production index shape (coarse quantizer
     * routes the query to `nprobe` lists, the ADC table scans ONLY those

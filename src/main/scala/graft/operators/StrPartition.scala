@@ -102,9 +102,10 @@ object StrPartition {
     * session answering many top-k calls pays it once (the reference's
     * construct-once / query-many loop). Inputs are immutable per session. */
   private val scanMemo =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, Int, String, Int, Int, Int), Option[TiledScan]]
+    new graft.util.Memo[(org.apache.spark.sql.SparkSession, String, Int, String, Int, Int, Int), Option[TiledScan]]()(
+      _.foreach(ts => graft.util.Memo.releaseCheckpoint(ts.taT)))
 
-  /** Drop memoized scans (tests only). */
+  /** Drop memoized scans, releasing their checkpoint storage. */
   def clearMemo(): Unit = scanMemo.clear()
 
   /** Slim tiled frame (user_id, tile, boxes, whole MBR) — the STR index
@@ -204,7 +205,7 @@ object StrPartition {
     val scan = cacheKey match {
       case Some(key) =>
         scanMemo.getOrElseUpdate(
-          (ta0.sparkSession, key, k, metric, nx, ny, seedFactor),
+          (ta0.sparkSession, key, k, metric, nx, ny, seedFactor))(
           prepareScan(ta0, k, metric, nx, ny, seedFactor))
       case None => prepareScan(ta0, k, metric, nx, ny, seedFactor)
     }

@@ -1,0 +1,68 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Bounded insertion-ordered session memo with an unpersist-on-evict hook.
+  *
+  * Session memos cache derived artifacts (pair sets, index frames, prepared
+  * scans) keyed by (session, data dir, params). An unbounded map is harmless
+  * in a per-round driver, but a long-lived service session iterating over
+  * many data dirs would accumulate persisted frames without end — so every
+  * memo is bounded: past `maxEntries` the ELDEST entry is evicted and its
+  * `onEvict` hook releases its executor storage; `clear()` evicts
+  * everything. All access is synchronized — memo traffic is driver-side
+  * query planning (a handful of lookups per query), never per-row.
+  */
+final class Memo[K, V](maxEntries: Int = 64)(onEvict: V => Unit) {
+  Memo.register(this)
+  private val m = new java.util.LinkedHashMap[K, V]()
+
+  def getOrElseUpdate(k: K)(build: => V): V = synchronized {
+    if (m.containsKey(k)) m.get(k)
+    else {
+      val v = build
+      m.put(k, v)
+      while (m.size > maxEntries) {
+        val it = m.entrySet().iterator()
+        val eldest = it.next()
+        try onEvict(eldest.getValue) catch { case _: Throwable => () }
+        it.remove()
+      }
+      v
+    }
+  }
+
+  /** Evict every entry, running the release hook on each. */
+  def clear(): Unit = synchronized {
+    m.values.forEach(v => try onEvict(v) catch { case _: Throwable => () })
+    m.clear()
+  }
+
+  def size: Int = synchronized(m.size)
+}
+
+object Memo {
+  private val all = new java.util.concurrent.CopyOnWriteArrayList[Memo[_, _]]()
+  private def register(memo: Memo[_, _]): Unit = all.add(memo)
+
+  /** Evict every registered session memo in the engine (service-session
+    * housekeeping between data dirs; disk IndexStore artifacts stay). */
+  def clearAll(): Unit = all.forEach(_.clear())
+
+  /** Release hook for plain `.persist()`ed frames. */
+  val unpersistDf: DataFrame => Unit = df => df.unpersist()
+
+  /** Release hook for `localCheckpoint()`ed frames: the checkpoint's RDD is
+    * persisted at the RDD layer (not the SQL CacheManager), so
+    * `df.unpersist()` is a no-op on it — dig the RDD out of the LogicalRDD
+    * leaf and unpersist that. Reflection keeps us off the private
+    * constructor surface; a plan without a LogicalRDD leaf is left alone
+    * (the ContextCleaner reclaims it after GC as before). */
+  val releaseCheckpoint: DataFrame => Unit = df =>
+    df.queryExecution.analyzed.collectLeaves().foreach { leaf =>
+      if (leaf.getClass.getSimpleName == "LogicalRDD")
+        try leaf.getClass.getMethod("rdd").invoke(leaf)
+          .asInstanceOf[org.apache.spark.rdd.RDD[_]].unpersist(false)
+        catch { case _: Throwable => () }
+    }
+}
