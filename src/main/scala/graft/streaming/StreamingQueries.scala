@@ -411,4 +411,93 @@ object StreamingQueries {
           out.iterator
       }
   }
+
+  final case class GapFillRow(event_type: String, n_hours: Long, n_events: Long,
+                              silent_hours: Long, longest_silence: Long)
+  final case class LocfRow(event_type: String, n_hours: Long, carried_hours: Long,
+                           locf_checksum: Long)
+
+  /** Per-type hourly count buffer shared by the resample twins
+    * ([[gapFillCustom]], [[locfCustom]]): one entry per OBSERVED (type,
+    * hour), exactly like [[RateState]] — a late event for an old hour can
+    * flip that hour from silent to active, so observed hours stay exact.
+    * Unlike e11's trailing window, the resample stats are LEFT FOLDS over
+    * the hour axis, so production state is bounded by watermark COLLAPSE
+    * rather than eviction: once no event older than hour w can arrive, the
+    * prefix ≤ w folds into scalars (first hour, last active hour + its
+    * count, events/silent/longest-streak so far) and the per-hour entries
+    * before w drop — state is then O(unflushed hours), not O(history). The
+    * test twin keeps the full buffer (fixtures span ~hundreds of hours). */
+  final case class HourState(counts: Map[Long, Long])
+
+  private def mergedHourCounts(it: Iterator[(String, Long)],
+                               state: GroupState[HourState]): Array[(Long, Long)] = {
+    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+    it.foreach { case (_, hr) => counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L) }
+    state.update(HourState(counts))
+    counts.toArray.sortBy(_._1)
+  }
+
+  /** e13 counterpart: dense-grid gap-fill/resample as explicit per-type
+    * state (flatMapGroupsWithState, Update mode). Each micro-batch merges
+    * the hour-count deltas and re-emits the type's CURRENT full-span
+    * snapshot (hours, events, silent hours, longest silent streak over the
+    * zero-filled min..max grid); the LAST snapshot per type equals batch
+    * e13 exactly, any arrival order — a type's state only changes on its
+    * own events, so the last batch containing the type emits the complete
+    * answer. */
+  def gapFillCustom(events: DataFrame): Dataset[GapFillRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HourState, GapFillRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[(String, Long)], state: GroupState[HourState]) =>
+          val hours = mergedHourCounts(it, state)
+          val byHr = hours.toMap
+          val (h0, h1) = (hours.head._1, hours.last._1)
+          var nEvents = 0L; var silent = 0L; var longest = 0L; var streak = 0L
+          var hr = h0
+          while (hr <= h1) {
+            val n = byHr.getOrElse(hr, 0L)
+            nEvents += n
+            if (n == 0) { silent += 1; streak += 1; if (streak > longest) longest = streak }
+            else streak = 0
+            hr += 1
+          }
+          Iterator.single(GapFillRow(typ, h1 - h0 + 1, nEvents, silent, longest))
+      }
+  }
+
+  /** w10 counterpart: LOCF resample as explicit per-type state — silent
+    * grid hours inherit the last active hour's count; emits the running
+    * (hours, carried hours, exact integer LOCF checksum) snapshot. LAST
+    * snapshot per type equals batch w10, any arrival order. */
+  def locfCustom(events: DataFrame): Dataset[LocfRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HourState, LocfRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[(String, Long)], state: GroupState[HourState]) =>
+          val hours = mergedHourCounts(it, state)
+          val byHr = hours.toMap
+          val (h0, h1) = (hours.head._1, hours.last._1)
+          var carried = 0L; var checksum = 0L; var locf = 0L
+          var hr = h0
+          while (hr <= h1) {
+            val n = byHr.getOrElse(hr, 0L)
+            if (n > 0) locf = n else if (locf > 0) carried += 1
+            checksum += locf
+            hr += 1
+          }
+          Iterator.single(LocfRow(typ, h1 - h0 + 1, carried, checksum))
+      }
+  }
 }

@@ -487,4 +487,41 @@ class StreamingEquivalenceTest extends AnyFunSuite {
       for (a <- c; b <- p) assert(a <= b)
     }
   }
+
+  test("e13 streaming gap-fill (flatMapGroupsWithState) == batch") {
+    // Update mode: each micro-batch re-emits the type's full-span resample
+    // snapshot; the LAST snapshot per type must equal the batch query.
+    val acc = mutable.ArrayBuffer.empty[(Long, (String, Long, Long, Long, Long))]
+    val q = StreamingQueries.gapFillCustom(StreamingQueries.eventsStream(spark, replayDir))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.GapFillRow], bid: Long) =>
+        df.collect().foreach(r =>
+          acc += ((bid, (r.event_type, r.n_hours, r.n_events, r.silent_hours, r.longest_silence))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = acc.groupBy(_._2._1).map { case (_, snaps) => snaps.maxBy(_._1)._2 }
+      .toSeq.sortBy(_._1)
+    val want = SparkEntry.queries("e13_gap_fill")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("w10 streaming LOCF resample (flatMapGroupsWithState) == batch") {
+    val acc = mutable.ArrayBuffer.empty[(Long, (String, Long, Long, Long))]
+    val q = StreamingQueries.locfCustom(StreamingQueries.eventsStream(spark, replayDir))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.LocfRow], bid: Long) =>
+        df.collect().foreach(r =>
+          acc += ((bid, (r.event_type, r.n_hours, r.carried_hours, r.locf_checksum))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = acc.groupBy(_._2._1).map { case (_, snaps) => snaps.maxBy(_._1)._2 }
+      .toSeq.sortBy(_._1)
+    val want = SparkEntry.queries("w10_locf")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
 }
