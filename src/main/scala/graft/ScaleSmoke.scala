@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale spot-check for the heavy query family (BASELINE.md "scale
+  * spot-check" table): generates ×3 / ×10 copies of sf0.1 by shifting
+  * entity ids (same distributional shape, same points/trajectory — user and
+  * document COUNT scale), times t2 / t17 / t21(both paths) / d8 at each
+  * factor, and measures the t21 brute-vs-seeded crossover against
+  * points-per-trajectory at fixed user count. One JSON line per
+  * measurement on stdout.
+  *
+  * A tool, not a test: run once per round on demand —
+  * `sbt "runMain graft.ScaleSmoke"`. Timings are single-shot (the queries
+  * of interest run seconds-to-minutes; box noise is documented in
+  * BASELINE.md).
+  */
+object ScaleSmoke {
+  private val Base = "/root/testdata/sf0.1"
+  private val Out = "/tmp/graft_scale"
+  private val BaseUsers = 1500L
+  private val BaseDocs = 5000L
+
+  private def scaledDir(spark: SparkSession, factor: Int): String = {
+    val dir = s"$Out/x$factor"
+    val marker = new java.io.File(s"$dir/events.parquet/_SUCCESS")
+    if (marker.exists()) return dir
+    val ev = spark.read.parquet(s"$Base/events.parquet")
+    val evN = ev.count()
+    val docs = spark.read.parquet(s"$Base/documents.parquet")
+    // k shifted copies: user/doc ids stay dense and distinct per copy; the
+    // copy's events keep their timestamps, so per-user trajectories are
+    // exact clones — user COUNT scales, kernel cost per pair does not
+    val evScaled = (0 until factor).map { k =>
+      ev.select((col("event_id") + lit(k * 10 * evN)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * BaseUsers)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    val docScaled = (0 until factor).map { k =>
+      docs.select((col("doc_id") + lit(k * BaseDocs)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    evScaled.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    docScaled.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  private def report(name: String, factor: String, sec: Double, rows: Long): Unit =
+    println(f"""{"measure":"$name","scale":"$factor","sec":$sec%.2f,"rows":$rows}""")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "48g")
+      // raw events read (TIMESTAMP(NANOS) → int64) happens before Tables
+      // gets a chance to set it
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.TrajectorySearch
+    import graft.operators.TrajectorySearch.KnnPath
+
+    // modes (args): "queries" = heavy declared queries per factor;
+    // "knn xN [paths]" = t21 paths at one factor; "crossover" = the
+    // points-per-trajectory sweep. No args = everything (long).
+    val mode = args.headOption.getOrElse("all")
+
+    if (mode == "all" || mode == "queries") for (f <- Seq(1, 3, 10)) {
+      val dir = if (f == 1) Base else scaledDir(spark, f)
+      for (q <- Seq("t2_hausdorff_pairs", "t17_comovement", "d8_span_dedup")) {
+        val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
+        report(q, s"x$f", sec, rows)
+      }
+    }
+
+    if (mode == "all" || mode == "knn") {
+      val f = args.lift(1).map(_.stripPrefix("x").toInt).getOrElse(3)
+      val dir = if (f == 1) Base else scaledDir(spark, f)
+      val ta = Tables.trajArrays(spark, dir, "purchase")
+      val st = TrajectorySearch.trajStats(ta)
+      println(s"""{"measure":"t21_stats","scale":"x$f","users":${st.users},"medianPoints":${st.medianPoints},"auto":"${TrajectorySearch.choosePath(st)}"}""")
+      val paths = if (args.length > 2) args.drop(2).toSeq else Seq("brute", "seeded")
+      paths.foreach { p =>
+        val kp = if (p == "brute") KnnPath.Brute else KnnPath.Seeded
+        val (sec, rows) = time(TrajectorySearch.knnJoin(ta, 3, "hausdorff", path = kp).count())
+        report(s"t21_$p", s"x$f", sec, rows)
+      }
+    }
+
+    // brute-vs-seeded crossover: fixed user count, growing trajectories —
+    // clustered synthetic fixture so the bound has something to prune
+    val rnd = new scala.util.Random(13)
+    if (mode == "all" || mode == "crossover") for (pts <- Seq(13, 32, 64, 128)) {
+      import spark.implicits._
+      val rows = (0L until 1500L).map { u =>
+        val cx = (u % 30) * 20.0; val cy = (u % 20) * 20.0
+        (u, Seq.fill(pts)(cx + rnd.nextDouble() * 5), Seq.fill(pts)(cy + rnd.nextDouble() * 5))
+      }
+      val ta = Tables.withSliceBoxes(rows.toDF("user_id", "xs", "ys"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ta.count()
+      val (bSec, _) = time(TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+        path = KnnPath.Brute).count())
+      val (sSec, _) = time(TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+        path = KnnPath.Seeded).count())
+      println(f"""{"measure":"t21_crossover","points":$pts,"brute_sec":$bSec%.2f,"seeded_sec":$sSec%.2f}""")
+      ta.unpersist()
+    }
+    spark.stop()
+  }
+}

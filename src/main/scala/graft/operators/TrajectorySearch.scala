@@ -194,23 +194,24 @@ object TrajectorySearch {
     case object Seeded extends KnnPath
   }
 
-  /** Brute is faster only while a kernel call (O(n̄·m̄) point ops) costs less
-    * than the bound bookkeeping it would save: measured at n̄ ≈ 13 points
-    * (1 500 users, sf0.1) brute = 3.5 s vs seeded = 17.5 s, and the ratio
-    * decays as n̄² — by n̄ ≈ 32 (≥ ~1 000 point ops/pair, ~6× the fixture's
-    * kernel) the bound pass plus survivor-only refine wins. */
+  /** Brute wins only while a kernel call (O(n̄·m̄) point ops) costs less than
+    * the bound bookkeeping it would save — and the crossover is in POINTS,
+    * not users: both paths enumerate all N·(N−1)/2 pairs, so they scale the
+    * same way in N (ScaleSmoke, sf0.1 ×1/×3: brute 4.0→41.7 s, seeded
+    * 12.6→174.7 s — brute stays ~4× ahead at 13-point trajectories at any
+    * measured N). Against points (ScaleSmoke crossover, 1 500 clustered
+    * trajectories): 13 pts ≈ tie (6.0 vs 5.0 s), 32 pts seeded wins 4.5×
+    * (25.7 vs 5.7 s), 64/128 pts seeded wins 2–4×. 32 is the measured
+    * boundary: below it brute's margin depends on how much the data lets
+    * the bound prune; above it seeded wins on every fixture tried. */
   private[graft] val BruteMaxMedianPoints = 32.0
-  /** Both paths scan all N·(N−1)/2 pairs, but only seeded prunes the KERNEL
-    * to bound survivors; past ~2·10⁸ pairs the unpruned kernel total
-    * dominates any per-pair saving, and the brute broadcast of the full
-    * coordinate table stops being broadcast-sized. 20 000 users ≈ 13× the
-    * measured fixture — comfortably inside the regime the 5× win was
-    * measured in, well before the quadratic total turns the corner. */
-  private[graft] val BruteMaxTrajectories = 20000L
-  /** Cap for the brute path's broadcast hint: above this estimated build
-    * size, drop the hint and let Spark/AQE plan the pair scan (ADVICE: a
-    * forced broadcast of an over-sized array table is a driver OOM, not a
-    * plan fallback). */
+  /** Brute's second requirement: its build side (the full coordinate
+    * table) must be broadcast-sized — past this the hint is a driver OOM,
+    * not a plan, so the dispatcher falls to seeded, whose per-query
+    * thresholds at least bound the KERNEL work. (At a pair count where even
+    * the slim bound scan is the bottleneck, neither flat path is right —
+    * the STR tile enumeration (StrPartition.allPairsTopKStr) replaces the
+    * pair scan itself; see SCALE.md.) */
   private[graft] val BruteBroadcastMaxBytes = 64L << 20
 
   /** Measured stats of a trajectory-array table: one tiny aggregate over the
@@ -227,14 +228,15 @@ object TrajectorySearch {
   }
 
   /** Data-driven regime choice for [[knnJoin]] (the reference's O11 bound
-    * seeding made a measured decision, not a flag): brute wins only when the
-    * kernel is cheap (short trajectories, [[BruteMaxMedianPoints]]) AND the
-    * quadratic kernel total is small (few trajectories,
-    * [[BruteMaxTrajectories]]); everything else — long trajectories or big
-    * N, i.e. every at-scale invocation — takes the bound-seeded path whose
-    * exact kernels run on per-query survivors only. */
+    * seeding made a measured decision, not a flag): brute only when the
+    * kernel is cheap (short trajectories, [[BruteMaxMedianPoints]] —
+    * measured crossover) AND the coordinate table broadcasts
+    * ([[BruteBroadcastMaxBytes]]); anything else — long trajectories, or a
+    * table too big to ship to every task — takes the bound-seeded path
+    * whose exact kernels run on per-query survivors only. */
   private[graft] def choosePath(st: TrajStats): KnnPath =
-    if (st.medianPoints <= BruteMaxMedianPoints && st.users <= BruteMaxTrajectories)
+    if (st.medianPoints <= BruteMaxMedianPoints &&
+        st.estArrayBytes <= BruteBroadcastMaxBytes)
       KnnPath.Brute
     else KnnPath.Seeded
 

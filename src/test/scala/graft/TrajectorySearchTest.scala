@@ -128,10 +128,11 @@ class TrajectorySearchTest extends AnyFunSuite {
       TrajectorySearch.KnnPath.Brute, "12-point trajectories → brute regime")
     assert(TrajectorySearch.choosePath(TrajectorySearch.trajStats(long)) ==
       TrajectorySearch.KnnPath.Seeded, "120-point trajectories → seeded regime")
-    // a huge table is never brute, however short its trajectories
+    // a table too big to broadcast is never brute, however short its
+    // trajectories (10⁶ users × 10 pts ≈ 260 MB build side)
     assert(TrajectorySearch.choosePath(
       TrajectorySearch.TrajStats(users = 1000000L, medianPoints = 10.0)) ==
-      TrajectorySearch.KnnPath.Seeded, "10⁶ users → seeded regardless of length")
+      TrajectorySearch.KnnPath.Seeded, "non-broadcastable table → seeded")
 
     for (ta <- Seq(short, long)) {
       val allUsers = ta.select($"user_id").collect().map(_.getLong(0)).toSeq
