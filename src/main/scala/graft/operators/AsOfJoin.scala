@@ -56,4 +56,44 @@ object AsOfJoin {
       df.withColumn(p, when(within, col(p)))
     }.drop("_asof_ord")
   }
+
+  /** NEAREST-in-time as-of join: each left row matched to the closest right
+    * row of its key group in EITHER direction, within `tol` of the numeric
+    * primary order column; equidistant candidates break BACKWARD (the
+    * earlier right row) — fully deterministic given the right side's total
+    * (order ++ tie-breaker) order.
+    *
+    * Two [[asofLatest]] passes — backward as-is, forward as backward over
+    * the NEGATED order columns — then a scalar nearest pick. Both windows
+    * partition on the same keys, so the plan is ONE key exchange reused by
+    * two sorts: still no join fan-out at any scale, where a range join
+    * (`|l.ts − r.ts| ≤ tol`) would enumerate every in-tolerance pair. */
+  def asofNearestWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        order: Seq[String], payload: Seq[String],
+                        tol: Long): DataFrame = {
+    val ord = order.head
+    def renamed(suffix: String) = payload.foldLeft(
+      right.withColumn(s"_asof_ord$suffix", col(ord))) { (df, p) =>
+      df.withColumnRenamed(p, s"$p$suffix")
+    }
+    val negOrder = order.map(o => s"_neg_$o")
+    def withNeg(df: DataFrame) = order.foldLeft(df)((d, o) =>
+      d.withColumn(s"_neg_$o", -col(o)))
+
+    val bwd = asofLatest(left, renamed("_b"), keys, order,
+      payload.map(_ + "_b") :+ "_asof_ord_b")
+    val fwd = asofLatest(withNeg(bwd), withNeg(renamed("_f")), keys, negOrder,
+      payload.map(_ + "_f") :+ "_asof_ord_f")
+
+    val distB = col(ord) - col("_asof_ord_b")
+    val distF = col("_asof_ord_f") - col(ord)
+    val bOk = col("_asof_ord_b").isNotNull && distB <= tol
+    val fOk = col("_asof_ord_f").isNotNull && distF <= tol
+    val pickB = bOk && (!fOk || distB <= distF)
+    val out = payload.foldLeft(fwd) { (df, p) =>
+      df.withColumn(p, when(pickB, col(s"${p}_b")).when(fOk, col(s"${p}_f")))
+    }
+    out.drop((payload.map(_ + "_b") ++ payload.map(_ + "_f") ++ negOrder
+      ++ Seq("_asof_ord_b", "_asof_ord_f")): _*)
+  }
 }

@@ -493,6 +493,43 @@ object JsonDocs {
           .orderBy(col("degree"))
     },
 
+    // Cross-SOURCE duplication flow matrix: near-dup pairs bucketed by the
+    // (unordered) source pair of their endpoints — the provenance diagnosis
+    // behind source-level dedup policy (which feeds copy which; how much
+    // a crawl overlaps a curated set). Reuses the SAME memoized pair set as
+    // d3/d6/d9/d12; two hash joins against the slim (doc_id, source) map,
+    // then a bounded sources² rollup.
+    DeclaredQuery("d13_cross_source_dups",
+      """WITH toks AS (SELECT DISTINCT doc_id, lang, tok
+        |              FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+        |                    FROM documents) u WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |          FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                  AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |nd AS (SELECT d1, d2 FROM inter JOIN sizes s1 ON s1.doc_id=d1
+        |       JOIN sizes s2 ON s2.doc_id=d2
+        |       WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |sp AS (SELECT LEAST(da.source, db.source) AS source_a,
+        |              GREATEST(da.source, db.source) AS source_b
+        |       FROM nd JOIN documents da ON da.doc_id = nd.d1
+        |               JOIN documents db ON db.doc_id = nd.d2)
+        |SELECT source_a, source_b, COUNT(*) AS n_pairs
+        |FROM sp GROUP BY source_a, source_b
+        |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) {
+      (s, dir) =>
+        val src = Tables.table(s, dir, "documents").select(col("doc_id"), col("source"))
+        graft.operators.DocSimilarity.nearDupPairs(s, dir)
+          .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+          .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+          .select(least(col("s1"), col("s2")).as("source_a"),
+            greatest(col("s1"), col("s2")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+    },
+
     // Exact duplicated-span SURGERY — the removal step d8 only measures
     // (Lee et al. ACL'22 dedup applied to spans): tokens covered by any
     // cross-document 8-gram are cut and the doc is rebuilt from the

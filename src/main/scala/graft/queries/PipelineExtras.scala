@@ -169,6 +169,61 @@ object PipelineExtras {
           .orderBy(col("user_id"))
     },
 
+    // NEAREST-in-time as-of join (both directions, 600 s tolerance,
+    // equidistant ties break to the EARLIER error): the sensor-alignment /
+    // nearest-reading join. Backward pass + forward pass over the negated
+    // order — ONE user_id exchange reused by two sorts, never the
+    // |l.ts−r.ts| ≤ tol range join that enumerates every in-tolerance pair.
+    // Oracle replicates both directions with mirrored window frames.
+    DeclaredQuery("a3_asof_nearest",
+      """WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT user_id, event_id, ts_us,
+        |        LAST_VALUE(CASE WHEN event_type='error' THEN event_id END IGNORE NULLS)
+        |          OVER wb AS b_id,
+        |        LAST_VALUE(CASE WHEN event_type='error' THEN ts_us END IGNORE NULLS)
+        |          OVER wb AS b_ts,
+        |        FIRST_VALUE(CASE WHEN event_type='error' THEN event_id END IGNORE NULLS)
+        |          OVER wf AS f_id,
+        |        FIRST_VALUE(CASE WHEN event_type='error' THEN ts_us END IGNORE NULLS)
+        |          OVER wf AS f_ts
+        |      FROM e
+        |      WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |m AS (SELECT user_id, event_id,
+        |        CASE WHEN b_ts IS NOT NULL AND ts_us - b_ts <= 600000000
+        |                  AND (f_ts IS NULL OR f_ts - ts_us > 600000000
+        |                       OR ts_us - b_ts <= f_ts - ts_us)
+        |             THEN b_id
+        |             WHEN f_ts IS NOT NULL AND f_ts - ts_us <= 600000000
+        |             THEN f_id END AS m_id
+        |      FROM t)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(COUNT(m_id) AS BIGINT) AS n_matched,
+        |       CAST(SUM(CASE WHEN m_id IS NOT NULL
+        |                     THEN (event_id*31 + m_id) % 1000003 ELSE 0 END) AS BIGINT)
+        |         AS checksum
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_id").as("err_event_id"))
+        graft.operators.AsOfJoin.asofNearestWithin(
+            ev.select(col("user_id"), col("ts_us"), col("event_id")),
+            errors,
+            keys = Seq("user_id"), order = Seq("ts_us", "event_id"),
+            payload = Seq("err_event_id"), tol = 600000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("err_event_id")).as("n_matched"),
+            sum(when(col("err_event_id").isNotNull,
+              (col("event_id") * 31 + col("err_event_id")) % 1000003).otherwise(0L))
+              .cast("long").as("checksum"))
+          .orderBy(col("user_id"))
+    },
+
     // Character 3-gram shingle Jaccard on a bounded doc subset — exercises
     // the generic inverted-index path (shingle vocab ≫ 64) with an oracle.
     DeclaredQuery("p8_ngram_jaccard",

@@ -275,6 +275,49 @@ class OperatorsTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("asofNearestWithin ≡ naive nearest scan on real data (both directions, backward ties)") {
+    val tol = 600000000L
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select($"user_id", $"ts_us", $"event_id")
+    val errors = Tables.events(spark, TestSpark.sf0001)
+      .filter($"event_type" === "error")
+      .select($"user_id", $"ts_us", $"event_id", $"event_id".as("err_id"))
+    val got = graft.operators.AsOfJoin.asofNearestWithin(
+        ev, errors, keys = Seq("user_id"), order = Seq("ts_us", "event_id"),
+        payload = Seq("err_id"), tol = tol)
+      .select($"user_id", $"ts_us", $"event_id", $"err_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+
+    // naive: per user, backward candidate = lexicographically largest error
+    // (ts, id) ≤ the event's (ts, id); forward = smallest ≥; pick the
+    // nearer within tol, equidistant → backward. Exactly the operator's
+    // documented rule, computed by brute scan.
+    val errByUser = errors.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, a) => u -> a.map(_._2).sortBy(identity) }
+    val want = ev.collect().map { r =>
+      val (u, ts, eid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val errs = errByUser.getOrElse(u, Array.empty[(Long, Long)])
+      val b = errs.filter(e => e._1 < ts || (e._1 == ts && e._2 <= eid)).lastOption
+        .filter(e => ts - e._1 <= tol)
+      val f = errs.find(e => e._1 > ts || (e._1 == ts && e._2 >= eid))
+        .filter(e => e._1 - ts <= tol)
+      val pick = (b, f) match {
+        case (Some(bb), Some(ff)) => if (ts - bb._1 <= ff._1 - ts) Some(bb) else Some(ff)
+        case (bb, ff) => bb.orElse(ff)
+      }
+      (u, ts, eid, pick.map(_._2))
+    }.sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(got.size == want.size)
+    assert(got == want)
+    // sanity: both directions actually fire on the fixture
+    val matchedB = got.zip(want).count { case (g, _) => g._4.isDefined }
+    assert(matchedB > 0)
+  }
+
   test("t14/t15 on the real fixture: kernel parity per pair, non-degenerate eps") {
     val t14 = SparkEntry.queries("t14_lcss_pairs")(spark, TestSpark.sf0001).collect()
     val t15 = SparkEntry.queries("t15_edr_pairs")(spark, TestSpark.sf0001).collect()
