@@ -63,37 +63,42 @@ object AsOfJoin {
     * earlier right row) — fully deterministic given the right side's total
     * (order ++ tie-breaker) order.
     *
-    * Two [[asofLatest]] passes — backward as-is, forward as backward over
-    * the NEGATED order columns — then a scalar nearest pick. Both windows
-    * partition on the same keys, so the plan is ONE key exchange reused by
-    * two sorts: still no join fan-out at any scale, where a range join
-    * (`|l.ts − r.ts| ≤ tol`) would enumerate every in-tolerance pair. */
+    * ONE union-tag frame, TWO running-`last` windows — backward on the
+    * order, forward on the NEGATED order — then a scalar nearest pick.
+    * Both windows partition on the same keys, so the plan is ONE key
+    * exchange reused by two sorts (plan-guarded in ExplainPlanTest): no
+    * join fan-out at any scale, where a range join (`|l.ts − r.ts| ≤ tol`)
+    * would enumerate every in-tolerance pair. */
   def asofNearestWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
                         order: Seq[String], payload: Seq[String],
                         tol: Long): DataFrame = {
     val ord = order.head
-    def renamed(suffix: String) = payload.foldLeft(
-      right.withColumn(s"_asof_ord$suffix", col(ord))) { (df, p) =>
-      df.withColumnRenamed(p, s"$p$suffix")
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0)).withColumn("_asof_ord", col(ord))
+    val u = order.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      (d, o) => d.withColumn(s"_neg_$o", -col(o))
     }
-    val negOrder = order.map(o => s"_neg_$o")
-    def withNeg(df: DataFrame) = order.foldLeft(df)((d, o) =>
-      d.withColumn(s"_neg_$o", -col(o)))
-
-    val bwd = asofLatest(left, renamed("_b"), keys, order,
-      payload.map(_ + "_b") :+ "_asof_ord_b")
-    val fwd = asofLatest(withNeg(bwd), withNeg(renamed("_f")), keys, negOrder,
-      payload.map(_ + "_f") :+ "_asof_ord_f")
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy((order.map(col) :+ col("_side")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy((order.map(o => col(s"_neg_$o")) :+ col("_side")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fillCols = payload :+ "_asof_ord"
+    val filled = fillCols.foldLeft(u) { (df, p) =>
+      df.withColumn(s"${p}_b", last(col(p), ignoreNulls = true).over(wB))
+        .withColumn(s"${p}_f", last(col(p), ignoreNulls = true).over(wF))
+    }
 
     val distB = col(ord) - col("_asof_ord_b")
     val distF = col("_asof_ord_f") - col(ord)
     val bOk = col("_asof_ord_b").isNotNull && distB <= tol
     val fOk = col("_asof_ord_f").isNotNull && distF <= tol
     val pickB = bOk && (!fOk || distB <= distF)
-    val out = payload.foldLeft(fwd) { (df, p) =>
+    val out = payload.foldLeft(filled.filter(col("_side") === 1)) { (df, p) =>
       df.withColumn(p, when(pickB, col(s"${p}_b")).when(fOk, col(s"${p}_f")))
     }
-    out.drop((payload.map(_ + "_b") ++ payload.map(_ + "_f") ++ negOrder
-      ++ Seq("_asof_ord_b", "_asof_ord_f")): _*)
+    out.drop((fillCols.flatMap(p => Seq(s"${p}_b", s"${p}_f"))
+      ++ order.map(o => s"_neg_$o") ++ Seq("_side", "_asof_ord")): _*)
   }
 }

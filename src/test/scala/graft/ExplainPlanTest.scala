@@ -265,6 +265,15 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 1, p) // single lineitem scan
   }
 
+  test("a3: nearest as-of is ONE user_id exchange reused by two sorts — no join, no range fan-out") {
+    val p = plan("a3_asof_nearest")
+    assert(!p.contains("Join"), p)
+    // backward window, forward (negated-order) window, final agg — all
+    // keyed by user_id: the union'd event stream shuffles once
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id")) == 1, p)
+  }
+
   test("t18: gaps-and-islands rides ONE user_id exchange (windows + aggs co-partitioned)") {
     val p = plan("t18_stay_segments")
     // lag window, run-id window, two aggregations — all keyed by user_id:
