@@ -245,4 +245,144 @@ object StrPartition {
   def candidateFrame(ta0: DataFrame, k: Int, metric: String = "hausdorff",
                      nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): Option[DataFrame] =
     prepareScan(ta0, k, metric, nx, ny, seedFactor).map(candidates)
+
+  /** Prepared tiled-kNN scan: slim checkpointed tile frame, per-query
+    * thresholds, surviving directed tile pairs. `None` when any tile is too
+    * small to seed k within-tile candidates (fallback regime). */
+  private case class KnnScan(taT: DataFrame, rq: DataFrame,
+                             tilePairs: Seq[(Int, Int)], tileCount: Int)
+
+  private def prepareKnnScan(ta0: DataFrame, k: Int, metric: String,
+                             nx: Int, ny: Int, seedFactor: Int): Option[KnnScan] = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ta0.sparkSession
+    graft.functions.SlicedBoxLb.register(s)
+    val ta = TrajectorySearch.ensureBoxes(ta0)
+    val taT = (if (ta.columns.contains("tile")) ta.select(col("user_id"),
+        col("tile"), col("boxes"), col("mnx"), col("mxx"), col("mny"), col("mxy"))
+      else tiledFrame(ta, nx, ny))
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      .localCheckpoint()
+
+    // bounded tile summaries: union MBR + member count per occupied tile
+    val tiles = taT.groupBy(col("tile"))
+      .agg(min(col("mnx")).as("mnx"), max(col("mxx")).as("mxx"),
+        min(col("mny")).as("mny"), max(col("mxy")).as("mxy"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0),
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)), r.getLong(5)))
+    // every query must find k within-tile candidates, else seeds underflow
+    if (tiles.exists(_._3 < k + 1)) return None
+
+    val fn = TrajectorySearch.metricCol(metric, s)
+    val fat = ta.select(col("user_id"), col("xs"), col("ys"))
+    val qFat = ta.select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
+    val exact = round(fn(col("xs"), col("ys"), col("qxs"), col("qys")), 6)
+
+    // 1. within-tile bound pass: stream queries, broadcast the slim
+    // candidate side (a tile-keyed shuffle join would serialize onto
+    // <= nx*ny tasks)
+    val withinLb = qSlimOf(taT).join(broadcast(cSlimOf(taT)),
+        col("tq") === col("tc") && col("q_user") =!= col("user_id"))
+      .select(col("q_user"), col("user_id"),
+        TrajectorySearch.slicedBoxLb("qboxes", "boxes").as("lb"))
+    val seeds = Rank.topKPerGroup(withinLb, Seq(col("q_user")),
+        Seq(col("lb"), col("user_id")), seedFactor * k, bucketKey = col("user_id"))
+      .select(col("q_user"), col("user_id"))
+
+    // 2. per-query threshold r_q = k-th smallest exact seed distance
+    val wSeed = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
+    val rq = seeds
+      .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+      .select(col("q_user"), col("user_id"), exact.as("dist"))
+      .withColumn("srn", row_number().over(wSeed))
+      .filter(col("srn") <= k)
+      .groupBy(col("q_user")).agg(max(col("dist")).as("r"))
+      .localCheckpoint() // consumed by the tile-radius collect AND the refine
+
+    // 3. tile radii + surviving directed tile pairs (driver arithmetic over
+    // <= (nx*ny)^2 bounded summaries)
+    val tileR = rq.join(taT.select(col("user_id").as("q_user"), col("tile")), "q_user")
+      .groupBy(col("tile")).agg(max(col("r")).as("rt"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val tilePairs = for {
+      (ti, bi, _) <- tiles.toSeq
+      (tj, bj, _) <- tiles.toSeq
+      if ti == tj || boxDist(bi, bj) <= tileR(ti) + 1e-6
+    } yield (ti, tj)
+    Some(KnnScan(taT, rq, tilePairs, tiles.length))
+  }
+
+  private def qSlimOf(taT: DataFrame): DataFrame =
+    taT.select(col("user_id").as("q_user"), col("tile").as("tq"), col("boxes").as("qboxes"))
+  private def cSlimOf(taT: DataFrame): DataFrame =
+    taT.select(col("user_id"), col("tile").as("tc"), col("boxes"))
+
+  /** STR-tiled k-nearest-neighbor JOIN — the tile pre-filter applied to the
+    * per-query bound seeding of `TrajectorySearch.knnJoin` (the flat seeded
+    * path's 10^8-trajectory form, where even the slim all-pairs bound scan
+    * is the bottleneck):
+    *
+    *  1. SEED WITHIN TILES: each query's `seedFactor*k` best-bound
+    *     candidates come from its OWN tile (spatial neighbors -> tight
+    *     thresholds); the k-th exact seed distance is the per-query
+    *     threshold r_q. A subset threshold is a valid upper bound on the
+    *     global k-th distance, so pruning with it is exact.
+    *  2. TILE RADII: R_t = max r_q over queries in tile t (one bounded
+    *     aggregate; nx*ny driver scalars).
+    *  3. DIRECTED TILE-PAIR PRUNE: queries in tile t enumerate candidates
+    *     only from tiles t' with boxdist(union_t, union_t') <= R_t - any
+    *     pruned candidate c has d(q,c) >= boxdist > R_t >= r_q, and q
+    *     already holds k seeds at <= r_q, so c cannot enter q's top-k.
+    *  4. REFINE: surviving (q, c) pairs get the sliced-box bound, the
+    *     per-query `lb <= r_q` filter, the early-abandoning exact kernel,
+    *     and the two-stage bounded rank - identical to the flat path.
+    *
+    * Identical results to `TrajectorySearch.knnJoin` (asserted at two SFs
+    * and on clustered synthetic data where the tile prune provably fires).
+    * Falls back to the flat seeded path when any tile is too small to seed
+    * k candidates (tiny data). At 10^8 trajectories the broadcasts below
+    * become shuffle joins keyed by tile / q_user - the enumeration bound
+    * over surviving |tile_q|*|tile_c| is the same either way. */
+  def knnJoinStr(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+                 nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): DataFrame = {
+    val s = ta0.sparkSession
+    val ta = TrajectorySearch.ensureBoxes(ta0)
+    prepareKnnScan(ta, k, metric, nx, ny, seedFactor) match {
+      case None =>
+        TrajectorySearch.knnJoin(ta, k, metric, seedFactor,
+          TrajectorySearch.KnnPath.Seeded)
+      case Some(scan) =>
+        import s.implicits._
+        val fat = ta.select(col("user_id"), col("xs"), col("ys"))
+        val qFat = ta.select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
+        // 4. enumeration over surviving directed pairs, per-query bound
+        // filter, early-abandon refine, bounded two-stage rank
+        val tp = broadcast(scan.tilePairs.toDF("tq", "tc"))
+        val cand = qSlimOf(scan.taT).join(tp, "tq")
+          .join(broadcast(cSlimOf(scan.taT).withColumnRenamed("tc", "tc2")),
+            col("tc") === col("tc2") && col("q_user") =!= col("user_id"))
+          .select(col("q_user"), col("user_id"),
+            TrajectorySearch.slicedBoxLb("qboxes", "boxes").as("lb"))
+        val refine = round(TrajectorySearch.boundedMetricCol(metric, s)(
+          col("xs"), col("ys"), col("qxs"), col("qys"), col("r") + 1e-5), 6)
+        val refined = cand.join(broadcast(scan.rq), "q_user")
+          .filter(col("lb") <= col("r") + 1e-6)
+          .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+          .select(col("q_user"), col("user_id"), refine.as("dist"))
+        Rank.topKPerGroup(refined, Seq(col("q_user")),
+            Seq(col("dist"), col("user_id")), k, bucketKey = col("user_id"))
+          .select(col("q_user"), col("user_id"), col("dist"))
+          .orderBy(col("q_user"), col("dist"), col("user_id"))
+    }
+  }
+
+  /** (surviving directed tile pairs, total directed tile pairs) of
+    * [[knnJoinStr]]'s prune on this data — lets tests assert the tile-level
+    * prune fires on clustered data. `None` in the fallback regime. */
+  def knnTileStats(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+                   nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): Option[(Int, Int)] =
+    prepareKnnScan(ta0, k, metric, nx, ny, seedFactor)
+      .map(scan => (scan.tilePairs.size, scan.tileCount * scan.tileCount))
 }

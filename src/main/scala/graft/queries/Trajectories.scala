@@ -499,6 +499,38 @@ object Trajectories {
           .orderBy(col("q_user"), col("rk"))
     },
 
+    // The SAME kNN join through the STR-TILED path (StrPartition
+    // .knnJoinStr): per-query thresholds seeded WITHIN tiles, directed
+    // tile-pair pruning at per-tile radii, refine on survivors — the
+    // 10⁸-trajectory form where even the flat all-pairs bound scan is the
+    // bottleneck. Same oracle as t21 (identical answer through a third
+    // physical plan); on this spatially uniform fixture no tile pair
+    // prunes and it degrades to partitioned enumeration + per-query bound
+    // refine (prune fires on clustered data in StrPartitionTest).
+    DeclaredQuery("t25_knn_join_str",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |d AS (SELECT a.user_id u1, b.user_id u2, a.event_id ea, b.event_id eb,
+         |             SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist
+         |      FROM pts a JOIN pts b ON a.user_id <> b.user_id),
+         |hab AS (SELECT u1, u2, MAX(md) AS h FROM
+         |        (SELECT u1, u2, ea, MIN(dist) AS md FROM d GROUP BY u1, u2, ea) q1
+         |        GROUP BY u1, u2),
+         |hba AS (SELECT u1, u2, MAX(md) AS h FROM
+         |        (SELECT u1, u2, eb, MIN(dist) AS md FROM d GROUP BY u1, u2, eb) q2
+         |        GROUP BY u1, u2),
+         |hd AS (SELECT hab.u1 AS q_user, hab.u2 AS user_id,
+         |              ROUND(GREATEST(hab.h, hba.h), 6) AS dist
+         |       FROM hab JOIN hba ON hab.u1 = hba.u1 AND hab.u2 = hba.u2)
+         |SELECT q_user, user_id, dist
+         |FROM hd
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_user
+         |                           ORDER BY dist, user_id) <= 3
+         |ORDER BY q_user, dist, user_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.StrPartition.knnJoinStr(
+          Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff")
+    },
+
     // Closest approach between trajectory PAIRS (reference O3 lifted to
     // whole paths): min over all segment pairs of the segment–segment
     // distance — 0 when the paths cross. The continuous-path companion to

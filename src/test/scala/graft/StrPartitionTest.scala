@@ -87,4 +87,64 @@ class StrPartitionTest extends AnyFunSuite {
     assert(str == base)
     assert(str.length == 3) // all 3 pairs, fewer than k
   }
+
+  test("tiled kNN join equals the flat knnJoin at two SFs") {
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val ta = Tables.trajArrays(spark, dir)
+      val flat = TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+          path = TrajectorySearch.KnnPath.Seeded)
+        .collect().map(_.toString).toSeq
+      val tiled = StrPartition.knnJoinStr(ta, 3, "hausdorff")
+        .collect().map(_.toString).toSeq
+      assert(tiled == flat, dir)
+    }
+  }
+
+  test("tiled kNN join: tile prune fires on clustered data, result stays exact") {
+    // four corner clusters, one per 2x2 quantile tile: the x-median falls
+    // between the left and right cluster pairs and the per-slab y-medians
+    // between bottom and top, so every tile is a pure 15-member cluster
+    val rnd = new scala.util.Random(7)
+    def traj(cx: Double, cy: Double): (Seq[Double], Seq[Double]) = {
+      val n = 5 + rnd.nextInt(10)
+      (Seq.fill(n)(cx + rnd.nextDouble()), Seq.fill(n)(cy + rnd.nextDouble()))
+    }
+    val centers = Seq((0.0, 0.0), (500.0, 0.0), (0.0, 500.0), (500.0, 500.0))
+    val ta = (0L until 60L).map { i =>
+      val (cx, cy) = centers((i % 4).toInt)
+      val (xs, ys) = traj(cx, cy)
+      (i, xs, ys)
+    }.toDF("user_id", "xs", "ys")
+    val flat = TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+        path = TrajectorySearch.KnnPath.Seeded)
+      .collect().map(_.toString).toSeq
+    // 2x2 grid: 60 users split ~15/tile (a 4x4 grid would leave tiles
+    // below k+1 members and trip the fallback)
+    val tiled = StrPartition.knnJoinStr(ta, 3, "hausdorff", nx = 2, ny = 2)
+      .collect().map(_.toString).toSeq
+    assert(tiled == flat)
+
+    // 3 clusters ~500 apart, per-query k=3 radii ≈ 3: every cross-cluster
+    // DIRECTED tile pair must be pruned
+    val stats = StrPartition.knnTileStats(ta, 3, "hausdorff", nx = 2, ny = 2)
+    assert(stats.isDefined, "clustered fixture must not fall back")
+    val (surviving, total) = stats.get
+    assert(surviving < total / 2,
+      s"expected directed tile-pair pruning to fire: $surviving of $total")
+  }
+
+  test("tiled kNN join falls back to the flat seeded path on tiny data") {
+    val tiny = Seq(
+      (0L, Seq(0.0, 1.0), Seq(0.0, 1.0)),
+      (1L, Seq(5.0, 6.0), Seq(5.0, 6.0)),
+      (2L, Seq(9.0, 10.0), Seq(9.0, 10.0))
+    ).toDF("user_id", "xs", "ys")
+    assert(StrPartition.knnTileStats(tiny, 3, "hausdorff").isEmpty)
+    val flat = TrajectorySearch.knnJoin(tiny, 2, "hausdorff",
+        path = TrajectorySearch.KnnPath.Seeded)
+      .collect().map(_.toString).toSeq
+    val tiled = StrPartition.knnJoinStr(tiny, 2, "hausdorff")
+      .collect().map(_.toString).toSeq
+    assert(tiled == flat)
+  }
 }
