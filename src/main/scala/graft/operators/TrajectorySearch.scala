@@ -186,12 +186,17 @@ object TrajectorySearch {
     * table stats — see [[choosePath]] for the crossover. */
   sealed abstract class KnnPath
   object KnnPath {
-    /** Measure the table, pick the regime (default). */
+    /** Measure the table, pick the flat regime (default). Auto never picks
+      * Tiled — the tile prune pays off on spatially CLUSTERED data, which
+      * table stats alone can't see; opt in explicitly at scale. */
     case object Auto extends KnnPath
     /** Force the symmetric all-pairs kernel scan (short-trajectory regime). */
     case object Brute extends KnnPath
     /** Force the relational bound-seeded plan (long-trajectory / large-N regime). */
     case object Seeded extends KnnPath
+    /** Force the STR-tiled plan ([[StrPartition.knnJoinStr]]) — the
+      * 10⁸-trajectory form: enumeration bounded by surviving tile pairs. */
+    case object Tiled extends KnnPath
   }
 
   /** Brute wins only while a kernel call (O(n̄·m̄) point ops) costs less than
@@ -267,6 +272,7 @@ object TrajectorySearch {
     val ta = ensureBoxes(ta0)
     path match {
       case KnnPath.Seeded => batchPrunedOf(ta, ta, k, metric, seedFactor)
+      case KnnPath.Tiled => StrPartition.knnJoinStr(ta, k, metric, seedFactor = seedFactor)
       case _ =>
         val st = trajStats(ta)
         val brute = path == KnnPath.Brute || choosePath(st) == KnnPath.Brute

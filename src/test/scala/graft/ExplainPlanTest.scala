@@ -274,6 +274,15 @@ class ExplainPlanTest extends AnyFunSuite {
       l.contains("Exchange hashpartitioning") && l.contains("user_id")) == 1, p)
   }
 
+  test("t25: tiled kNN enumeration is equi-joined on tiles, never a cartesian/nested loop") {
+    // sf0.01: sf0.001's 15 users trip the tile-size fallback to the flat
+    // seeded path, whose bound pass is an INTENTIONAL broadcast nested loop
+    val p = SparkEntry.queries("t25_knn_join_str")(TestSpark.spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(8).mkString("\n"))
+  }
+
   test("t18: gaps-and-islands rides ONE user_id exchange (windows + aggs co-partitioned)") {
     val p = plan("t18_stay_segments")
     // lag window, run-id window, two aggregations — all keyed by user_id:

@@ -89,6 +89,8 @@ class StrPartitionTest extends AnyFunSuite {
   }
 
   test("tiled kNN join equals the flat knnJoin at two SFs") {
+    // sf0.001 (15 users) exercises the tile-size FALLBACK path; sf0.01
+    // (150 users, >=4 per 4x4 tile) exercises the real tiled plan
     for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
       val ta = Tables.trajArrays(spark, dir)
       val flat = TrajectorySearch.knnJoin(ta, 3, "hausdorff",

@@ -102,9 +102,13 @@ class TrajectorySearchTest extends AnyFunSuite {
         .collect().map(_.toString).toSeq
       val auto = TrajectorySearch.knnJoin(ta, 3, "hausdorff")
         .collect().map(_.toString).toSeq
+      val tiled = TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+          path = TrajectorySearch.KnnPath.Tiled)
+        .collect().map(_.toString).toSeq
       assert(seeded == exact, dir)
       assert(brute == exact, dir)
       assert(auto == exact, dir)
+      assert(tiled == exact, dir)
     }
   }
 
