@@ -106,7 +106,7 @@ object StrPartition {
       _.foreach(ts => graft.util.Memo.releaseCheckpoint(ts.taT)))
 
   /** Drop memoized scans, releasing their checkpoint storage. */
-  def clearMemo(): Unit = scanMemo.clear()
+  def clearMemo(): Unit = { scanMemo.clear(); knnScanMemo.clear() }
 
   /** Slim tiled frame (user_id, tile, boxes, whole MBR) — the STR index
     * artifact. Pass it pre-built (e.g. via `sources.IndexStore`) to skip the
@@ -345,11 +345,29 @@ object StrPartition {
     * k candidates (tiny data). At 10^8 trajectories the broadcasts below
     * become shuffle joins keyed by tile / q_user - the enumeration bound
     * over surviving |tile_q|*|tile_c| is the same either way. */
+  /** Prepared kNN scans memoized per (session, caller key, params) — the
+    * within-tile seed pass is a build-once index step like the t11 scan
+    * memo, so a warm session answering many kNN-join calls pays it once.
+    * Inputs are immutable per session; eviction releases both checkpoints. */
+  private val knnScanMemo =
+    new graft.util.Memo[(org.apache.spark.sql.SparkSession, String, Int, String, Int, Int, Int), Option[KnnScan]]()(
+      _.foreach { scan =>
+        graft.util.Memo.releaseCheckpoint(scan.taT)
+        graft.util.Memo.releaseCheckpoint(scan.rq)
+      })
+
   def knnJoinStr(ta0: DataFrame, k: Int, metric: String = "hausdorff",
-                 nx: Int = 4, ny: Int = 4, seedFactor: Int = 3): DataFrame = {
+                 nx: Int = 4, ny: Int = 4, seedFactor: Int = 3,
+                 cacheKey: Option[String] = None): DataFrame = {
     val s = ta0.sparkSession
     val ta = TrajectorySearch.ensureBoxes(ta0)
-    prepareKnnScan(ta, k, metric, nx, ny, seedFactor) match {
+    val scan = cacheKey match {
+      case Some(key) => knnScanMemo.getOrElseUpdate(
+        (s, key, k, metric, nx, ny, seedFactor))(
+        prepareKnnScan(ta, k, metric, nx, ny, seedFactor))
+      case None => prepareKnnScan(ta, k, metric, nx, ny, seedFactor)
+    }
+    scan match {
       case None =>
         TrajectorySearch.knnJoin(ta, k, metric, seedFactor,
           TrajectorySearch.KnnPath.Seeded)

@@ -527,8 +527,11 @@ object Trajectories {
          |                           ORDER BY dist, user_id) <= 3
          |ORDER BY q_user, dist, user_id""".stripMargin) {
       (s, dir) =>
+        // scan memoized per (session, dir): the within-tile seed pass is a
+        // build-once index step (t11's scanMemo precedent)
         graft.operators.StrPartition.knnJoinStr(
-          Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff")
+          Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff",
+          cacheKey = Some(s"$dir#purchase#knn"))
     },
 
     // Closest approach between trajectory PAIRS (reference O3 lifted to
