@@ -309,7 +309,10 @@ object StrPartition {
     val tilePairs = for {
       (ti, bi, _) <- tiles.toSeq
       (tj, bj, _) <- tiles.toSeq
-      if ti == tj || boxDist(bi, bj) <= tileR(ti) + 1e-6
+      // every occupied tile has ≥ k+1 members, so every member query seeds
+      // a threshold and every tile gets a radius; if that invariant ever
+      // broke, the safe direction is NO pruning for that tile's queries
+      if ti == tj || boxDist(bi, bj) <= tileR.getOrElse(ti, Double.MaxValue) + 1e-6
     } yield (ti, tj)
     Some(KnnScan(taT, rq, tilePairs, tiles.length))
   }
