@@ -2,39 +2,60 @@ package graft.util
 
 import org.apache.spark.sql.DataFrame
 
-/** Bounded insertion-ordered session memo with an unpersist-on-evict hook.
+/** Bounded LRU session memo with an unpersist-on-evict hook.
   *
   * Session memos cache derived artifacts (pair sets, index frames, prepared
   * scans) keyed by (session, data dir, params). An unbounded map is harmless
   * in a per-round driver, but a long-lived service session iterating over
   * many data dirs would accumulate persisted frames without end — so every
-  * memo is bounded: past `maxEntries` the ELDEST entry is evicted and its
-  * `onEvict` hook releases its executor storage; `clear()` evicts
-  * everything. All access is synchronized — memo traffic is driver-side
-  * query planning (a handful of lookups per query), never per-row.
+  * memo is bounded: past `maxEntries` the LEAST-RECENTLY-USED entry is
+  * evicted (access-order LinkedHashMap — a hot entry created early is kept,
+  * FIFO would evict it first) and its `onEvict` hook releases its executor
+  * storage; `clear()` evicts everything.
+  *
+  * Concurrency: map reads/writes are synchronized, but the `build` closure
+  * runs OUTSIDE the lock — it launches full Spark jobs and driver collects,
+  * and holding the monitor across it would serialize every query touching
+  * the memo behind one build (and nest locks when one memoized build calls
+  * another). Two threads racing the same cold key may both build; the loser's
+  * value is released via `onEvict` and the winner's is returned, so no
+  * storage leaks and all callers see one canonical artifact. Memo traffic is
+  * driver-side query planning — a handful of lookups per query, never
+  * per-row.
   */
 final class Memo[K, V](maxEntries: Int = 64)(onEvict: V => Unit) {
   Memo.register(this)
-  private val m = new java.util.LinkedHashMap[K, V]()
+  // access-order = true: get() touches an entry, eviction order is LRU
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
 
-  def getOrElseUpdate(k: K)(build: => V): V = synchronized {
-    if (m.containsKey(k)) m.get(k)
-    else {
-      val v = build
-      m.put(k, v)
-      while (m.size > maxEntries) {
-        val it = m.entrySet().iterator()
-        val eldest = it.next()
-        try onEvict(eldest.getValue) catch { case _: Throwable => () }
-        it.remove()
+  private def release(v: V): Unit = try onEvict(v) catch { case _: Throwable => () }
+
+  def getOrElseUpdate(k: K)(build: => V): V = {
+    val hit = synchronized {
+      if (m.containsKey(k)) Some(m.get(k)) else None
+    }
+    hit.getOrElse {
+      val v = build // outside the lock — may run Spark jobs / nested memos
+      synchronized {
+        if (m.containsKey(k)) { // lost the race: keep the canonical value
+          release(v)
+          m.get(k)
+        } else {
+          m.put(k, v)
+          while (m.size > maxEntries) {
+            val it = m.entrySet().iterator()
+            release(it.next().getValue)
+            it.remove()
+          }
+          v
+        }
       }
-      v
     }
   }
 
   /** Evict every entry, running the release hook on each. */
   def clear(): Unit = synchronized {
-    m.values.forEach(v => try onEvict(v) catch { case _: Throwable => () })
+    m.values.forEach(v => release(v))
     m.clear()
   }
 

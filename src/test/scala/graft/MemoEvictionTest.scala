@@ -36,6 +36,46 @@ class MemoEvictionTest extends AnyFunSuite {
     assert(memo.size == 0)
   }
 
+  test("eviction is LRU: a re-read early entry survives, the stale one evicts") {
+    val memo = new Memo[Int, org.apache.spark.sql.DataFrame](maxEntries = 2)(
+      Memo.unpersistDf)
+    def frame(i: Int) = {
+      val df = Seq(i).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+    val f1 = memo.getOrElseUpdate(1)(frame(1))
+    val f2 = memo.getOrElseUpdate(2)(frame(2))
+    memo.getOrElseUpdate(1)(fail("key 1 must be a hit")) // touch 1: now 2 is LRU
+    memo.getOrElseUpdate(3)(frame(3))
+    assert(memo.size == 2)
+    assert(f1.storageLevel != StorageLevel.NONE,
+      "recently-used early entry must survive (FIFO would evict it)")
+    assert(f2.storageLevel == StorageLevel.NONE, "least-recently-used entry evicts")
+    memo.clear()
+  }
+
+  test("racing builders on one cold key: loser's value is released, one canonical value wins") {
+    val released = new java.util.concurrent.atomic.AtomicInteger(0)
+    val memo = new Memo[Int, Int](maxEntries = 4)(_ => released.incrementAndGet())
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        results.add(memo.getOrElseUpdate(42) {
+          gate.countDown()
+          gate.await() // both threads are mid-build simultaneously
+          i * 100
+        })
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(memo.size == 1)
+    val got = results.toArray(Array.empty[Integer]).map(_.toInt).toSet
+    assert(got.size == 1, s"both callers must see one canonical value, got $got")
+    assert(released.get == 1, "exactly the losing build is released")
+  }
+
   test("two data dirs: the first dir's persisted pair set is released by resetCaches") {
     val first = DocSimilarity.nearDupPairs(spark, TestSpark.sf0001)
     first.count()
