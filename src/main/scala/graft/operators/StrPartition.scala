@@ -94,7 +94,8 @@ object StrPartition {
     * surviving off-diagonal pair in both orders so `u1 < u2` enumerates every
     * cross pair exactly once). `None` when the data is too small to seed k
     * pairs from within tiles — callers fall back to the unpartitioned scan. */
-  private case class TiledScan(taT: DataFrame, r: Double, tilePairs: Seq[(Int, Int)])
+  private case class TiledScan(taT: DataFrame, r: Double, tilePairs: Seq[(Int, Int)],
+                               hintFat: Boolean = true, hintSlim: Boolean = true)
 
   /** Prepared scans (checkpointed slim frame + seed threshold + surviving
     * tile pairs) memoized per (session, caller key, params) — the seed pass
@@ -141,6 +142,11 @@ object StrPartition {
     val withinPairs = tiles.map { case (_, _, n) => n * (n - 1) / 2 }.sum
     if (withinPairs < k) return None // tiny data: seed cannot fill k
 
+    // size-guard the broadcast hints (same guard as bruteKnnJoin)
+    val st = TrajectorySearch.trajStats(ta)
+    val hintFat = st.estArrayBytes <= TrajectorySearch.broadcastCap(s)
+    val hintSlim = st.estSlimBytes <= TrajectorySearch.broadcastCap(s)
+
     // SEED from within-tile pairs (spatial neighbors → tight r): best-bound
     // seedFactor·k pairs get the exact kernel; k-th exact distance = r
     val a = taT.select(col("user_id").as("u1"), col("tile").as("t1"), col("boxes").as("boxes1"))
@@ -149,13 +155,13 @@ object StrPartition {
     val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
     val fat2 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
     val exact = round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6)
-    // stream a across all cores, broadcast the slim b side: a 16-key
-    // shuffle join would serialize the scan onto ≤ nx·ny tasks
-    val seeds = a.join(broadcast(b), col("t1") === col("t2") && col("u1") < col("u2"))
+    // stream a across all cores, broadcast the slim b side while it fits: a
+    // 16-key shuffle join would serialize the scan onto ≤ nx·ny tasks
+    val seeds = a.join(hinted(b, hintSlim), col("t1") === col("t2") && col("u1") < col("u2"))
       .select(col("u1"), col("u2"),
         TrajectorySearch.slicedBoxLb("boxes1", "boxes2").as("lb"))
       .orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k)
-      .join(broadcast(fat1), "u1").join(broadcast(fat2), "u2")
+      .join(hinted(fat1, hintFat), "u1").join(hinted(fat2, hintFat), "u2")
       .select(exact.as("d"))
       .orderBy(col("d")).limit(k)
       .collect()
@@ -170,7 +176,7 @@ object StrPartition {
       if i < j && boxDist(boxOf(i), boxOf(j)) <= r + 1e-6
       p <- Seq((i, j), (j, i))
     } yield p) ++ ids.map(i => (i, i))
-    Some(TiledScan(taT, r, tilePairs.toSeq))
+    Some(TiledScan(taT, r, tilePairs.toSeq, hintFat, hintSlim))
   }
 
   /** Candidate pairs (u1, u2, lb) enumerated via the tile-pair equi-join —
@@ -186,11 +192,11 @@ object StrPartition {
       col("boxes").as("boxes2"))
     // equi-joins on tile id, but keyed JOINS must not key the PARTITIONING:
     // the streamed a side stays partitioned by user (all cores busy) while
-    // the tile-pair list and the slim b side broadcast — at cluster scale
-    // with a fat b side this becomes a shuffle join on (tile pair) salts;
+    // the tile-pair list and, while it fits the size guard, the slim b side
+    // broadcast — past the guard this becomes a shuffle join on tile id;
     // the enumeration bound Σ|tile_i|·|tile_j| is the same either way
     a.join(tp, col("t1") === col("ti"))
-      .join(broadcast(b), col("t2") === col("tj") && col("u1") < col("u2"))
+      .join(hinted(b, scan.hintSlim), col("t2") === col("tj") && col("u1") < col("u2"))
       .select(col("u1"), col("u2"),
         TrajectorySearch.slicedBoxLb("boxes1", "boxes2").as("lb"))
   }
@@ -221,7 +227,7 @@ object StrPartition {
         candidates(scan)
           .filter(col("lb") <= scan.r + 1e-6)
           .select(col("u1"), col("u2"))
-          .join(broadcast(fat1), "u1").join(broadcast(fat2), "u2")
+          .join(hinted(fat1, scan.hintFat), "u1").join(hinted(fat2, scan.hintFat), "u2")
           .select(col("u1"), col("u2"), refine.as(metric))
           .orderBy(col(metric), col("u1"), col("u2"))
           .limit(k)
@@ -248,9 +254,19 @@ object StrPartition {
 
   /** Prepared tiled-kNN scan: slim checkpointed tile frame, per-query
     * thresholds, surviving directed tile pairs. `None` when any tile is too
-    * small to seed k within-tile candidates (fallback regime). */
+    * small to seed k within-tile candidates (fallback regime). `hintFat` /
+    * `hintSlim` record whether the coordinate / boxes+threshold frames fit
+    * [[TrajectorySearch.BruteBroadcastMaxBytes]] — past it the hint would
+    * override autoBroadcastJoinThreshold and OOM the driver at exactly the
+    * 10⁸-trajectory scale this path targets, so the joins run as plain
+    * shuffle equi-joins keyed by tile / user_id / q_user instead. */
   private case class KnnScan(taT: DataFrame, rq: DataFrame,
-                             tilePairs: Seq[(Int, Int)], tileCount: Int)
+                             tilePairs: Seq[(Int, Int)], tileCount: Int,
+                             hintFat: Boolean, hintSlim: Boolean)
+
+  /** `broadcast(df)` only when the measured size estimate allows the hint. */
+  private def hinted(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
 
   private def prepareKnnScan(ta0: DataFrame, k: Int, metric: String,
                              nx: Int, ny: Int, seedFactor: Int): Option[KnnScan] = {
@@ -275,15 +291,22 @@ object StrPartition {
     // every query must find k within-tile candidates, else seeds underflow
     if (tiles.exists(_._3 < k + 1)) return None
 
+    // size-guard the broadcast hints (same guard as bruteKnnJoin): past the
+    // cap the hint is a driver OOM, not a plan — fall to shuffle equi-joins
+    val st = TrajectorySearch.trajStats(ta)
+    val hintFat = st.estArrayBytes <= TrajectorySearch.broadcastCap(s)
+    val hintSlim = st.estSlimBytes <= TrajectorySearch.broadcastCap(s)
+
     val fn = TrajectorySearch.metricCol(metric, s)
     val fat = ta.select(col("user_id"), col("xs"), col("ys"))
     val qFat = ta.select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
     val exact = round(fn(col("xs"), col("ys"), col("qxs"), col("qys")), 6)
 
     // 1. within-tile bound pass: stream queries, broadcast the slim
-    // candidate side (a tile-keyed shuffle join would serialize onto
-    // <= nx*ny tasks)
-    val withinLb = qSlimOf(taT).join(broadcast(cSlimOf(taT)),
+    // candidate side while it fits (a tile-keyed shuffle join serializes
+    // onto <= nx*ny tasks — acceptable only in the unhinted huge regime,
+    // where nx*ny is sized up with the data)
+    val withinLb = qSlimOf(taT).join(hinted(cSlimOf(taT), hintSlim),
         col("tq") === col("tc") && col("q_user") =!= col("user_id"))
       .select(col("q_user"), col("user_id"),
         TrajectorySearch.slicedBoxLb("qboxes", "boxes").as("lb"))
@@ -294,7 +317,7 @@ object StrPartition {
     // 2. per-query threshold r_q = k-th smallest exact seed distance
     val wSeed = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
     val rq = seeds
-      .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+      .join(hinted(fat, hintFat), "user_id").join(hinted(qFat, hintFat), "q_user")
       .select(col("q_user"), col("user_id"), exact.as("dist"))
       .withColumn("srn", row_number().over(wSeed))
       .filter(col("srn") <= k)
@@ -314,7 +337,7 @@ object StrPartition {
       // broke, the safe direction is NO pruning for that tile's queries
       if ti == tj || boxDist(bi, bj) <= tileR.getOrElse(ti, Double.MaxValue) + 1e-6
     } yield (ti, tj)
-    Some(KnnScan(taT, rq, tilePairs, tiles.length))
+    Some(KnnScan(taT, rq, tilePairs, tiles.length, hintFat, hintSlim))
   }
 
   private def qSlimOf(taT: DataFrame): DataFrame =
@@ -345,9 +368,12 @@ object StrPartition {
     * Identical results to `TrajectorySearch.knnJoin` (asserted at two SFs
     * and on clustered synthetic data where the tile prune provably fires).
     * Falls back to the flat seeded path when any tile is too small to seed
-    * k candidates (tiny data). At 10^8 trajectories the broadcasts below
-    * become shuffle joins keyed by tile / q_user - the enumeration bound
-    * over surviving |tile_q|*|tile_c| is the same either way. */
+    * k candidates (tiny data). The broadcast hints on the coordinate /
+    * boxes / threshold frames are SIZE-GUARDED (`TrajStats` vs
+    * `BruteBroadcastMaxBytes`, measured once per prepared scan): past the
+    * cap the joins plan as shuffle equi-joins keyed by tile / user_id /
+    * q_user - the enumeration bound over surviving |tile_q|*|tile_c| is the
+    * same either way, and the driver never ships a 10^8-row build side. */
   /** Prepared kNN scans memoized per (session, caller key, params) — the
     * within-tile seed pass is a build-once index step like the t11 scan
     * memo, so a warm session answering many kNN-join calls pays it once.
@@ -380,17 +406,20 @@ object StrPartition {
         val qFat = ta.select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
         // 4. enumeration over surviving directed pairs, per-query bound
         // filter, early-abandon refine, bounded two-stage rank
+        // tilePairs is driver-bounded ((nx*ny)^2 rows) — always hinted;
+        // the data-sized sides reuse the scan's measured guards
         val tp = broadcast(scan.tilePairs.toDF("tq", "tc"))
         val cand = qSlimOf(scan.taT).join(tp, "tq")
-          .join(broadcast(cSlimOf(scan.taT).withColumnRenamed("tc", "tc2")),
+          .join(hinted(cSlimOf(scan.taT).withColumnRenamed("tc", "tc2"), scan.hintSlim),
             col("tc") === col("tc2") && col("q_user") =!= col("user_id"))
           .select(col("q_user"), col("user_id"),
             TrajectorySearch.slicedBoxLb("qboxes", "boxes").as("lb"))
         val refine = round(TrajectorySearch.boundedMetricCol(metric, s)(
           col("xs"), col("ys"), col("qxs"), col("qys"), col("r") + 1e-5), 6)
-        val refined = cand.join(broadcast(scan.rq), "q_user")
+        val refined = cand.join(hinted(scan.rq, scan.hintSlim), "q_user")
           .filter(col("lb") <= col("r") + 1e-6)
-          .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+          .join(hinted(fat, scan.hintFat), "user_id")
+          .join(hinted(qFat, scan.hintFat), "q_user")
           .select(col("q_user"), col("user_id"), refine.as("dist"))
         Rank.topKPerGroup(refined, Seq(col("q_user")),
             Seq(col("dist"), col("user_id")), k, bucketKey = col("user_id"))

@@ -219,12 +219,27 @@ object TrajectorySearch {
     * pair scan itself; see SCALE.md.) */
   private[graft] val BruteBroadcastMaxBytes = 64L << 20
 
+  /** The broadcast-hint cap in force for a session: a deployment sizes this
+    * to its driver/executor memory via `spark.graft.broadcastCapBytes`;
+    * defaults to [[BruteBroadcastMaxBytes]]. Every data-sized broadcast()
+    * hint in the trajectory-search family is gated on it — a hint overrides
+    * autoBroadcastJoinThreshold, so past the cap it is a driver OOM, not a
+    * plan. */
+  private[graft] def broadcastCap(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.broadcastCapBytes").map(_.toLong)
+      .getOrElse(BruteBroadcastMaxBytes)
+
   /** Measured stats of a trajectory-array table: one tiny aggregate over the
     * persisted one-row-per-user frame (never the raw events). */
   private[graft] case class TrajStats(users: Long, medianPoints: Double) {
     /** Estimated bytes of the brute join's broadcast build side: two double
       * arrays per user plus per-row struct overhead. */
     def estArrayBytes: Long = (users * (16.0 * medianPoints + 100.0)).toLong
+    /** Estimated bytes of a SLIM frame (user_id + flat `boxes` array:
+      * ≤ TrajSlices slices × 4 doubles, plus struct overhead) — the build
+      * side of the tiled path's bound/threshold joins. Also a conservative
+      * bound on the one-row-per-query threshold frame r_q. */
+    def estSlimBytes: Long = users * (32L * Tables.TrajSlices + 100L)
   }
 
   private[graft] def trajStats(ta: DataFrame): TrajStats = {
@@ -239,9 +254,9 @@ object TrajectorySearch {
     * ([[BruteBroadcastMaxBytes]]); anything else — long trajectories, or a
     * table too big to ship to every task — takes the bound-seeded path
     * whose exact kernels run on per-query survivors only. */
-  private[graft] def choosePath(st: TrajStats): KnnPath =
-    if (st.medianPoints <= BruteMaxMedianPoints &&
-        st.estArrayBytes <= BruteBroadcastMaxBytes)
+  private[graft] def choosePath(st: TrajStats,
+                                cap: Long = BruteBroadcastMaxBytes): KnnPath =
+    if (st.medianPoints <= BruteMaxMedianPoints && st.estArrayBytes <= cap)
       KnnPath.Brute
     else KnnPath.Seeded
 
@@ -275,10 +290,11 @@ object TrajectorySearch {
       case KnnPath.Tiled => StrPartition.knnJoinStr(ta, k, metric, seedFactor = seedFactor)
       case _ =>
         val st = trajStats(ta)
-        val brute = path == KnnPath.Brute || choosePath(st) == KnnPath.Brute
+        val cap = broadcastCap(ta.sparkSession)
+        val brute = path == KnnPath.Brute || choosePath(st, cap) == KnnPath.Brute
         if (!brute) batchPrunedOf(ta, ta, k, metric, seedFactor)
         else bruteKnnJoin(ta, k, metric,
-          hintBroadcast = st.estArrayBytes <= BruteBroadcastMaxBytes)
+          hintBroadcast = st.estArrayBytes <= cap)
     }
   }
 

@@ -135,6 +135,33 @@ class StrPartitionTest extends AnyFunSuite {
       s"expected directed tile-pair pruning to fire: $surviving of $total")
   }
 
+  test("broadcast hints are size-guarded: past the cap the plan drops data-sized hints, result unchanged") {
+    val ta = Tables.trajArrays(spark, TestSpark.sf001)
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val hinted = StrPartition.knnJoinStr(ta, 3, "hausdorff")
+    val hintedRows = hinted.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.broadcastCapBytes", "0")
+    try {
+      val unhinted = StrPartition.knnJoinStr(ta, 3, "hausdorff")
+      // only the driver-bounded tile-pair list keeps its hint; the fat
+      // coordinate frames, slim boxes frame and r_q threshold frame all
+      // plan as shuffle equi-joins (AQE may still auto-broadcast small
+      // sides at runtime — the point is the HINT no longer forces it)
+      assert(hintCount(unhinted) == 1,
+        s"expected only the tilePairs hint, got ${hintCount(unhinted)}")
+      assert(hintCount(hinted) > 1, "under the cap the data-sided hints apply")
+      assert(unhinted.collect().map(_.toString).toSeq == hintedRows,
+        "guarded plan must produce identical results")
+      // the all-pairs form falls back the same way
+      val basePairs = StrPartition.allPairsTopKStr(ta, 10, "hausdorff")
+      assert(basePairs.collect().map(_.toString).toSeq ==
+        TrajectorySearch.allPairsTopK(ta, 10, "hausdorff").collect().map(_.toString).toSeq)
+    } finally spark.conf.unset("spark.graft.broadcastCapBytes")
+  }
+
   test("tiled kNN join falls back to the flat seeded path on tiny data") {
     val tiny = Seq(
       (0L, Seq(0.0, 1.0), Seq(0.0, 1.0)),
