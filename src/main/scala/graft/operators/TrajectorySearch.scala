@@ -186,9 +186,11 @@ object TrajectorySearch {
     * table stats — see [[choosePath]] for the crossover. */
   sealed abstract class KnnPath
   object KnnPath {
-    /** Measure the table, pick the flat regime (default). Auto never picks
-      * Tiled — the tile prune pays off on spatially CLUSTERED data, which
-      * table stats alone can't see; opt in explicitly at scale. */
+    /** Measure the table, pick the regime (default): the flat
+      * brute/seeded crossover from [[choosePath]], plus — past
+      * [[TiledMinUsers]] in the seeded regime — the [[clusterStat]]
+      * occupancy statistic, which detects spatially clustered data and
+      * dispatches the Tiled plan ([[chooseAutoPath]]). */
     case object Auto extends KnnPath
     /** Force the symmetric all-pairs kernel scan (short-trajectory regime). */
     case object Brute extends KnnPath
@@ -260,6 +262,62 @@ object TrajectorySearch {
       KnnPath.Brute
     else KnnPath.Seeded
 
+  /** Below this, the tiled path's extra passes (quantile cuts, tile
+    * summaries, per-tile radii) dominate: measured ~parity at 150 users
+    * (sf0.01) vs a 3.4× win at 1 500 (sf0.1, BASELINE.md scale spot-check),
+    * so the dispatcher only considers Tiled past the midpoint. */
+  private[graft] val TiledMinUsers = 1000L
+  /** Occupancy-histogram granularity for [[clusterStat]]. */
+  private[graft] val ClusterGrid = 8
+  /** Tiled engages when ≥ this fraction of grid cells hold NO centroid:
+    * uniform data occupies nearly every cell (empty fraction ≈ 0), while
+    * separated clusters leave most of the bounding box vacant (3–4 distant
+    * clusters → ≥ 0.9 empty). 0.5 splits the regimes with a wide margin on
+    * both sides. */
+  private[graft] val ClusterEmptyFrac = 0.5
+
+  /** Spatial-clustering statistic the flat TrajStats cannot see: the
+    * fraction of EMPTY cells in a [[ClusterGrid]]² uniform grid over the
+    * global centroid bounding box. Computed entirely from the slim `boxes`
+    * slice-MBR arrays (never the coordinate arrays): per-trajectory centroid
+    * = center of the union of its slice boxes, one bounding-box aggregate +
+    * one ≤ grid²-row distinct-cell count. Deterministic — no sampling. */
+  private[graft] def clusterStat(ta0: DataFrame): Double = {
+    val ta = ensureBoxes(ta0)
+    def mins(off: Int) =
+      s"transform(sequence(0, size(boxes) DIV 4 - 1), i -> boxes[i * 4 + $off])"
+    // two slim jobs (bbox, then occupied-cell count) — re-scanning the
+    // boxes projection twice beats managing checkpoint storage for a stat
+    val cent = ta.select(
+      expr(s"(array_min(${mins(0)}) + array_max(${mins(1)})) / 2").as("cx"),
+      expr(s"(array_min(${mins(2)}) + array_max(${mins(3)})) / 2").as("cy"))
+    val b = cent.agg(min(col("cx")), max(col("cx")), min(col("cy")), max(col("cy"))).head()
+    val (mnx, mxx, mny, mxy) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val w = math.max(mxx - mnx, 1e-12)
+    val h = math.max(mxy - mny, 1e-12)
+    val g = ClusterGrid
+    val occupied = cent.select(
+        (least(floor((col("cx") - mnx) / w * g), lit(g - 1)) * g +
+         least(floor((col("cy") - mny) / h * g), lit(g - 1))).as("cell"))
+      .distinct().count()
+    1.0 - occupied.toDouble / (g.toLong * g)
+  }
+
+  /** Full `Auto` dispatch: the flat crossover first (brute while kernels are
+    * cheap AND the table broadcasts), then — only in the seeded regime, and
+    * only past [[TiledMinUsers]] where the tiled build pays — the
+    * clustering statistic decides Seeded vs Tiled. The stat's two slim jobs
+    * are charged only to tables big enough that they are noise next to the
+    * pair scan they may replace. */
+  private[graft] def chooseAutoPath(ta: DataFrame, st: TrajStats, cap: Long): KnnPath =
+    choosePath(st, cap) match {
+      case KnnPath.Brute => KnnPath.Brute
+      case _ =>
+        if (st.users >= TiledMinUsers && clusterStat(ta) >= ClusterEmptyFrac)
+          KnnPath.Tiled
+        else KnnPath.Seeded
+    }
+
   /** k-nearest-neighbor JOIN under a trajectory metric: for EVERY
     * trajectory, its k most similar others — the reference workload (O15)
     * as a single self-join operator rather than a query loop.
@@ -291,10 +349,16 @@ object TrajectorySearch {
       case _ =>
         val st = trajStats(ta)
         val cap = broadcastCap(ta.sparkSession)
-        val brute = path == KnnPath.Brute || choosePath(st, cap) == KnnPath.Brute
-        if (!brute) batchPrunedOf(ta, ta, k, metric, seedFactor)
-        else bruteKnnJoin(ta, k, metric,
-          hintBroadcast = st.estArrayBytes <= cap)
+        val chosen =
+          if (path == KnnPath.Brute) KnnPath.Brute
+          else chooseAutoPath(ta, st, cap)
+        chosen match {
+          case KnnPath.Brute =>
+            bruteKnnJoin(ta, k, metric, hintBroadcast = st.estArrayBytes <= cap)
+          case KnnPath.Tiled =>
+            StrPartition.knnJoinStr(ta, k, metric, seedFactor = seedFactor)
+          case _ => batchPrunedOf(ta, ta, k, metric, seedFactor)
+        }
     }
   }
 

@@ -148,6 +148,51 @@ class TrajectorySearchTest extends AnyFunSuite {
     }
   }
 
+  /** Round-7 dispatch gap: Auto must SEE spatial clustering (the flat
+    * TrajStats cannot) and pick the Tiled plan on big clustered tables. */
+  test("knnJoin Auto detects clustering and dispatches Tiled — result ≡ flat seeded") {
+    val rnd = new scala.util.Random(11)
+    // 1 000 users (≥ TiledMinUsers), 40-point trajectories (seeded regime —
+    // brute is ruled out by the points crossover) in four clusters ~500
+    // apart: most of the centroid bounding box is vacant
+    val centers = Seq((0.0, 0.0), (500.0, 0.0), (0.0, 500.0), (500.0, 500.0))
+    val clustered = Tables.withSliceBoxes((0L until 1000L).map { u =>
+      val (cx, cy) = centers((u % 4).toInt)
+      (u, Seq.fill(40)(cx + rnd.nextDouble() * 3), Seq.fill(40)(cy + rnd.nextDouble() * 3))
+    }.toDF("user_id", "xs", "ys"))
+    // same size/shape but centroids uniform over the box: every grid cell
+    // is occupied, the stat stays near zero, dispatch stays Seeded
+    val uniform = Tables.withSliceBoxes((0L until 1000L).map { u =>
+      val cx = rnd.nextDouble() * 500; val cy = rnd.nextDouble() * 500
+      (u, Seq.fill(40)(cx + rnd.nextDouble() * 3), Seq.fill(40)(cy + rnd.nextDouble() * 3))
+    }.toDF("user_id", "xs", "ys"))
+
+    val cap = TrajectorySearch.BruteBroadcastMaxBytes
+    assert(TrajectorySearch.clusterStat(clustered) >= TrajectorySearch.ClusterEmptyFrac,
+      "four distant clusters must read as clustered")
+    assert(TrajectorySearch.clusterStat(uniform) < TrajectorySearch.ClusterEmptyFrac,
+      "uniform centroids must not read as clustered")
+    assert(TrajectorySearch.chooseAutoPath(clustered,
+      TrajectorySearch.trajStats(clustered), cap) == TrajectorySearch.KnnPath.Tiled)
+    assert(TrajectorySearch.chooseAutoPath(uniform,
+      TrajectorySearch.trajStats(uniform), cap) == TrajectorySearch.KnnPath.Seeded)
+    // under TiledMinUsers the stat is never consulted — small clustered
+    // tables keep the flat plan (tiled build overhead dominates there)
+    val smallClustered = Tables.withSliceBoxes((0L until 60L).map { u =>
+      val (cx, cy) = centers((u % 4).toInt)
+      (u, Seq.fill(40)(cx + rnd.nextDouble() * 3), Seq.fill(40)(cy + rnd.nextDouble() * 3))
+    }.toDF("user_id", "xs", "ys"))
+    assert(TrajectorySearch.chooseAutoPath(smallClustered,
+      TrajectorySearch.trajStats(smallClustered), cap) == TrajectorySearch.KnnPath.Seeded)
+
+    val flat = TrajectorySearch.knnJoin(clustered, 3, "hausdorff",
+        path = TrajectorySearch.KnnPath.Seeded)
+      .collect().map(_.toString).toSeq
+    val auto = TrajectorySearch.knnJoin(clustered, 3, "hausdorff")
+      .collect().map(_.toString).toSeq
+    assert(auto == flat, "Auto's tiled dispatch must return the flat answer")
+  }
+
   test("brute knnJoin drops the broadcast hint past the size cap (plan fallback, not OOM)") {
     // estArrayBytes: the cap trips at users*(16*pts+100) > 64 MiB
     val small = TrajectorySearch.TrajStats(users = 1500L, medianPoints = 13.0)
