@@ -19,26 +19,30 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   private val Base = "/root/testdata/sf0.1"
   private val Out = "/tmp/graft_scale"
-  private val BaseUsers = 1500L
-  private val BaseDocs = 5000L
 
   private def scaledDir(spark: SparkSession, factor: Int): String = {
     val dir = s"$Out/x$factor"
     val marker = new java.io.File(s"$dir/events.parquet/_SUCCESS")
     if (marker.exists()) return dir
     val ev = spark.read.parquet(s"$Base/events.parquet")
-    val evN = ev.count()
     val docs = spark.read.parquet(s"$Base/documents.parquet")
+    // id shifts DERIVED from the data (max id + 1), never assumed: a fixture
+    // whose id space outgrew a hardcoded shift would silently collide copies
+    // and merge trajectories/documents, corrupting every measurement built
+    // on these dirs
+    val userShift = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val eventShift = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val docShift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     // k shifted copies: user/doc ids stay dense and distinct per copy; the
     // copy's events keep their timestamps, so per-user trajectories are
     // exact clones — user COUNT scales, kernel cost per pair does not
     val evScaled = (0 until factor).map { k =>
-      ev.select((col("event_id") + lit(k * 10 * evN)).as("event_id"), col("ts"),
-        (col("user_id") + lit(k * BaseUsers)).as("user_id"),
+      ev.select((col("event_id") + lit(k * eventShift)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * userShift)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionAll _)
     val docScaled = (0 until factor).map { k =>
-      docs.select((col("doc_id") + lit(k * BaseDocs)).as("doc_id"),
+      docs.select((col("doc_id") + lit(k * docShift)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
     evScaled.write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -91,7 +95,12 @@ object ScaleSmoke {
       println(s"""{"measure":"t21_stats","scale":"x$f","users":${st.users},"medianPoints":${st.medianPoints},"auto":"${TrajectorySearch.choosePath(st)}"}""")
       val paths = if (args.length > 2) args.drop(2).toSeq else Seq("brute", "seeded")
       paths.foreach { p =>
-        val kp = if (p == "brute") KnnPath.Brute else KnnPath.Seeded
+        val kp = p match {
+          case "brute" => KnnPath.Brute
+          case "seeded" => KnnPath.Seeded
+          case "tiled" => KnnPath.Tiled
+          case _ => KnnPath.Auto
+        }
         val (sec, rows) = time(TrajectorySearch.knnJoin(ta, 3, "hausdorff", path = kp).count())
         report(s"t21_$p", s"x$f", sec, rows)
       }
