@@ -41,6 +41,36 @@ object StreamingQueries {
       .withColumn("ev_time", timestamp_micros(col("ts_us")))
   }
 
+  /** Rate-source twin of [[eventsStream]]: Spark's built-in
+    * `rate-micro-batch` source mapped deterministically onto the events
+    * schema — proves the transforms are SOURCE-AGNOSTIC (any source that
+    * yields this schema feeds them unchanged: files in the replay twins,
+    * rate here, Kafka in production — SCALE.md "Streaming sources"). */
+  def rateEventsStream(spark: SparkSession, totalRows: Long,
+                       rowsPerBatch: Int = 500): DataFrame =
+    synthEventsFromIndex(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch.toString)
+        .option("numPartitions", "2")
+        .load()
+        .select(col("value")), totalRows)
+
+  /** Deterministic row-index → event mapping shared by [[rateEventsStream]]
+    * and its batch oracle (`spark.range`): event ids FOLD IN HALF so every
+    * id arrives exactly twice (dedup has real work), event time is monotone
+    * in the index (time-ordered replay, no late rows), types/values cycle. */
+  def synthEventsFromIndex(idx: DataFrame, totalRows: Long): DataFrame =
+    idx.filter(col("value") < totalRows)
+      .select(
+        (col("value") % (totalRows / 2)).as("event_id"),
+        (lit(1700000000000000000L) + col("value") * 90L * 1000000000L).as("ts"),
+        (col("value") % 50).as("user_id"),
+        concat(lit("type_"), col("value") % 5).as("event_type"),
+        ((col("value") % 1000).cast("double") / lit(7.0)).as("value"),
+        lit("{}").as("props"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ev_time", timestamp_micros(col("ts_us")))
+
   /** e1 counterpart: tumbling 1 h window per event_type, watermarked. */
   def hourlyTumbling(events: DataFrame): DataFrame =
     events

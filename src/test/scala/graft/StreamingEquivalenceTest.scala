@@ -114,6 +114,41 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rate-source-driven twins reach the batch fixed point (source-agnostic harness)") {
+    // Round-7 verdict #6: the replay twins all ride the FILE source; this
+    // drives e1/e4 from Spark's built-in rate-micro-batch source instead,
+    // proving the transforms only depend on the events schema, not the
+    // source. The mapping is deterministic and bounded (rows ≥ N filtered),
+    // so the streaming state reaches a provable fixed point == the batch
+    // answer over the same synthetic frame.
+    val n = 4000L
+    val batch = StreamingQueries.synthEventsFromIndex(
+      spark.range(n).toDF("value"), n)
+    val wantE1 = batch
+      .groupBy(expr("ts_us DIV 3600000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.Fns.cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy($"hour_bucket", $"event_type").collect().map(_.toString).toSeq
+
+    val e1q = StreamingQueries.hourlyTumbling(
+        StreamingQueries.rateEventsStream(spark, n))
+      .writeStream.format("memory").queryName("rate_e1").outputMode("complete").start()
+    val e4q = StreamingQueries.dedupCount(
+        StreamingQueries.rateEventsStream(spark, n))
+      .writeStream.format("memory").queryName("rate_e4").outputMode("complete").start()
+    try {
+      def e1Now() = spark.table("rate_e1").orderBy($"hour_bucket", $"event_type")
+        .collect().map(_.toString).toSeq
+      def e4Now() = spark.table("rate_e4").collect()
+        .headOption.map(_.getLong(0)).getOrElse(-1L)
+      val deadline = System.currentTimeMillis() + 180000
+      while (System.currentTimeMillis() < deadline &&
+        !(e4Now() == n / 2 && e1Now() == wantE1)) Thread.sleep(500)
+      assert(e1Now() == wantE1, "rate-driven e1 must converge to the batch answer")
+      assert(e4Now() == n / 2, "rate-driven e4 must count each folded id exactly once")
+    } finally { e1q.stop(); e4q.stop() }
+  }
+
   test("flatMapGroupsWithState sessionizer == batch e3") {
     // reuse the e3 replay-with-sentinel layout
     val dir = Files.createTempDirectory("graft-stream-fmgws")
