@@ -93,6 +93,58 @@ class IndexStoreTest extends AnyFunSuite {
     }
   }
 
+  /** Round-7 contract test: the fingerprint key must make a MUTATED source
+    * rebuild its artifacts end-to-end (not just change a path string), while
+    * an untouched source keeps loading them. */
+  test("staleness contract: untouched source reuses artifacts; mutated source rebuilds them") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmpIdx = Files.createTempDirectory("graft-idx-stale").toString
+    val data = Files.createTempDirectory("graft-data-stale").toString
+    spark.conf.set("graft.index.dir", tmpIdx)
+    try {
+      for (t <- Seq("embeddings", "events"))
+        Files.copy(Paths.get(s"${TestSpark.sf0001}/$t.parquet"),
+          Paths.get(s"$data/$t.parquet"))
+
+      // hamming pack over embeddings
+      Sketches.resetCaches()
+      val (p1, from1) = Sketches.hammingPack(spark, data)
+      val rows1 = p1.orderBy("vec_id").collect().map(_.toString).toSeq
+      assert(!from1, "first build must run")
+      Sketches.resetCaches()
+      val (p2, from2) = Sketches.hammingPack(spark, data)
+      assert(from2, "untouched source dir must serve the artifact")
+      assert(p2.orderBy("vec_id").collect().map(_.toString).toSeq == rows1)
+
+      // trajArrays (slice-box / tile feed) over events
+      Tables.resetCaches()
+      val u1 = Tables.trajArrays(spark, data).count()
+      assert(IndexStore.exists(spark,
+        IndexStore.artifactPath(spark, data, "traj_purchase_f4")))
+
+      // REGENERATE the source dir: same table names, different content
+      for (t <- Seq("embeddings", "events"))
+        Files.copy(Paths.get(s"${TestSpark.sf001}/$t.parquet"),
+          Paths.get(s"$data/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+      Sketches.resetCaches()
+      val (p3, from3) = Sketches.hammingPack(spark, data)
+      assert(!from3, "mutated source must REBUILD, never serve the stale artifact")
+      // both SFs hold 500 vectors — the CONTENT differs, and the rebuilt
+      // pack must reflect the new content, not the stale artifact's
+      assert(p3.orderBy("vec_id").collect().map(_.toString).toSeq != rows1,
+        "rebuilt artifact must reflect the new source content")
+
+      Tables.resetCaches()
+      val u2 = Tables.trajArrays(spark, data).count()
+      assert(u2 != u1, "trajArrays artifact must rebuild from the new events")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+      Tables.resetCaches()
+    }
+  }
+
   test("artifact key fingerprints the data dir: a changed dir is not served stale") {
     val data = java.nio.file.Files.createTempDirectory("graft-data").toString
     val f = new java.io.File(data, "x.parquet")
