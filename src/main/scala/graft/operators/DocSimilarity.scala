@@ -62,6 +62,111 @@ object DocSimilarity {
         .persist(StorageLevel.MEMORY_AND_DISK))
     }.result
 
+  /** Incremental-ingestion near-dup probe: CROSS pairs only, between the
+    * existing corpus (docs whose `source` is in `oldSources`) and the new
+    * batch (everything else) — columns (old_id, new_id, lang, jaccard) at
+    * Jaccard ≥ 0.6. The production shape for continuous ingestion: the
+    * old corpus is INDEX side, the new batch PROBE side, and the old×old /
+    * new×new pair spaces are never enumerated — at 100 TB the daily batch
+    * is orders of magnitude smaller than the corpus, so probe cost tracks
+    * the batch, not the corpus. Memoized per (session, dir, roster). */
+  def incrementalNearDups(s: SparkSession, dir: String,
+                          oldSources: Seq[String]): DataFrame =
+    memo.getOrElseUpdate((s, s"$dir#incr:${oldSources.sorted.mkString(",")}")) {
+      val toks = distinctTokens(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val srcMap = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val oldIds = srcMap.filter(col("source").isin(oldSources: _*))
+        .select(col("doc_id"))
+      val newIds = srcMap.filter(!col("source").isin(oldSources: _*))
+        .select(col("doc_id"))
+      val toksA = toks.join(oldIds, Seq("doc_id"), "left_semi")
+      val toksB = toks.join(newIds, Seq("doc_id"), "left_semi")
+      Cached(crossJaccardPairs(toksA, toksB, 3, 5)
+        .persist(StorageLevel.MEMORY_AND_DISK), deps = Seq(toks))
+    }.result
+
+  /** Cross-corpus Jaccard join (a ∈ A, b ∈ B only): same measured-vocab
+    * strategy chooser as [[jaccardPairs]] — ≤[[MaxMaskVocab]] union
+    * vocabulary gets popcount arithmetic over both sides' mask groups;
+    * otherwise PPJoin prefix filtering under ONE shared rarest-first order
+    * (per-side frequencies would break the shared total order the prefix
+    * theorem needs). PRECONDITION: both inputs distinct (doc_id, lang, tok)
+    * rows with disjoint doc ids. */
+  def crossJaccardPairs(toksA: DataFrame, toksB: DataFrame,
+                        num: Int, den: Int): DataFrame = {
+    val vocab = toksA.unionAll(toksB).select(col("tok")).distinct()
+      .limit(MaxMaskVocab + 1).collect().map(_.getString(0))
+    if (vocab.length <= MaxMaskVocab) crossMaskPairs(toksA, toksB, vocab, num, den)
+    else crossPrefixPairs(toksA, toksB, num, den)
+  }
+
+  /** Bitmap strategy for the cross join: each side's distinct-token-set
+    * groups under the SAME broadcast dictionary, then an (A-group, B-group)
+    * popcount join per lang. Disjoint sides make every group pair a real
+    * candidate (no `m1 < m2` dedup, no identical-set special case — equal
+    * masks across sides land at Jaccard exactly 1 through the same
+    * arithmetic). */
+  def crossMaskPairs(toksA: DataFrame, toksB: DataFrame,
+                     vocabTokens: Array[String], num: Int, den: Int): DataFrame = {
+    val gA = maskGroups(toksA, vocabTokens)
+      .select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
+    val gB = maskGroups(toksB, vocabTokens)
+      .select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
+    gA.join(gB, col("lang") === col("lang2"))
+      .withColumn("i",
+        expr("CAST(aggregate(zip_with(m1, m2, (a, b) -> bit_count(a & b)), 0, (acc, x) -> acc + x) AS BIGINT)"))
+      .withColumn("u", col("c1") + col("c2") - col("i"))
+      .filter(lit(den) * col("i") >= lit(num) * col("u"))
+      .select(col("lang"), col("i"), col("u"), explode(col("docs1")).as("old_id"), col("docs2"))
+      .select(col("lang"), col("i"), col("u"), col("old_id"), explode(col("docs2")).as("new_id"))
+      .select(col("old_id"), col("new_id"), col("lang"),
+        round(col("i").cast("double") / col("u"), 6).as("jaccard"))
+  }
+
+  /** Prefix-filtered cross join — the big-vocabulary path: both sides'
+    * rarest prefixes under frequencies measured over the UNION, prefix
+    * equi-join for candidates, exact verification against the full sets. */
+  def crossPrefixPairs(toksA: DataFrame, toksB: DataFrame,
+                       num: Int, den: Int): DataFrame = {
+    val freq = toksA.unionAll(toksB).groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val pa = rarestPrefix(toksA, num, den, Some(freq))
+      .select(col("doc_id").as("old_id"), col("lang"), col("tok"))
+    val pb = rarestPrefix(toksB, num, den, Some(freq))
+      .select(col("doc_id").as("new_id"), col("lang").as("lang_b"), col("tok").as("tok_b"))
+    val cands = pa.join(pb,
+        col("tok") === col("tok_b") && col("lang") === col("lang_b"))
+      .select(col("old_id"), col("new_id"), col("lang"))
+      .distinct()
+    val setsOf = (t: DataFrame) => t.groupBy(col("doc_id"))
+      .agg(collect_set(col("tok")).as("set"), count(lit(1)).as("c"))
+    cands
+      .join(setsOf(toksA).select(col("doc_id").as("old_id"), col("set").as("s1"), col("c").as("c1")), "old_id")
+      .join(setsOf(toksB).select(col("doc_id").as("new_id"), col("set").as("s2"), col("c").as("c2")), "new_id")
+      .withColumn("i", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(lit(den) * col("i") >= lit(num) * (col("c1") + col("c2") - col("i")))
+      .select(col("old_id"), col("new_id"), col("lang"),
+        round(col("i").cast("double") / (col("c1") + col("c2") - col("i")), 6).as("jaccard"))
+  }
+
+  /** Naive cross reference: full inverted-index join A×B — equivalence
+    * baseline for both cross strategies (tests only at scale). */
+  def crossInvertedPairs(toksA: DataFrame, toksB: DataFrame,
+                         num: Int, den: Int): DataFrame = {
+    val sA = toksA.groupBy(col("doc_id")).agg(count(lit(1)).as("c1"))
+    val sB = toksB.groupBy(col("doc_id")).agg(count(lit(1)).as("c2"))
+    val a = toksA.select(col("doc_id").as("old_id"), col("lang"), col("tok"))
+    val b = toksB.select(col("doc_id").as("new_id"), col("lang").as("lang_b"), col("tok").as("tok_b"))
+    a.join(b, col("tok") === col("tok_b") && col("lang") === col("lang_b"))
+      .groupBy(col("old_id"), col("new_id"), col("lang"))
+      .agg(count(lit(1)).as("i"))
+      .join(sA.select(col("doc_id").as("old_id"), col("c1")), "old_id")
+      .join(sB.select(col("doc_id").as("new_id"), col("c2")), "new_id")
+      .filter(lit(den) * col("i") >= lit(num) * (col("c1") + col("c2") - col("i")))
+      .select(col("old_id"), col("new_id"), col("lang"),
+        round(col("i").cast("double") / (col("c1") + col("c2") - col("i")), 6).as("jaccard"))
+  }
+
   /** Strategy chooser on MEASURED vocabulary size: a corpus whose distinct
     * token set fits [[MaxMaskVocab]] bits gets the bitmap join (popcount
     * arithmetic over ≤64 longs per pair — no token-level join at all); a
@@ -178,8 +283,9 @@ object DocSimilarity {
     * no shuffle at all beyond the freq groupBy.) The hash decorrelates the
     * sort key from lexicographic skew; `tok` breaks hash ties so the order
     * stays deterministic and total. */
-  private def rarestPrefix(toks: DataFrame, num: Int, den: Int): DataFrame = {
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+  private def rarestPrefix(toks: DataFrame, num: Int, den: Int,
+                           freqIn: Option[DataFrame] = None): DataFrame = {
+    val freq = freqIn.getOrElse(toks.groupBy(col("tok")).agg(count(lit(1)).as("f")))
     val ranked = toks.join(freq, "tok")
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("f"), xxhash64(col("tok")), col("tok"))

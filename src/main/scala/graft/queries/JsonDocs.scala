@@ -530,6 +530,65 @@ object JsonDocs {
           .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
     },
 
+    // Incremental-ingestion dedup gate: admit each NEW-batch document
+    // (source ∉ the existing-corpus roster) only if it has no near-dup
+    // (Jaccard ≥ 0.6) in the EXISTING corpus — the continuous-ingestion
+    // counterpart of d3's one-shot dedup. The operator enumerates only
+    // CROSS pairs (corpus = index side, batch = probe side; old×old and
+    // new×new pair spaces never exist), so at 100 TB probe cost tracks the
+    // daily batch, not the corpus. Output: per new-batch source, admit /
+    // reject counts plus an md5 over the ordered rejected ids (so the
+    // oracle pins the exact rejection SET, not just its size).
+    DeclaredQuery("d14_incremental_dedup",
+      """WITH toks AS (SELECT DISTINCT doc_id, lang, tok
+        |              FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+        |                    FROM documents) u WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |olds AS (SELECT doc_id FROM documents
+        |         WHERE source IN ('src0','src1','src2','src3','src4',
+        |                          'src5','src6','src7','src8','src9')),
+        |news AS (SELECT doc_id, source FROM documents
+        |         WHERE source NOT IN ('src0','src1','src2','src3','src4',
+        |                              'src5','src6','src7','src8','src9')),
+        |inter AS (SELECT a.doc_id AS old_id, b.doc_id AS new_id, COUNT(*) AS i
+        |          FROM toks a JOIN olds o ON a.doc_id = o.doc_id
+        |          JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+        |          JOIN news n ON b.doc_id = n.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |nd AS (SELECT DISTINCT new_id FROM inter
+        |       JOIN sizes s1 ON s1.doc_id = old_id
+        |       JOIN sizes s2 ON s2.doc_id = new_id
+        |       WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |fl AS (SELECT n.doc_id, n.source, nd.new_id IS NOT NULL AS dup
+        |       FROM news n LEFT JOIN nd ON n.doc_id = nd.new_id)
+        |SELECT source, COUNT(*) AS n_new,
+        |       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted,
+        |       md5(COALESCE(string_agg(CASE WHEN dup THEN doc_id::VARCHAR END,
+        |                               ',' ORDER BY doc_id), '')) AS dup_md5
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val oldSources = (0 to 9).map(i => s"src$i")
+        val pairs = graft.operators.DocSimilarity
+          .incrementalNearDups(s, dir, oldSources)
+        val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
+          .withColumn("dup", lit(true))
+        Tables.table(s, dir, "documents")
+          .filter(!col("source").isin(oldSources: _*))
+          .select(col("doc_id"), col("source"))
+          .join(dupIds, Seq("doc_id"), "left_outer")
+          .withColumn("dup", coalesce(col("dup"), lit(false)))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_new"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("dup"), 0L).otherwise(1L)).as("n_admitted"),
+            md5(concat_ws(",",
+              expr("transform(array_sort(collect_list(CASE WHEN dup THEN doc_id END)), x -> CAST(x AS STRING))")))
+              .as("dup_md5"))
+          .orderBy(col("source"))
+    },
+
     // Exact duplicated-span SURGERY — the removal step d8 only measures
     // (Lee et al. ACL'22 dedup applied to spans): tokens covered by any
     // cross-document 8-gram are cut and the doc is rebuilt from the

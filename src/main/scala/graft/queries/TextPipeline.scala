@@ -340,6 +340,68 @@ object TextPipeline {
           .orderBy(col("source"))
     },
 
+    // Temperature-weighted source MIXING — the multinomial mixture step of
+    // multilingual/multi-source pretraining (sample source s with
+    // probability ∝ p_s^(1/τ)): per-source token masses are power-weighted,
+    // a global document budget (half the corpus) is split into per-source
+    // quotas, and each source fills its quota DETERMINISTICALLY by ranking
+    // its docs on a content-independent hash (md5 of the id) — re-running
+    // the pipeline reproduces the exact sample, and the oracle pins the
+    // sampled SET via an md5 over the ordered kept ids. The declared
+    // instance uses τ = 1/2 (weight = mass², sharpening) so every weight,
+    // share, and quota stays EXACT int64 arithmetic — no float pow() to
+    // disagree across engines; a production τ sweep would widen the same
+    // plan to decimal(38,0). One scan, one bounded per-source rollup, one
+    // partitioned rank window — no global sort anywhere.
+    DeclaredQuery("p27_temperature_mix",
+      """WITH d AS (SELECT doc_id, source,
+        |                  len(list_filter(string_split(text,' '), x -> x <> '')) AS ws
+        |           FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens, n_tokens * n_tokens AS wgt FROM s),
+        |t AS (SELECT CAST(SUM(wgt) AS BIGINT) AS sumw, CAST(SUM(n_docs) AS BIGINT) AS nd FROM w),
+        |q AS (SELECT w.source, w.n_docs, w.n_tokens,
+        |             CAST(((nd // 2) * wgt) // sumw AS BIGINT) AS quota
+        |      FROM w, t),
+        |r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM d),
+        |k AS (SELECT r.source, r.doc_id, r.rn <= q.quota AS keep
+        |      FROM r JOIN q ON r.source = q.source)
+        |SELECT q.source, q.n_docs, q.n_tokens, q.quota,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       md5(COALESCE(string_agg(CASE WHEN keep THEN doc_id::VARCHAR END,
+        |                               ',' ORDER BY doc_id), '')) AS sample_md5
+        |FROM q JOIN k ON q.source = k.source
+        |GROUP BY q.source, q.n_docs, q.n_tokens, q.quota
+        |ORDER BY q.source""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("ws"))
+        val bySrc = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"))
+          .withColumn("wgt", col("n_tokens") * col("n_tokens"))
+        val tot = bySrc.agg(sum(col("wgt")).as("sumw"), sum(col("n_docs")).as("nd"))
+        val quotas = bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("((nd DIV 2) * wgt) DIV sumw").as("quota"))
+        val ranked = docs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        ranked.join(quotas, "source")
+          .withColumn("keep", col("rn") <= col("quota"))
+          .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("quota"))
+          .agg(
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+            md5(concat_ws(",",
+              expr("transform(array_sort(collect_list(CASE WHEN keep THEN doc_id END)), x -> CAST(x AS STRING))")))
+              .as("sample_md5"))
+          .orderBy(col("source"))
+    },
+
     // TF-IDF term scoring — the classic relevance/keyword signal: term
     // frequency per (doc, token) from the shared token table, document
     // frequency from ONE further aggregation of that same tf frame (never a

@@ -65,6 +65,32 @@ class OperatorsTest extends AnyFunSuite {
     assert(mask == inverted)
   }
 
+  test("cross-corpus jaccard: mask and prefix paths equal the naive inverted cross join") {
+    val toks = DocSimilarity.distinctTokens(spark, TestSpark.sf0001)
+    val srcMap = Tables.table(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"source")
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    val toksA = toks.join(
+      srcMap.filter($"source".isin(oldSrcs: _*)).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val toksB = toks.join(
+      srcMap.filter(!$"source".isin(oldSrcs: _*)).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"old_id", $"new_id").collect().map(_.toString).toSeq
+
+    val naive = canon(DocSimilarity.crossInvertedPairs(toksA, toksB, 3, 5))
+    assert(naive.nonEmpty, "fixture must contain cross-source near-dups")
+
+    val vocab = toks.select($"tok").distinct().collect().map(_.getString(0))
+    assert(canon(DocSimilarity.crossMaskPairs(toksA, toksB, vocab, 3, 5)) == naive)
+    assert(canon(DocSimilarity.crossPrefixPairs(toksA, toksB, 3, 5)) == naive)
+    // the memoized operator (strategy-chosen) agrees too
+    assert(canon(DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001, oldSrcs)
+      .select($"old_id", $"new_id", $"lang", $"jaccard")) == naive)
+  }
+
   test("t2 UDF form equals SQL max-of-min form on sf0.001") {
     val udfForm = SparkEntry.queries("t2_hausdorff_pairs")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
