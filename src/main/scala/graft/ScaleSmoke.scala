@@ -87,6 +87,33 @@ object ScaleSmoke {
       }
     }
 
+    // incremental-dedup probe scaling (d14's engine shape): the NEW batch
+    // stays FIXED (the base copy's src10–19 docs) while the existing corpus
+    // (src0–9, all copies) grows ×k — the cross probe must track the batch,
+    // not the corpus (index side grows, probe side doesn't; cost should be
+    // ~linear in k from index build alone, never k²)
+    if (mode == "all" || mode == "incr") {
+      val oldSrcs = (0 to 9).map(i => s"src$i")
+      val baseMax = spark.read.parquet(s"$Base/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        val srcMap = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"))
+        val toks = graft.operators.DocSimilarity.distinctTokens(spark, dir)
+        val corpus = toks.join(
+          srcMap.filter(col("source").isin(oldSrcs: _*)).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val batch = toks.join(
+          srcMap.filter(!col("source").isin(oldSrcs: _*) && col("doc_id") <= baseMax)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val (sec, rows) = time(
+          graft.operators.DocSimilarity.crossJaccardPairs(corpus, batch, 3, 5).count())
+        report("incr_probe", s"x$f", sec, rows)
+      }
+    }
+
     if (mode == "all" || mode == "knn") {
       val f = args.lift(1).map(_.stripPrefix("x").toInt).getOrElse(3)
       val dir = if (f == 1) Base else scaledDir(spark, f)

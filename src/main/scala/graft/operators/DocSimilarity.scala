@@ -217,6 +217,14 @@ object DocSimilarity {
     cross.unionAll(same)
   }
 
+  /** The mask strategy's INDEX side as a reusable artifact: corpus
+    * distinct-token-set groups under a fixed vocabulary — what the
+    * streaming incremental gate broadcasts and probes per micro-batch
+    * (`StreamingQueries.streamIncrementalGate`), and what IndexStore would
+    * persist per corpus snapshot at cluster scale. */
+  def corpusMaskGroups(toks: DataFrame, vocabTokens: Array[String]): DataFrame =
+    maskGroups(toks, vocabTokens)
+
   /** Distinct-token-set groups for the bitmap strategy: one row per
     * (mask, lang, set size) with the sorted member doc ids. */
   private def maskGroups(toks: DataFrame, vocabTokens: Array[String]): DataFrame = {

@@ -239,6 +239,51 @@ object StreamingQueries {
         docs.select(col("doc_id"), col("text")), 3),
       benchShingles)
 
+  /** d14 counterpart: CONTINUOUS incremental-ingestion dedup — each
+    * arriving document is probed against the STATIC corpus in one
+    * stateless stream-static join (admit = no emitted hit), the production
+    * gate a 100 TB ingest pipeline runs before anything persists.
+    *
+    * The corpus side is the d14 mask strategy's index artifact
+    * (`DocSimilarity.corpusMaskGroups`, batch-built once per corpus
+    * snapshot, broadcast here). The arriving doc's token mask is a pure
+    * per-row expression over the vocabulary literal — no explode, no
+    * streaming aggregation, no state store, no watermark — so the gate is
+    * append-mode stateless exactly like [[streamDecontaminate]]. Emits one
+    * (old_id, new_id, lang, jaccard) row per qualifying corpus pair,
+    * identical to the batch cross join (equivalence-tested pairwise).
+    *
+    * Scope: the vocabulary must be mask-capable (≤ `MaxMaskVocab`, the
+    * same measured bound d14's own strategy chooser uses). The big-vocab
+    * streaming form explodes tokens through a broadcast dictionary join
+    * and re-aggregates in update mode instead — same semantics, stateful. */
+  def streamIncrementalGate(newDocs: DataFrame, corpusGroups: DataFrame,
+                            vocab: Array[String]): DataFrame = {
+    val nWords = math.max(1, (vocab.length + 63) / 64)
+    val vlit = array(vocab.sorted.map(lit): _*)
+    val masked = newDocs
+      .select(col("doc_id"), col("lang"),
+        expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("toks"))
+      .withColumn("vv", vlit)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("c2"),
+        array((0 until nWords).map(w => expr(
+          s"""aggregate(toks, CAST(0 AS BIGINT), (acc, t) ->
+             |  CASE WHEN array_position(vv, t) > 0
+             |            AND (array_position(vv, t) - 1) DIV 64 = $w
+             |       THEN acc | shiftleft(CAST(1 AS BIGINT),
+             |                            CAST((array_position(vv, t) - 1) % 64 AS INT))
+             |       ELSE acc END)""".stripMargin)): _*).as("m2"))
+    val g = corpusGroups.select(col("lang").as("lang1"), col("mask").as("m1"),
+      col("c").as("c1"), col("docs").as("docs1"))
+    masked.join(broadcast(g), col("lang") === col("lang1"))
+      .withColumn("i",
+        expr("CAST(aggregate(zip_with(m1, m2, (a, b) -> bit_count(a & b)), 0, (acc, x) -> acc + x) AS BIGINT)"))
+      .withColumn("u", col("c1") + col("c2") - col("i"))
+      .filter(lit(5) * col("i") >= lit(3) * col("u"))
+      .select(explode(col("docs1")).as("old_id"), col("doc_id").as("new_id"),
+        col("lang"), round(col("i").cast("double") / col("u"), 6).as("jaccard"))
+  }
+
   /** p16 counterpart: CONTINUOUS PII scrubbing at ingest — the redaction
     * pass runs BEFORE anything else persists the text, so it must be a
     * stateless map over arriving documents: per-row regex counts + masked

@@ -369,4 +369,26 @@ class ExplainPlanTest extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2, p)
   }
+
+  test("d14: incremental gate is semi-join sides + hash joins, no cartesian") {
+    // corpus/batch sides carved by LeftSemi against the slim source map;
+    // the cross pair space itself is the mask/prefix equi-join — nothing
+    // may plan as a cartesian or nested-loop product
+    val p = plan("d14_incremental_dedup")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p27: mix quotas broadcast to the rank side; window is source-partitioned") {
+    // the 1-row totals and the per-source quota frame ride broadcast joins
+    // (never a shuffle against the corpus scan), and the sampling rank is a
+    // partitioned window — no global sort of the corpus
+    val p = plan("p27_temperature_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // (global windows are statically banned by StaticChecksTest, so the
+    // Window node here is necessarily source-partitioned)
+    assert(p.linesIterator.exists(_.trim.startsWith("+- Window") ) ||
+      p.contains("Window ["), p)
+  }
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.DocSimilarity
 import graft.streaming.StreamingQueries
 
 /** M6 batch-equivalence harness (SURVEY §5.2): replay the events table
@@ -313,6 +314,49 @@ class StreamingEquivalenceTest extends AnyFunSuite {
       .orderBy($"doc_id").collect().map(_.toString).toSeq
     val want = SparkEntry.queries("d5_decontaminate")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("d14 streaming incremental gate == batch cross pairs (stateless stream-static probe)") {
+    // replay the NEW batch (src10–19 docs) as 3 micro-batch files; the
+    // corpus (src0–9) is the static index side
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    val dir = Files.createTempDirectory("graft-incrstream")
+    val allDocs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val newRows = allDocs.filter(!$"source".isin(oldSrcs: _*)).orderBy($"doc_id").collect()
+    val n = newRows.length
+    (0 until 3).foreach { b =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(newRows.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1),
+        allDocs.schema)
+      val tmp = Files.createTempDirectory("graft-incrslice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+
+    val toks = DocSimilarity.distinctTokens(spark, TestSpark.sf0001)
+    // vocabulary over the WHOLE dir (corpus ∪ batch) — the same union
+    // crossJaccardPairs measures; bounded fixture, so the collect is fine
+    val vocab = toks.select($"tok").distinct().collect().map(_.getString(0))
+    val corpusToks = toks.join(
+      allDocs.filter($"source".isin(oldSrcs: _*)).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val groups = DocSimilarity.corpusMaskGroups(corpusToks, vocab)
+
+    val q = StreamingQueries.streamIncrementalGate(
+        StreamingQueries.documentsStream(spark, dir.toString), groups, vocab)
+      .writeStream.format("memory").queryName("s_d14")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"old_id", $"new_id", $"lang", $"jaccard")
+        .orderBy($"old_id", $"new_id").collect().map(_.toString).toSeq
+    val got = canon(spark.table("s_d14"))
+    val want = canon(DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001, oldSrcs))
     assert(got == want)
     assert(got.nonEmpty)
   }
