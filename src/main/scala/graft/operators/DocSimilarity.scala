@@ -82,8 +82,27 @@ object DocSimilarity {
         .select(col("doc_id"))
       val toksA = toks.join(oldIds, Seq("doc_id"), "left_semi")
       val toksB = toks.join(newIds, Seq("doc_id"), "left_semi")
-      Cached(crossJaccardPairs(toksA, toksB, 3, 5)
-        .persist(StorageLevel.MEMORY_AND_DISK), deps = Seq(toks))
+      // bounded probe, MaxMaskVocab+1 rows — same bound as jaccardPairs
+      val vocab = toksA.unionAll(toksB).select(col("tok")).distinct()
+        .limit(MaxMaskVocab + 1).collect().map(_.getString(0))
+      val pairs =
+        if (vocab.length <= MaxMaskVocab) {
+          // the CORPUS side is a build-once IndexStore artifact per
+          // (corpus snapshot, roster): a daily ingest probes yesterday's
+          // index instead of re-grouping the corpus — the artifact the
+          // streaming gate broadcasts, persisted (masks depend only on the
+          // content-deterministic SORTED vocabulary, so the fingerprint
+          // key covers them)
+          val roster = java.security.MessageDigest.getInstance("MD5")
+            .digest(oldSources.sorted.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val (gA, _) = graft.sources.IndexStore
+            .materialize(s, dir, s"incr_mask_$roster") {
+              corpusMaskGroups(toksA, vocab)
+            }
+          crossMaskGroupsJoin(gA, corpusMaskGroups(toksB, vocab), 3, 5)
+        } else crossPrefixPairs(toksA, toksB, 3, 5)
+      Cached(pairs.persist(StorageLevel.MEMORY_AND_DISK), deps = Seq(toks))
     }.result
 
   /** Cross-corpus Jaccard join (a ∈ A, b ∈ B only): same measured-vocab
@@ -108,10 +127,18 @@ object DocSimilarity {
     * masks across sides land at Jaccard exactly 1 through the same
     * arithmetic). */
   def crossMaskPairs(toksA: DataFrame, toksB: DataFrame,
-                     vocabTokens: Array[String], num: Int, den: Int): DataFrame = {
-    val gA = maskGroups(toksA, vocabTokens)
+                     vocabTokens: Array[String], num: Int, den: Int): DataFrame =
+    crossMaskGroupsJoin(maskGroups(toksA, vocabTokens),
+      maskGroups(toksB, vocabTokens), num, den)
+
+  /** The popcount join at GROUP level — callers supply the two sides'
+    * mask-group frames (fresh, memoized, or loaded from an IndexStore
+    * artifact; both must be built under the same sorted vocabulary). */
+  def crossMaskGroupsJoin(groupsA: DataFrame, groupsB: DataFrame,
+                          num: Int, den: Int): DataFrame = {
+    val gA = groupsA
       .select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
-    val gB = maskGroups(toksB, vocabTokens)
+    val gB = groupsB
       .select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
     gA.join(gB, col("lang") === col("lang2"))
       .withColumn("i",

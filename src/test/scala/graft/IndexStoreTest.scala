@@ -145,6 +145,42 @@ class IndexStoreTest extends AnyFunSuite {
     }
   }
 
+  test("incremental mask index: roster-keyed artifact, reused after a session reset") {
+    import graft.operators.DocSimilarity
+    val tmpIdx = java.nio.file.Files.createTempDirectory("graft-idx-incr").toString
+    spark.conf.set("graft.index.dir", tmpIdx)
+    def artifacts(): Seq[String] =
+      Option(new java.io.File(tmpIdx).listFiles()).toSeq.flatten
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .map(_.getName).filter(_.startsWith("incr_mask_")).sorted
+    try {
+      val olds = (0 to 9).map(i => s"src$i")
+      DocSimilarity.resetCaches()
+      val p1 = DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001, olds)
+        .orderBy("old_id", "new_id").collect().map(_.toString).toSeq
+      assert(p1.nonEmpty)
+      val a1 = artifacts()
+      assert(a1.size == 1, s"corpus mask index must persist as ONE artifact, got $a1")
+
+      // a fresh "session" (memo cleared) must serve identical pairs from the
+      // persisted corpus index
+      DocSimilarity.resetCaches()
+      val p2 = DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001, olds)
+        .orderBy("old_id", "new_id").collect().map(_.toString).toSeq
+      assert(p2 == p1)
+      assert(artifacts() == a1, "rebuild must reuse the artifact, not write a second one")
+
+      // a different corpus roster is a DIFFERENT index artifact
+      DocSimilarity.resetCaches()
+      DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001,
+        (0 to 4).map(i => s"src$i")).count()
+      assert(artifacts().size == 2, "roster change must key a new artifact")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      DocSimilarity.resetCaches()
+    }
+  }
+
   test("artifact key fingerprints the data dir: a changed dir is not served stale") {
     val data = java.nio.file.Files.createTempDirectory("graft-data").toString
     val f = new java.io.File(data, "x.parquet")
