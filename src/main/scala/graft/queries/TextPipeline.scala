@@ -351,8 +351,9 @@ object TextPipeline {
     // instance uses τ = 1/2 (weight = mass², sharpening) so every weight,
     // share, and quota stays EXACT int64 arithmetic — no float pow() to
     // disagree across engines; a production τ sweep would widen the same
-    // plan to decimal(38,0). One scan, one bounded per-source rollup, one
-    // partitioned rank window — no global sort anywhere.
+    // plan to decimal(38,0). Two column-pruned (doc_id, source, ws) passes:
+    // a bounded per-source rollup whose 20-row quota frame broadcasts back
+    // onto a source-partitioned rank window — no global sort anywhere.
     DeclaredQuery("p27_temperature_mix",
       """WITH d AS (SELECT doc_id, source,
         |                  len(list_filter(string_split(text,' '), x -> x <> '')) AS ws
