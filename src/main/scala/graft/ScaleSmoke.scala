@@ -119,7 +119,9 @@ object ScaleSmoke {
       val dir = if (f == 1) Base else scaledDir(spark, f)
       val ta = Tables.trajArrays(spark, dir, "purchase")
       val st = TrajectorySearch.trajStats(ta)
-      println(s"""{"measure":"t21_stats","scale":"x$f","users":${st.users},"medianPoints":${st.medianPoints},"auto":"${TrajectorySearch.choosePath(st)}"}""")
+      val autoPick = TrajectorySearch.chooseAutoPath(ta, st,
+        TrajectorySearch.BruteBroadcastMaxBytes)
+      println(s"""{"measure":"t21_stats","scale":"x$f","users":${st.users},"medianPoints":${st.medianPoints},"flat":"${TrajectorySearch.choosePath(st)}","auto":"$autoPick"}""")
       val paths = if (args.length > 2) args.drop(2).toSeq else Seq("brute", "seeded")
       paths.foreach { p =>
         val kp = p match {

@@ -267,6 +267,15 @@ object TrajectorySearch {
     * (sf0.01) vs a 3.4× win at 1 500 (sf0.1, BASELINE.md scale spot-check),
     * so the dispatcher only considers Tiled past the midpoint. */
   private[graft] val TiledMinUsers = 1000L
+  /** Past this user count Tiled wins REGARDLESS of points or clustering —
+    * within-tile seeding + bound-pruned refine beats even the cheap-kernel
+    * brute scan once the quadratic pair space is large enough. Measured on
+    * the UNIFORM 13-point fixture (worst case for tiling — zero tile-pair
+    * pruning): ×1 1 500 users tiled 2.4–2.7 s vs brute 3.3 s (~parity);
+    * ×3 4 500 users 13.3 s vs 41.7 s (3.1×); ×10 15 000 users 27.1 s vs
+    * 131–178 s (5–6×). 3 000 sits between the parity point and the first
+    * clear win. */
+  private[graft] val TiledFlatKnee = 3000L
   /** Occupancy-histogram granularity for [[clusterStat]]. */
   private[graft] val ClusterGrid = 8
   /** Tiled engages when ≥ this fraction of grid cells hold NO centroid:
@@ -303,14 +312,18 @@ object TrajectorySearch {
     1.0 - occupied.toDouble / (g.toLong * g)
   }
 
-  /** Full `Auto` dispatch: the flat crossover first (brute while kernels are
-    * cheap AND the table broadcasts), then — only in the seeded regime, and
-    * only past [[TiledMinUsers]] where the tiled build pays — the
-    * clustering statistic decides Seeded vs Tiled. The stat's two slim jobs
-    * are charged only to tables big enough that they are noise next to the
-    * pair scan they may replace. */
+  /** Full `Auto` dispatch, in measured order of dominance:
+    *  1. past [[TiledFlatKnee]] users, Tiled unconditionally — it beats
+    *     both flat paths there even on uniform data (no stat jobs needed);
+    *  2. otherwise the flat brute/seeded points-crossover;
+    *  3. in the seeded regime past [[TiledMinUsers]], the clustering
+    *     statistic upgrades Seeded → Tiled (clustered mid-size tables
+    *     benefit from tile-pair pruning before the flat knee). The stat's
+    *     two slim jobs are charged only to tables big enough that they are
+    *     noise next to the pair scan they may replace. */
   private[graft] def chooseAutoPath(ta: DataFrame, st: TrajStats, cap: Long): KnnPath =
-    choosePath(st, cap) match {
+    if (st.users >= TiledFlatKnee) KnnPath.Tiled
+    else choosePath(st, cap) match {
       case KnnPath.Brute => KnnPath.Brute
       case _ =>
         if (st.users >= TiledMinUsers && clusterStat(ta) >= ClusterEmptyFrac)

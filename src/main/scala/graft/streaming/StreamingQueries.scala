@@ -256,7 +256,10 @@ object StreamingQueries {
     * Scope: the vocabulary must be mask-capable (≤ `MaxMaskVocab`, the
     * same measured bound d14's own strategy chooser uses). The big-vocab
     * streaming form explodes tokens through a broadcast dictionary join
-    * and re-aggregates in update mode instead — same semantics, stateful. */
+    * and re-aggregates in update mode instead — same semantics, stateful.
+    * Out-of-vocabulary tokens in an arriving doc are EXACT, not lossy:
+    * they count in `c2` (the union side) but can never intersect the
+    * corpus — which is precisely their Jaccard contribution. */
   def streamIncrementalGate(newDocs: DataFrame, corpusGroups: DataFrame,
                             vocab: Array[String]): DataFrame = {
     val nWords = math.max(1, (vocab.length + 63) / 64)

@@ -176,6 +176,13 @@ class TrajectorySearchTest extends AnyFunSuite {
       TrajectorySearch.trajStats(clustered), cap) == TrajectorySearch.KnnPath.Tiled)
     assert(TrajectorySearch.chooseAutoPath(uniform,
       TrajectorySearch.trajStats(uniform), cap) == TrajectorySearch.KnnPath.Seeded)
+    // past the FLAT knee, Tiled wins unconditionally (measured ×3/×10 on
+    // uniform data) — no clustering stat needed, any points regime: the
+    // uniform frame's stats inflated to knee-size users must dispatch Tiled
+    assert(TrajectorySearch.chooseAutoPath(uniform,
+      TrajectorySearch.TrajStats(users = TrajectorySearch.TiledFlatKnee,
+        medianPoints = 13.0), cap) == TrajectorySearch.KnnPath.Tiled,
+      "knee-sized table → Tiled even uniform and short-trajectory")
     // under TiledMinUsers the stat is never consulted — small clustered
     // tables keep the flat plan (tiled build overhead dominates there)
     val smallClustered = Tables.withSliceBoxes((0L until 60L).map { u =>
