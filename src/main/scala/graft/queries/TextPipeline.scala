@@ -347,7 +347,12 @@ object TextPipeline {
     // quotas, and each source fills its quota DETERMINISTICALLY by ranking
     // its docs on a content-independent hash (md5 of the id) — re-running
     // the pipeline reproduces the exact sample, and the oracle pins the
-    // sampled SET via an md5 over the ordered kept ids. The declared
+    // sampled SET via an ORDER-INDEPENDENT checksum: Σ over kept ids of the
+    // first 60 md5 bits as DECIMAL(38,0). The sum is associative and
+    // constant-space (a mergeable partial aggregate — no per-group id
+    // buffer, unlike a collect_list md5, so a source whose quota is
+    // millions of docs at 100 TB still fingerprints in O(1) memory per
+    // partition). The declared
     // instance uses τ = 1/2 (weight = mass², sharpening) so every weight,
     // share, and quota stays EXACT int64 arithmetic — no float pow() to
     // disagree across engines; a production τ sweep would widen the same
@@ -373,8 +378,9 @@ object TextPipeline {
         |      FROM r JOIN q ON r.source = q.source)
         |SELECT q.source, q.n_docs, q.n_tokens, q.quota,
         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        |       md5(COALESCE(string_agg(CASE WHEN keep THEN doc_id::VARCHAR END,
-        |                               ',' ORDER BY doc_id), '')) AS sample_md5
+        |       CAST(COALESCE(SUM(CASE WHEN keep THEN
+        |                CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |            END), 0) AS DECIMAL(38,0)) AS sample_ck
         |FROM q JOIN k ON q.source = k.source
         |GROUP BY q.source, q.n_docs, q.n_tokens, q.quota
         |ORDER BY q.source""".stripMargin) {
@@ -397,9 +403,9 @@ object TextPipeline {
           .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("quota"))
           .agg(
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
-            md5(concat_ws(",",
-              expr("transform(array_sort(collect_list(CASE WHEN keep THEN doc_id END)), x -> CAST(x AS STRING))")))
-              .as("sample_md5"))
+            coalesce(sum(when(col("keep"), expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DECIMAL(38,0))"))),
+              lit(0)).cast("decimal(38,0)").as("sample_ck"))
           .orderBy(col("source"))
     },
 
