@@ -36,12 +36,24 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name)) {
       if (name == "events") {
-        // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4.x refuses it
-        // unless the legacy flag maps it to BIGINT nanoseconds. Must be set
-        // before the first read in this session (schema-conversion time).
+        // The fixture has shipped events.ts under two physical layouts:
+        // TIMESTAMP(NANOS) (Spark 4.x refuses it unless the legacy flag maps
+        // it to BIGINT nanoseconds — set BEFORE the first read, at
+        // schema-conversion time) and TIMESTAMP(MICROS) (reads natively as
+        // a timestamp). The loader canonicalizes BOTH to the engine-wide
+        // convention `ts` = BIGINT NANOSECONDS since epoch, so every
+        // consumer (`ts DIV 1000`, replay slicing, sentinel arithmetic,
+        // the streaming file-source schema) sees one layout. Sessions are
+        // pinned to UTC (build.sbt/TestSpark/Verify), making the
+        // timestamp→epoch cast exact.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      }
-      spark.read.parquet(s"$sfDir/$name.parquet")
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => raw // ns layout, already canonical
+          case _ => raw.withColumn("ts",
+            unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+        }
+      } else spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
   /** `events` with the canonical microsecond time column `ts_us`

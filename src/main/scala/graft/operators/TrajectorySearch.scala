@@ -312,6 +312,16 @@ object TrajectorySearch {
     1.0 - occupied.toDouble / (g.toLong * g)
   }
 
+  /** Cluster statistics memoized per (session, caller key) — the stat is a
+    * deterministic property of an immutable-per-session table, and a warm
+    * session answering repeated Auto kNN calls must not re-pay its two
+    * Spark jobs each time (the scanMemo/knnScanMemo precedent). Values are
+    * plain doubles — eviction releases nothing. */
+  private val clusterStatMemo =
+    new graft.util.Memo[(SparkSession, String), Double]()(_ => ())
+
+  private[graft] def clearStatMemo(): Unit = clusterStatMemo.clear()
+
   /** Full `Auto` dispatch, in measured order of dominance:
     *  1. past [[TiledFlatKnee]] users, Tiled unconditionally — it beats
     *     both flat paths there even on uniform data (no stat jobs needed);
@@ -320,13 +330,20 @@ object TrajectorySearch {
     *     statistic upgrades Seeded → Tiled (clustered mid-size tables
     *     benefit from tile-pair pruning before the flat knee). The stat's
     *     two slim jobs are charged only to tables big enough that they are
-    *     noise next to the pair scan they may replace. */
-  private[graft] def chooseAutoPath(ta: DataFrame, st: TrajStats, cap: Long): KnnPath =
+    *     noise next to the pair scan they may replace — and with a
+    *     `cacheKey` they are paid once per (session, table), not per call. */
+  private[graft] def chooseAutoPath(ta: DataFrame, st: TrajStats, cap: Long,
+                                    cacheKey: Option[String] = None): KnnPath =
     if (st.users >= TiledFlatKnee) KnnPath.Tiled
     else choosePath(st, cap) match {
       case KnnPath.Brute => KnnPath.Brute
       case _ =>
-        if (st.users >= TiledMinUsers && clusterStat(ta) >= ClusterEmptyFrac)
+        val stat = cacheKey match {
+          case Some(key) => clusterStatMemo.getOrElseUpdate(
+            (ta.sparkSession, key))(clusterStat(ta))
+          case None => clusterStat(ta)
+        }
+        if (st.users >= TiledMinUsers && stat >= ClusterEmptyFrac)
           KnnPath.Tiled
         else KnnPath.Seeded
     }
@@ -354,7 +371,8 @@ object TrajectorySearch {
     *    table plans without the hint instead of OOMing the driver.
     */
   def knnJoin(ta0: DataFrame, k: Int, metric: String = "hausdorff",
-              seedFactor: Int = 3, path: KnnPath = KnnPath.Auto): DataFrame = {
+              seedFactor: Int = 3, path: KnnPath = KnnPath.Auto,
+              cacheKey: Option[String] = None): DataFrame = {
     val ta = ensureBoxes(ta0)
     path match {
       case KnnPath.Seeded => batchPrunedOf(ta, ta, k, metric, seedFactor)
@@ -364,7 +382,7 @@ object TrajectorySearch {
         val cap = broadcastCap(ta.sparkSession)
         val chosen =
           if (path == KnnPath.Brute) KnnPath.Brute
-          else chooseAutoPath(ta, st, cap)
+          else chooseAutoPath(ta, st, cap, cacheKey)
         chosen match {
           case KnnPath.Brute =>
             bruteKnnJoin(ta, k, metric, hintBroadcast = st.estArrayBytes <= cap)

@@ -494,7 +494,8 @@ object Trajectories {
         // equivalence-tested
         val wq = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
         graft.operators.TrajectorySearch.knnJoin(
-            Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff")
+            Tables.trajArrays(s, dir, "purchase"), 3, "hausdorff",
+            cacheKey = Some(s"$dir#purchase"))
           .withColumn("rk", row_number().over(wq).cast("long"))
           .orderBy(col("q_user"), col("rk"))
     },

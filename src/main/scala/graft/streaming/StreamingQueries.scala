@@ -58,8 +58,14 @@ object StreamingQueries {
   /** Deterministic row-index → event mapping shared by [[rateEventsStream]]
     * and its batch oracle (`spark.range`): event ids FOLD IN HALF so every
     * id arrives exactly twice (dedup has real work), event time is monotone
-    * in the index (time-ordered replay, no late rows), types/values cycle. */
-  def synthEventsFromIndex(idx: DataFrame, totalRows: Long): DataFrame =
+    * in the index (time-ordered replay, no late rows), types/values cycle.
+    * `totalRows` must be EVEN — an odd total would make id 0 arrive three
+    * times and break the exactly-twice contract (and the n/2 dedup fixed
+    * point the rate-source test asserts). */
+  def synthEventsFromIndex(idx: DataFrame, totalRows: Long): DataFrame = {
+    require(totalRows % 2 == 0,
+      s"synthEventsFromIndex needs an even totalRows (got $totalRows): " +
+        "ids fold as value % (totalRows/2), so an odd total delivers id 0 three times")
     idx.filter(col("value") < totalRows)
       .select(
         (col("value") % (totalRows / 2)).as("event_id"),
@@ -70,6 +76,7 @@ object StreamingQueries {
         lit("{}").as("props"))
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("ev_time", timestamp_micros(col("ts_us")))
+  }
 
   /** e1 counterpart: tumbling 1 h window per event_type, watermarked. */
   def hourlyTumbling(events: DataFrame): DataFrame =

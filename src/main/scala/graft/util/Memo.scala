@@ -17,10 +17,16 @@ import org.apache.spark.sql.DataFrame
   * runs OUTSIDE the lock — it launches full Spark jobs and driver collects,
   * and holding the monitor across it would serialize every query touching
   * the memo behind one build (and nest locks when one memoized build calls
-  * another). Two threads racing the same cold key may both build; the loser's
-  * value is released via `onEvict` and the winner's is returned, so no
-  * storage leaks and all callers see one canonical artifact. Memo traffic is
-  * driver-side query planning — a handful of lookups per query, never
+  * another). Two threads racing the same cold key may both build; the
+  * winner's value is returned so all callers see one canonical artifact.
+  * The loser's value is NOT released: Spark's CacheManager keys cached data
+  * by logical plan, so the loser's frames usually have plans IDENTICAL to
+  * the winner's — running `onEvict` on them would silently drop the
+  * winner's shared cache entries (its persisted result and deps). Keeping
+  * the loser costs nothing for plan-keyed persists (same cache entry);
+  * checkpoint-backed values (distinct RDDs per call) are reclaimed by the
+  * ContextCleaner once the loser's references go out of scope. Memo traffic
+  * is driver-side query planning — a handful of lookups per query, never
   * per-row.
   */
 final class Memo[K, V](maxEntries: Int = 64)(onEvict: V => Unit) {
@@ -37,8 +43,11 @@ final class Memo[K, V](maxEntries: Int = 64)(onEvict: V => Unit) {
     hit.getOrElse {
       val v = build // outside the lock — may run Spark jobs / nested memos
       synchronized {
-        if (m.containsKey(k)) { // lost the race: keep the canonical value
-          release(v)
+        if (m.containsKey(k)) {
+          // Lost the race: keep the canonical value and DON'T release the
+          // loser — its persisted plans alias the winner's CacheManager
+          // entries, so onEvict here would de-cache the canonical artifact
+          // (checkpoint RDDs fall to the ContextCleaner instead).
           m.get(k)
         } else {
           m.put(k, v)

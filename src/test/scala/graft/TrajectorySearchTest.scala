@@ -200,6 +200,35 @@ class TrajectorySearchTest extends AnyFunSuite {
     assert(auto == flat, "Auto's tiled dispatch must return the flat answer")
   }
 
+  /** Round-7 ADVICE: a warm session answering repeated Auto kNN calls must
+    * not re-pay the two clusterStat jobs — with a cacheKey the stat is
+    * computed once per (session, table key). Proven with a poisoned second
+    * frame whose evaluation throws: a memo hit never executes it. */
+  test("Auto dispatch memoizes the cluster statistic per (session, cacheKey)") {
+    val rnd = new scala.util.Random(23)
+    val centers = Seq((0.0, 0.0), (500.0, 0.0), (0.0, 500.0), (500.0, 500.0))
+    val clustered = Tables.withSliceBoxes((0L until 1000L).map { u =>
+      val (cx, cy) = centers((u % 4).toInt)
+      (u, Seq.fill(40)(cx + rnd.nextDouble() * 3), Seq.fill(40)(cy + rnd.nextDouble() * 3))
+    }.toDF("user_id", "xs", "ys"))
+    val st = TrajectorySearch.trajStats(clustered)
+    val cap = TrajectorySearch.BruteBroadcastMaxBytes
+    TrajectorySearch.clearStatMemo()
+    assert(TrajectorySearch.chooseAutoPath(clustered, st, cap,
+      Some("memo-test")) == TrajectorySearch.KnnPath.Tiled)
+    val boom = udf { (_: Long) =>
+      val fail: Seq[Double] =
+        throw new RuntimeException("cluster stat recomputed despite cacheKey")
+      fail
+    }
+    val poisoned = spark.range(1000)
+      .select($"id".as("user_id"), boom($"id").as("xs"), boom($"id").as("ys"))
+    // same key → memo hit → the poisoned frame is never evaluated
+    assert(TrajectorySearch.chooseAutoPath(poisoned, st, cap,
+      Some("memo-test")) == TrajectorySearch.KnnPath.Tiled)
+    TrajectorySearch.clearStatMemo()
+  }
+
   test("brute knnJoin drops the broadcast hint past the size cap (plan fallback, not OOM)") {
     // estArrayBytes: the cap trips at users*(16*pts+100) > 64 MiB
     val small = TrajectorySearch.TrajStats(users = 1500L, medianPoints = 13.0)
