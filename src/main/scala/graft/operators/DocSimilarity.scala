@@ -70,6 +70,41 @@ object DocSimilarity {
     * new×new pair spaces are never enumerated — at 100 TB the daily batch
     * is orders of magnitude smaller than the corpus, so probe cost tracks
     * the batch, not the corpus. Memoized per (session, dir, roster). */
+  /** Builds of the corpus mask-group artifact (tests assert reuse-under-
+    * append: an ingest that only adds batch rows must NOT bump this). */
+  private[graft] val incrMaskBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Validity key of the incremental-dedup corpus index: roster hash +
+    * CORPUS-SUBSET content fingerprint. The artifact's only inputs are the
+    * corpus rows (vocabulary and masks are corpus-side-only by
+    * construction), so a daily batch APPEND to the same table leaves the
+    * key — hence the artifact — intact; any corpus-row change (content or
+    * roster membership) changes it. The fingerprint is one column-pruned,
+    * shuffle-free scan with the roster predicate pushed to parquet
+    * (bit_xor of per-row hashes — commutative, partitioning-independent);
+    * a deployment with a versioned table skips even that scan by setting
+    * `graft.incr.corpusVersion` to the snapshot/commit version. */
+  private[graft] def incrCorpusKey(s: SparkSession, dir: String,
+                                   oldSources: Seq[String]): String = {
+    val roster = java.security.MessageDigest.getInstance("MD5")
+      .digest(oldSources.sorted.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val content = s.conf.getOption("graft.incr.corpusVersion") match {
+      case Some(v) => Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(v))
+      case None =>
+        val r = Tables.table(s, dir, "documents")
+          .filter(col("source").isin(oldSources: _*))
+          .agg(
+            expr("bit_xor(xxhash64(doc_id, lang, source, text))").as("fp"),
+            count(lit(1)).as("n"))
+          .head()
+        val fp = if (r.isNullAt(0)) 0L else r.getLong(0)
+        java.lang.Long.toHexString(fp ^ (r.getLong(1) * 0x9e3779b97f4a7c15L))
+    }
+    s"$roster-$content"
+  }
+
   def incrementalNearDups(s: SparkSession, dir: String,
                           oldSources: Seq[String]): DataFrame =
     memo.getOrElseUpdate((s, s"$dir#incr:${oldSources.sorted.mkString(",")}")) {
@@ -82,25 +117,28 @@ object DocSimilarity {
         .select(col("doc_id"))
       val toksA = toks.join(oldIds, Seq("doc_id"), "left_semi")
       val toksB = toks.join(newIds, Seq("doc_id"), "left_semi")
-      // bounded probe, MaxMaskVocab+1 rows — same bound as jaccardPairs
-      val vocab = toksA.unionAll(toksB).select(col("tok")).distinct()
+      // CORPUS-side vocabulary ONLY (bounded probe, MaxMaskVocab+1 rows):
+      // a batch token outside it can never intersect the corpus, and the
+      // probe-side groups count their TRUE set size, so out-of-vocabulary
+      // tokens contribute exactly their union share — the same answer as a
+      // union vocabulary, with the vocabulary (hence the corpus masks and
+      // their artifact) independent of the arriving batch.
+      val vocab = toksA.select(col("tok")).distinct()
         .limit(MaxMaskVocab + 1).collect().map(_.getString(0))
       val pairs =
         if (vocab.length <= MaxMaskVocab) {
-          // the CORPUS side is a build-once IndexStore artifact per
-          // (corpus snapshot, roster): a daily ingest probes yesterday's
-          // index instead of re-grouping the corpus — the artifact the
-          // streaming gate broadcasts, persisted (masks depend only on the
-          // content-deterministic SORTED vocabulary, so the fingerprint
-          // key covers them)
-          val roster = java.security.MessageDigest.getInstance("MD5")
-            .digest(oldSources.sorted.mkString(",").getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
+          // the CORPUS side is a build-once IndexStore artifact keyed by
+          // (roster, corpus-subset content): a daily ingest probes
+          // yesterday's index instead of re-grouping the corpus — the
+          // artifact the streaming gate broadcasts. Masks depend only on
+          // corpus content through the SORTED corpus vocabulary, which is
+          // exactly what the key fingerprints.
           val (gA, _) = graft.sources.IndexStore
-            .materialize(s, dir, s"incr_mask_$roster") {
+            .materializeKeyed(s, incrCorpusKey(s, dir, oldSources), "incr_mask") {
+              incrMaskBuilds.incrementAndGet()
               corpusMaskGroups(toksA, vocab)
             }
-          crossMaskGroupsJoin(gA, corpusMaskGroups(toksB, vocab), 3, 5)
+          crossMaskGroupsJoin(gA, probeMaskGroups(toksB, vocab), 3, 5)
         } else crossPrefixPairs(toksA, toksB, 3, 5)
       Cached(pairs.persist(StorageLevel.MEMORY_AND_DISK), deps = Seq(toks))
     }.result
@@ -251,6 +289,30 @@ object DocSimilarity {
     * persist per corpus snapshot at cluster scale. */
   def corpusMaskGroups(toks: DataFrame, vocabTokens: Array[String]): DataFrame =
     maskGroups(toks, vocabTokens)
+
+  /** Mask groups for the PROBE side under a CORPUS-side vocabulary: the
+    * mask covers only in-vocabulary tokens (the only ones that can
+    * intersect the corpus), but `c` is the TRUE distinct-token count — an
+    * out-of-vocabulary token can never intersect, and counting it in `c`
+    * is exactly its union contribution, so the popcount Jaccard stays
+    * exact (the streaming gate's per-row expression makes the same
+    * argument). The left-outer dictionary join keeps every token row;
+    * OOV rows contribute 0 bits to every mask word. */
+  def probeMaskGroups(toks: DataFrame, vocabTokens: Array[String]): DataFrame = {
+    val nWords = math.max(1, (vocabTokens.length + 63) / 64)
+    val sp = toks.sparkSession
+    import sp.implicits._
+    val dict = vocabTokens.sorted.zipWithIndex.toSeq.toDF("tok", "tid")
+    val sets = toks.join(broadcast(dict), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        array((0 until nWords).map(w => expr(
+          s"bit_or(CASE WHEN tid DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), tid % 64) ELSE CAST(0 AS BIGINT) END)")): _*
+        ).as("mask"),
+        count(lit(1)).as("c"))
+    sets.groupBy(col("mask"), col("lang"), col("c"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+  }
 
   /** Distinct-token-set groups for the bitmap strategy: one row per
     * (mask, lang, set size) with the sorted member doc ids. */

@@ -43,6 +43,16 @@ object IndexStore {
   def artifactPath(s: SparkSession, dataDir: String, name: String): String =
     s"${root(s)}/${dirKey(dataDir)}/$name"
 
+  /** Artifact path under an EXPLICIT caller-supplied validity key — for
+    * artifacts whose lifetime is narrower than the whole data dir (e.g. an
+    * index over the CORPUS SUBSET of a table that also receives daily batch
+    * appends: the whole-dir fingerprint changes every ingest, but the
+    * corpus-keyed artifact must survive it). The caller owns key hygiene:
+    * the key must change iff the artifact's actual inputs change (subset
+    * content fingerprint, snapshot/commit version, roster hash, ...). */
+  def artifactPathKeyed(s: SparkSession, key: String, name: String): String =
+    s"${root(s)}/k_$key/$name"
+
   def exists(s: SparkSession, path: String): Boolean = {
     val marker = new Path(path, "_SUCCESS")
     marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)
@@ -52,9 +62,17 @@ object IndexStore {
     * the written copy (both paths read the same physical layout). Returns
     * (frame, loadedFromArtifact). */
   def materialize(s: SparkSession, dataDir: String, name: String)
-                 (build: => DataFrame): (DataFrame, Boolean) = {
+                 (build: => DataFrame): (DataFrame, Boolean) =
+    materializeAt(s, artifactPath(s, dataDir, name))(build)
+
+  /** [[materialize]] under an explicit validity key ([[artifactPathKeyed]]). */
+  def materializeKeyed(s: SparkSession, key: String, name: String)
+                      (build: => DataFrame): (DataFrame, Boolean) =
+    materializeAt(s, artifactPathKeyed(s, key, name))(build)
+
+  private def materializeAt(s: SparkSession, path: String)
+                           (build: => DataFrame): (DataFrame, Boolean) = {
     if (!persistEnabled(s)) return (build, false)
-    val path = artifactPath(s, dataDir, name)
     if (exists(s, path)) (s.read.parquet(path), true)
     else {
       build.write.mode("overwrite").parquet(path)

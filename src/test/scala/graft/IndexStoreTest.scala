@@ -145,14 +145,16 @@ class IndexStoreTest extends AnyFunSuite {
     }
   }
 
-  test("incremental mask index: roster-keyed artifact, reused after a session reset") {
+  test("incremental mask index: roster+content-keyed artifact, reused after a session reset") {
     import graft.operators.DocSimilarity
     val tmpIdx = java.nio.file.Files.createTempDirectory("graft-idx-incr").toString
     spark.conf.set("graft.index.dir", tmpIdx)
     def artifacts(): Seq[String] =
       Option(new java.io.File(tmpIdx).listFiles()).toSeq.flatten
-        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
-        .map(_.getName).filter(_.startsWith("incr_mask_")).sorted
+        .filter(_.getName.startsWith("k_"))
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName == "incr_mask").map(_ => d.getName))
+        .sorted
     try {
       val olds = (0 to 9).map(i => s"src$i")
       DocSimilarity.resetCaches()
@@ -178,6 +180,77 @@ class IndexStoreTest extends AnyFunSuite {
     } finally {
       spark.conf.unset("graft.index.dir")
       DocSimilarity.resetCaches()
+    }
+  }
+
+  /** Round-8 directive #1: the corpus index is keyed by (roster, corpus-
+    * subset content), NOT the whole data dir — so a daily batch APPEND to
+    * the same table must REUSE yesterday's index (no corpus re-group), while
+    * any corpus-row change must rebuild it. */
+  test("incremental mask index survives a batch append; corpus change rebuilds it") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.DocSimilarity
+    val tmpIdx = Files.createTempDirectory("graft-idx-incr2").toString
+    val data = Files.createTempDirectory("graft-data-incr2").toString
+    // documents as a parquet DIRECTORY so files can be appended like a real
+    // ingest (Spark reads file and directory layouts identically)
+    Files.createDirectory(Paths.get(s"$data/documents.parquet"))
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/documents.parquet"),
+      Paths.get(s"$data/documents.parquet/part-00000.parquet"))
+    spark.conf.set("graft.index.dir", tmpIdx)
+    try {
+      val olds = (0 to 9).map(i => s"src$i")
+      def reset(): Unit = { DocSimilarity.resetCaches(); Tables.resetCaches() }
+
+      reset()
+      val builds0 = DocSimilarity.incrMaskBuilds.get()
+      val p1 = DocSimilarity.incrementalNearDups(spark, data, olds)
+        .orderBy("old_id", "new_id").collect().map(_.toString).toSeq
+      assert(p1.nonEmpty)
+      assert(DocSimilarity.incrMaskBuilds.get() == builds0 + 1, "first call builds")
+
+      // INGEST: append a new-batch file (source outside the roster) — reuse
+      // near-dup-rich content by cloning existing batch docs under new ids
+      val batch = Tables.table(spark, data, "documents")
+        .filter(!col("source").isin(olds: _*))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"),
+          lit("src_ingest").as("source"), col("n_chars"))
+      val tmp = Files.createTempDirectory("graft-ingest")
+      batch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, Paths.get(s"$data/documents.parquet/part-00001.parquet"))
+
+      reset()
+      val p2 = DocSimilarity.incrementalNearDups(spark, data, olds)
+        .orderBy("old_id", "new_id").collect().map(_.toString).toSeq
+      assert(DocSimilarity.incrMaskBuilds.get() == builds0 + 1,
+        "append of batch rows must REUSE the corpus index (no rebuild)")
+      // original probe docs keep exactly their old pairs; the appended
+      // clones add the same pairs shifted by the id offset
+      val p2Orig = DocSimilarity.incrementalNearDups(spark, data, olds)
+        .filter(col("new_id") < 100000L)
+        .orderBy("old_id", "new_id").collect().map(_.toString).toSeq
+      assert(p2Orig == p1, "pre-ingest probe results must be unchanged")
+      assert(p2.size > p1.size, "appended docs must be probed too")
+
+      // CORPUS change: append rows under a roster source — key must change
+      val corpusAdd = Tables.table(spark, data, "documents")
+        .filter(col("source") === "src0").limit(5)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      val tmp2 = Files.createTempDirectory("graft-ingest2")
+      corpusAdd.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+      val part2 = Files.list(tmp2).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part2, Paths.get(s"$data/documents.parquet/part-00002.parquet"))
+
+      reset()
+      DocSimilarity.incrementalNearDups(spark, data, olds).count()
+      assert(DocSimilarity.incrMaskBuilds.get() == builds0 + 2,
+        "a corpus-row change must REBUILD the index, never serve it stale")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      DocSimilarity.resetCaches()
+      Tables.resetCaches()
     }
   }
 

@@ -338,12 +338,14 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     }
 
     val toks = DocSimilarity.distinctTokens(spark, TestSpark.sf0001)
-    // vocabulary over the WHOLE dir (corpus ∪ batch) — the same union
-    // crossJaccardPairs measures; bounded fixture, so the collect is fine
-    val vocab = toks.select($"tok").distinct().collect().map(_.getString(0))
     val corpusToks = toks.join(
       allDocs.filter($"source".isin(oldSrcs: _*)).select($"doc_id"),
       Seq("doc_id"), "left_semi")
+    // CORPUS-side vocabulary only — the same vocabulary the batch operator
+    // keys its persisted index artifact by, so these groups are exactly
+    // what a production gate would broadcast from IndexStore; arriving
+    // docs' out-of-vocabulary tokens stay exact through the true-size c2
+    val vocab = corpusToks.select($"tok").distinct().collect().map(_.getString(0))
     val groups = DocSimilarity.corpusMaskGroups(corpusToks, vocab)
 
     val q = StreamingQueries.streamIncrementalGate(
