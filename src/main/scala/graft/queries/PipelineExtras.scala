@@ -98,6 +98,27 @@ object PipelineExtras {
       (s, dir) => Sketches.annIvfPqKnn(s, dir)
     },
 
+    // Incremental IVF ingestion (round-8 directive #2 — the vector-space
+    // analog of d14): coarse centroids fit ONCE on the existing corpus
+    // (vec_id % 10 != 0 models it on the frozen fixture), the new batch is
+    // routed to those frozen centroids by a broadcast-argmin over the batch
+    // rows only, and the routed rows persist as an append DELTA artifact —
+    // no refit, no corpus rescan. Output: per-list corpus/appended counts
+    // plus an exact id checksum of the appended members (pins the routed
+    // assignment, not just its size). No oracle (seeded k-means); append ≡
+    // one-shot routing, recall, and no-refit proven in SketchesTest.
+    DeclaredQuery.noOracle("v10_ivf_append") {
+      (s, dir) =>
+        val (_, _, all) = Sketches.ivfIncremental(s, dir)
+        all.groupBy(col("list_id"))
+          .agg(
+            sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_corpus"),
+            sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_appended"),
+            coalesce(sum(when(col("vec_id") % 10 === 0, col("vec_id"))), lit(0L))
+              .as("ck_appended"))
+          .orderBy(col("list_id"))
+    },
+
     // As-of join as a composable operator (union-tag + running last):
     // each event joined to the latest error event of the same user at or
     // before it.

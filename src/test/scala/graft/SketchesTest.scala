@@ -59,6 +59,85 @@ class SketchesTest extends AnyFunSuite {
     assert(again == first)
   }
 
+  /** Round-8 directive #2: incremental IVF ingestion — append must equal a
+    * one-shot assignment against the same frozen centers, never refit the
+    * quantizer, route with a single batch-side scan, and keep the probe's
+    * recall bound over the appended index. */
+  test("v10 IVF append: delta ≡ one-shot routing, no refit on reload, single-scan route, recall holds") {
+    import graft.operators.VectorOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-ivfapp").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      Sketches.resetCaches()
+      val fits0 = Sketches.ivfFits.get()
+      val (idx, delta, all) = Sketches.ivfIncremental(spark, TestSpark.sf0001)
+      assert(Sketches.ivfFits.get() == fits0 + 1, "cold build fits exactly once")
+      assert(!idx.fromArtifact)
+
+      // (a) append ≡ one-shot: routing ALL vectors against the same frozen
+      // centers reproduces corpus ∪ delta vector-for-vector
+      val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select($"vec_id", $"list_id".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val oneshot = pairs(Sketches.ivfRoute(em, idx.centers))
+      assert(pairs(all) == oneshot, "append path must equal one-shot assignment")
+      assert(delta.select($"vec_id").as[Long].collect().forall(_ % 10 == 0),
+        "delta holds exactly the batch members")
+      assert(all.count() == em.count())
+
+      // (c) warm "next session": both artifacts serve — no k-means refit,
+      // no corpus rescan
+      Sketches.resetCaches()
+      val (idx2, _, all2) = Sketches.ivfIncremental(spark, TestSpark.sf0001)
+      assert(Sketches.ivfFits.get() == fits0 + 1, "artifact reload must not refit")
+      assert(idx2.fromArtifact)
+      assert(pairs(all2) == oneshot)
+
+      // routing scans ONLY the batch: one parquet scan in the plan (the
+      // centers ride a broadcast local relation)
+      val routePlan = Sketches.ivfRoute(em.filter($"vec_id" % 10 === 0), idx2.centers)
+        .queryExecution.executedPlan.toString
+      assert(routePlan.linesIterator.count(l =>
+        l.contains("Scan") && l.contains("parquet")) == 1, routePlan)
+
+      // (b) probe recall over the APPENDED index vs exact v1 (query 0 is a
+      // batch member): coarse-route the query, scan nprobe lists of the
+      // union assignment, exact cosine top-10
+      val qEmb = em.filter($"vec_id" === 0L).select($"embedding")
+        .collect().head.getSeq[Float](0)
+      val qArr = qEmb.map(_.toDouble).toArray
+      val probeLists = idx2.centers.zipWithIndex
+        .map { case (c, i) =>
+          (i, c.zip(qArr).map { case (x, y) => val t = x - y; t * t }.sum)
+        }
+        .sortBy { case (i, d) => (d, i) }.take(8).map(_._1.toLong)
+      val approx = all2
+        .filter($"vec_id" =!= 0L && $"list_id".cast("long").isInCollection(probeLists))
+        .select($"vec_id",
+          (VectorOps.dot($"embedding", typedLit(qEmb)) /
+            (sqrt(VectorOps.norm2Col("embedding")) *
+              sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum)))).as("cs"))
+        .orderBy($"cs".desc, $"vec_id").limit(10)
+        .select($"vec_id").as[Long].collect().toSet
+      val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+        .select($"vec_id").as[Long].collect().toSet
+      val recall = exact.count(approx.contains).toDouble / exact.size
+      assert(recall >= 0.7, s"post-append probe recall $recall")
+
+      // the declared query is deterministic within a session and covers
+      // every list that received vectors
+      val q1 = SparkEntry.queries("v10_ivf_append")(spark, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq
+      val q2 = SparkEntry.queries("v10_ivf_append")(spark, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq
+      assert(q1 == q2 && q1.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   test("ann IVF knn recall >= 0.7 of exact brute-force top-10") {
     val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
       .select($"vec_id").as[Long].collect().toSet
