@@ -427,6 +427,52 @@ object Sketches {
     (idx, delta, idx.assigned.unionByName(delta))
   }
 
+  /** SemDeDup-shape semantic dedup (Abbas et al. 2023, public method) over
+    * an assigned (vec_id, list_id, embedding) frame: candidate pairs are
+    * enumerated ONLY within clusters (a list_id equi self-join — never an
+    * all-pairs product), and a vector is DROPPED iff a smaller-id
+    * same-cluster neighbor sits at cosine ≥ threshold (greedy min-id
+    * representative — deterministic, keeps exactly one member of every
+    * duplicate neighborhood chain head). Cosine compares as
+    * `dot ≥ τ·‖a‖·‖b‖` (codegen graft_dot, no division); norms compute
+    * once per row, never per pair. At 100 TB nlist scales with the corpus
+    * (SemDeDup runs ~10⁵ clusters) so each cluster's pair space stays
+    * bounded; the join shuffles by list_id like any key join.
+    * Returns the dropped (list_id, vec_id) rows. */
+  def semanticDedupOver(assigned: DataFrame, threshold: Double): DataFrame = {
+    val s = assigned.sparkSession
+    graft.functions.FloatDotProduct.register(s)
+    val base = assigned.select(col("list_id"), col("vec_id"), col("embedding"),
+      sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
+    val a = base.select(col("list_id"), col("vec_id").as("id1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = base.select(col("list_id").as("l2"), col("vec_id").as("id2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("list_id") === col("l2") && col("id1") < col("id2"))
+      .filter(expr("graft_dot(e1, e2)") >= lit(threshold) * col("n1") * col("n2"))
+      .select(col("list_id"), col("id2").as("vec_id"))
+      .distinct()
+  }
+
+  /** Declared d15 form: semantic dedup of the corpus embeddings through the
+    * SAME build-once IVF quantizer p9/v9 probe (clustering adds no build),
+    * summarized per cluster: size, dropped count, and an exact id checksum
+    * of the dropped members. */
+  def semanticDedupSummary(s: SparkSession, dir: String, threshold: Double = 0.5,
+                           nlist: Int = 16): DataFrame = {
+    val idx = buildIvfIndex(s, dir, nlist)
+    val dropped = semanticDedupOver(idx.assigned, threshold)
+      .withColumn("dropped", lit(true))
+    idx.assigned.select(col("list_id"), col("vec_id"))
+      .join(dropped, Seq("list_id", "vec_id"), "left_outer")
+      .groupBy(col("list_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("dropped"), col("vec_id"))), lit(0L)).as("ck_dropped"))
+      .orderBy(col("list_id"))
+  }
+
   /** IVF (inverted-file) ANN: the query ranks the index's centroids on the
     * driver (nlist bounded scalars — no data scan), probes its `nprobe`
     * nearest lists, and refines with exact cosine. The partition-then-probe

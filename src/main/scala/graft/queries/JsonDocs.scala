@@ -589,6 +589,24 @@ object JsonDocs {
           .orderBy(col("source"))
     },
 
+    // SemDeDup-shape SEMANTIC dedup (round-8 directive #4) — the missing
+    // member of the dedup family: d1 is exact, d3/p6 lexical, d8/d11
+    // span-level; this is embedding-space near-dup removal, the standard
+    // LLM-curation step for paraphrase/translation duplicates that share no
+    // tokens. Clusters come from the SAME build-once IVF coarse quantizer
+    // as p9/v9 (no new build); pairs are enumerated ONLY within clusters
+    // (list_id equi self-join, plan-guarded — never all-pairs), and each
+    // duplicate neighborhood keeps its min-id member. Per-cluster summary
+    // with an exact dropped-id checksum. No oracle (seeded k-means
+    // clustering); planted-twin parity vs the exact v2 keep-one proven in
+    // SketchesTest. The frozen fixture has essentially no semantic dups
+    // (max pairwise cosine ≈ 0.51), so the declared threshold 0.5 drops
+    // only the fixture's one real near-pair — the realistic shape for an
+    // already-curated corpus.
+    DeclaredQuery.noOracle("d15_semantic_dedup") {
+      (s, dir) => graft.operators.Sketches.semanticDedupSummary(s, dir)
+    },
+
     // Exact duplicated-span SURGERY — the removal step d8 only measures
     // (Lee et al. ACL'22 dedup applied to spans): tokens covered by any
     // cross-document 8-gram are cut and the doc is rebuilt from the

@@ -379,6 +379,14 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d15: semantic dedup pairs come from a list_id equi-join, never all-pairs") {
+    // the cluster id must be a JOIN KEY — a cartesian/nested-loop product
+    // here would be the O(n²) pair space SemDeDup exists to avoid
+    val p = plan("d15_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("list_id"), p)
+  }
+
   test("p27: mix quotas broadcast to the rank side; window is source-partitioned") {
     // the 1-row totals and the per-source quota frame ride broadcast joins
     // (never a shuffle against the corpus scan), and the sampling rank is a

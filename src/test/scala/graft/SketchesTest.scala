@@ -138,6 +138,42 @@ class SketchesTest extends AnyFunSuite {
     }
   }
 
+  /** Round-8 directive #4: SemDeDup-shape semantic dedup — planted twins
+    * must be dropped with exact parity to the all-pairs keep-one rule at a
+    * high threshold (twins colocate in one cluster), and the declared
+    * query must be deterministic over the fixture. */
+  test("d15 semantic dedup: planted twins dropped with exact keep-one parity") {
+    import graft.operators.{Sketches, VectorOps}
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val twins = (0L until 20L).map(i => (100L + i, base(i.toInt)._2.map(x => x + 0.002f)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    // arbitrary frozen centers — a twin pair (cos ≈ 1) always routes to one
+    // cluster, so the within-cluster enumeration must equal all-pairs here
+    val crnd = new scala.util.Random(7)
+    val centers = Array.fill(4, 64)(crnd.nextGaussian())
+    val assigned = Sketches.ivfRoute(df, centers)
+
+    val dropped = Sketches.semanticDedupOver(assigned, 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    // exact keep-one over ALL pairs: drop v iff some u < v has cos ≥ 0.9
+    val exactDrop = VectorOps.cosineSelfJoin(df, "vec_id", "embedding", 0.9)
+      .select($"id2").as[Long].collect().toSet
+    assert(exactDrop.size >= 20, s"planting failed: ${exactDrop.size}")
+    assert(dropped == exactDrop,
+      s"within-cluster dedup must match all-pairs keep-one: " +
+        s"missing ${exactDrop.diff(dropped).take(5)}, extra ${dropped.diff(exactDrop).take(5)}")
+
+    // declared summary: deterministic, covers every cluster, reuses the
+    // build-once IVF index (no second fit in-session)
+    val q1 = SparkEntry.queries("d15_semantic_dedup")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    val q2 = SparkEntry.queries("d15_semantic_dedup")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(q1 == q2 && q1.nonEmpty)
+  }
+
   test("ann IVF knn recall >= 0.7 of exact brute-force top-10") {
     val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
       .select($"vec_id").as[Long].collect().toSet
