@@ -307,6 +307,51 @@ object StreamingQueries {
       graft.operators.PiiScrub.matchCount(col("text"), "number").as("n_num"),
       graft.operators.PiiScrub.scrubbed(col("text")).as("masked"))
 
+  /** One gate decision: the doc, its source, and whether it was admitted. */
+  final case class QuotaAdmit(doc_id: Long, source: String, admitted: Boolean)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** p27 counterpart: temperature-mix QUOTA GATE at ingest — admit an
+    * arriving document iff its source's quota is not yet exhausted, the
+    * ingest-time form of temperature-weighted source mixing. State is ONE
+    * admitted-count per source (bounded by #sources — nothing buffers);
+    * the quota map is p27's bounded per-source rollup (≈ #sources rows),
+    * shipped as a broadcast.
+    *
+    * Within a micro-batch a source's rows are admitted in the SAMPLING-KEY
+    * order (md5(doc_id), doc_id) — the same deterministic order batch p27
+    * ranks by — so a replay that arrives in sampling-key order reproduces
+    * the batch kept SET exactly (StreamingEquivalenceTest). A production
+    * first-come-first-served ingest runs the identical gate in arrival
+    * order: same quotas, same state bound, the admitted set is then the
+    * arrival-order prefix per source. */
+  def streamQuotaGate(docs: DataFrame, quotas: Map[String, Long]): Dataset[QuotaAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(quotas)
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, QuotaAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val quota = bq.value.getOrElse(src, 0L)
+          val out = it.map(_._1).toArray
+            .sortBy(id => (md5Hex(id.toString), id))
+            .map { id =>
+              val admit = n < quota
+              if (admit) n += 1
+              QuotaAdmit(id, src, admit)
+            }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** One emitted session: (user_id, session start µs, event count, duration µs). */
   final case class Session(user_id: Long, start_us: Long, n_ev: Long, dur_us: Long)
   /** Open-session state carried between micro-batches. */

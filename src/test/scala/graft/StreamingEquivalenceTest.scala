@@ -363,6 +363,68 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  /** Round-8 directive #6: the p27 temperature-mix gate as an ingest-time
+    * stream — per-source quota counters (state bounded by #sources) must
+    * admit exactly the batch kept set when the corpus replays in the
+    * sampling-key order. */
+  test("p27 streaming quota gate == batch kept set (ordered replay, per-source counter state)") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    // quotas from the batch rollup — the bounded (≈ #sources) frame p27
+    // broadcasts; columns (source, n_docs, n_tokens, quota, ...)
+    val p27 = SparkEntry.queries("p27_temperature_mix")(spark, TestSpark.sf0001).collect()
+    val quotas = p27.map(r => r.getString(0) -> r.getLong(3)).toMap
+
+    // batch kept SET: per source, the first `quota` docs under
+    // (md5(doc_id), doc_id) — p27's rank-window definition
+    val docRows = Tables.table(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docRows.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map(_._1).sortBy(id => (md5Hex(id.toString), id))
+        .take(quotas.getOrElse(src, 0L).toInt).map(id => (id, src))
+    }.toSet
+
+    // replay in global sampling-key order across 3 files: arrival order ==
+    // rank order, the regime where FCFS == the batch sample
+    val allDocs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val ordered = allDocs.collect().sortBy(r =>
+      (md5Hex(r.getLong(0).toString), r.getLong(0)))
+    val dir = Files.createTempDirectory("graft-quota-stream")
+    val n = ordered.length
+    (0 until 3).foreach { b =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ordered.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1),
+        allDocs.schema)
+      val tmp = Files.createTempDirectory("graft-quota-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+
+    val q = StreamingQueries.streamQuotaGate(
+        StreamingQueries.documentsStream(spark, dir.toString), quotas)
+      .writeStream.format("memory").queryName("s_p27")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val decisions = spark.table("s_p27").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(decisions.length == n, "every doc gets exactly one gate decision")
+    val got = decisions.filter(_._3).map(d => (d._1, d._2)).toSet
+    assert(got == want,
+      s"admitted set != batch kept set: missing ${want.diff(got).take(5)}, extra ${got.diff(want).take(5)}")
+    // per-source admitted counts == quotas (sources above quota capped)
+    val bySrc = got.groupBy(_._2).map { case (s0, m) => s0 -> m.size.toLong }
+    quotas.foreach { case (src, qv) =>
+      val total = docRows.count(_._2 == src).toLong
+      assert(bySrc.getOrElse(src, 0L) == math.min(qv, total), src)
+    }
+  }
+
   test("e7 streaming LEFT OUTER interval join == batch (watermark-proven unmatched rows)") {
     // outer rows only emit once the watermark proves no match can arrive —
     // a far-future sentinel in a final micro-batch flushes them (e3 technique)
