@@ -114,6 +114,24 @@ object ScaleSmoke {
       }
     }
 
+    // d3 pair-set build + d6 star-contraction components at growing corpus
+    // size (round-8 directive #5): the ×k dirs duplicate every text k
+    // times, so near-dup CLIQUES grow ~k² pairs while docs grow ×k — the
+    // stress case for both the pair build (mask-group explode) and the
+    // contraction round count. d6 runs after the build so its timing is
+    // the components machinery alone (pair set memoized).
+    if (mode == "all" || mode == "cc") for (f <- Seq(1, 3, 10)) {
+      val dir = if (f == 1) Base else scaledDir(spark, f)
+      graft.operators.DocSimilarity.resetCaches()
+      graft.operators.Components.clearMemo()
+      val (bSec, pairRows) = time(
+        graft.operators.DocSimilarity.nearDupPairs(spark, dir).count())
+      report("d3_pair_build", s"x$f", bSec, pairRows)
+      val (cSec, ccRows) = time(
+        SparkEntry.queries("d6_dedup_groups")(spark, dir).count())
+      report("d6_components", s"x$f", cSec, ccRows)
+    }
+
     if (mode == "all" || mode == "knn") {
       val f = args.lift(1).map(_.stripPrefix("x").toInt).getOrElse(3)
       val dir = if (f == 1) Base else scaledDir(spark, f)

