@@ -627,6 +627,43 @@ object Sketches {
       }
     }
 
+  /** Encode a NEW vector batch against an EXISTING PQ index's FROZEN
+    * codebooks — the codes-side analog of [[ivfRoute]] for incremental
+    * ingestion: a batch-only scan against broadcast codebooks, no
+    * retraining, no corpus rescan. The arithmetic (unit-normalize, then
+    * per-subspace L2 argmin, ties to the lowest code) is identical to the
+    * build's encoder, so the emitted (vec_id, embedding, codes) rows are
+    * byte-identical to what a full rebuild would produce for the same
+    * vectors (tested) — appending them as a delta beside the codes
+    * artifact is exactly a lake append of new list entries. */
+  def pqEncodeBatch(s: SparkSession, index: PqIndex, newVecs: DataFrame): DataFrame = {
+    val books = index.codebooks
+    val m = books.length
+    val subDim = 64 / m
+    val bBooks = s.sparkContext.broadcast(books)
+    val encodeUnit = udf { (emb: Seq[Float]) =>
+      val a = emb.map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      val ua = if (n == 0) a else a.map(_ / n)
+      val bs = bBooks.value
+      (0 until bs.length).map { mi =>
+        val off = mi * subDim
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < bs(mi).length) {
+          val c = bs(mi)(j)
+          var d = 0.0; var t = 0
+          while (t < subDim) { val df = ua(off + t) - c(t); d += df * df; t += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    }
+    newVecs.select(col("vec_id"), col("embedding"),
+      encodeUnit(col("embedding")).as("codes"))
+  }
+
   /** PQ ANN via ADC (asymmetric distance computation): the query builds an
     * m×k distance table against the codebooks (driver-side, bounded), the
     * scan sums m table lookups per vector — no per-vector float math at

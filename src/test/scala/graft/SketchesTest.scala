@@ -174,6 +174,23 @@ class SketchesTest extends AnyFunSuite {
     assert(q1 == q2 && q1.nonEmpty)
   }
 
+  test("PQ batch encode against frozen codebooks == the full build's codes (codes-side delta)") {
+    val idx = Sketches.buildPqIndex(spark, TestSpark.sf0001)
+    val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val batch = em.filter($"vec_id" % 10 === 0)
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val delta = codesOf(Sketches.pqEncodeBatch(spark, idx, batch))
+    val full = codesOf(idx.codes.filter($"vec_id" % 10 === 0))
+    assert(delta.nonEmpty && delta == full,
+      "frozen-codebook batch encode must be byte-identical to the full build")
+    // the encode scans ONLY the batch (codebooks ride a broadcast)
+    val p = Sketches.pqEncodeBatch(spark, idx, batch)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(l => l.contains("Scan") && l.contains("parquet")) == 1, p)
+  }
+
   test("ann IVF knn recall >= 0.7 of exact brute-force top-10") {
     val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
       .select($"vec_id").as[Long].collect().toSet
