@@ -117,31 +117,73 @@ object DocSimilarity {
         .select(col("doc_id"))
       val toksA = toks.join(oldIds, Seq("doc_id"), "left_semi")
       val toksB = toks.join(newIds, Seq("doc_id"), "left_semi")
-      // CORPUS-side vocabulary ONLY (bounded probe, MaxMaskVocab+1 rows):
-      // a batch token outside it can never intersect the corpus, and the
-      // probe-side groups count their TRUE set size, so out-of-vocabulary
-      // tokens contribute exactly their union share — the same answer as a
-      // union vocabulary, with the vocabulary (hence the corpus masks and
-      // their artifact) independent of the arriving batch.
-      val vocab = toksA.select(col("tok")).distinct()
-        .limit(MaxMaskVocab + 1).collect().map(_.getString(0))
-      val pairs =
-        if (vocab.length <= MaxMaskVocab) {
-          // the CORPUS side is a build-once IndexStore artifact keyed by
-          // (roster, corpus-subset content): a daily ingest probes
-          // yesterday's index instead of re-grouping the corpus — the
-          // artifact the streaming gate broadcasts. Masks depend only on
-          // corpus content through the SORTED corpus vocabulary, which is
-          // exactly what the key fingerprints.
-          val (gA, _) = graft.sources.IndexStore
-            .materializeKeyed(s, incrCorpusKey(s, dir, oldSources), "incr_mask") {
-              incrMaskBuilds.incrementAndGet()
-              corpusMaskGroups(toksA, vocab)
-            }
-          crossMaskGroupsJoin(gA, probeMaskGroups(toksB, vocab), 3, 5)
-        } else crossPrefixPairs(toksA, toksB, 3, 5)
+      val pairs = incrementalPairsOver(s, toksA, toksB,
+        Some(incrCorpusKey(s, dir, oldSources)))
       Cached(pairs.persist(StorageLevel.MEMORY_AND_DISK), deps = Seq(toks))
     }.result
+
+  /** The incremental-probe core, over pre-tokenized corpus/batch sides:
+    * CORPUS-side vocabulary ONLY (bounded probe, MaxMaskVocab+1 rows) — a
+    * batch token outside it can never intersect the corpus, and the
+    * probe-side groups count their TRUE set size, so out-of-vocabulary
+    * tokens contribute exactly their union share: the same answer as a
+    * union vocabulary, with the vocabulary (hence the corpus masks and
+    * their artifact) independent of the arriving batch. When `corpusKey`
+    * is set, the corpus mask groups are a build-once IndexStore artifact
+    * under that validity key: a daily ingest probes yesterday's index
+    * instead of re-grouping the corpus — the artifact the streaming gate
+    * broadcasts. Masks depend only on corpus content through the SORTED
+    * corpus vocabulary, which is exactly what the key must fingerprint
+    * (content hash, or a table snapshot version — see
+    * [[incrementalNearDupsTable]]). */
+  def incrementalPairsOver(s: SparkSession, toksA: DataFrame, toksB: DataFrame,
+                           corpusKey: Option[String]): DataFrame = {
+    val vocab = toksA.select(col("tok")).distinct()
+      .limit(MaxMaskVocab + 1).collect().map(_.getString(0))
+    if (vocab.length <= MaxMaskVocab) {
+      val gA = corpusKey match {
+        case Some(k) =>
+          graft.sources.IndexStore.materializeKeyed(s, k, "incr_mask") {
+            incrMaskBuilds.incrementAndGet()
+            corpusMaskGroups(toksA, vocab)
+          }._1
+        case None =>
+          incrMaskBuilds.incrementAndGet()
+          corpusMaskGroups(toksA, vocab)
+      }
+      crossMaskGroupsJoin(gA, probeMaskGroups(toksB, vocab), 3, 5)
+    } else crossPrefixPairs(toksA, toksB, 3, 5)
+  }
+
+  /** [[incrementalNearDups]] over a versioned [[graft.sources.GraftTable]]
+    * of documents: corpus = snapshot `corpusVersion`, batch = the manifest
+    * changelog (corpusVersion, batchVersion] — the files the ingest
+    * appended, read WITHOUT rescanning the corpus. The corpus mask
+    * artifact is keyed by `(table, corpusVersion)` alone: snapshots are
+    * immutable, so the version IS the content fingerprint and the
+    * zero-scan keying SCALE.md promises for versioned tables is realized
+    * here (no `bit_xor` corpus pass at all). Day N's ingest probes day
+    * N−1's artifact; the artifact is rebuilt only when the corpus snapshot
+    * itself rolls forward. */
+  def incrementalNearDupsTable(s: SparkSession, tableDir: String,
+                               corpusVersion: Int, batchVersion: Int): DataFrame =
+    memo.getOrElseUpdate((s, s"$tableDir#tincr:$corpusVersion:$batchVersion")) {
+      val toksOf = (df: DataFrame) => df
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val corpus = graft.sources.GraftTable.read(s, tableDir, Some(corpusVersion))
+      val batch = graft.sources.GraftTable
+        .readChanges(s, tableDir, corpusVersion, batchVersion)
+      val toksA = toksOf(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+      val key = tableSnapshotKey(tableDir, corpusVersion)
+      Cached(incrementalPairsOver(s, toksA, toksOf(batch), Some(key))
+        .persist(StorageLevel.MEMORY_AND_DISK), deps = Seq(toksA))
+    }.result
+
+  /** Snapshot-version validity key: immutable snapshot ⇒ the version pins
+    * the corpus content with zero scanning. */
+  private[graft] def tableSnapshotKey(tableDir: String, v: Int): String =
+    s"tbl${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(tableDir))}-v$v"
 
   /** Cross-corpus Jaccard join (a ∈ A, b ∈ B only): same measured-vocab
     * strategy chooser as [[jaccardPairs]] — ≤[[MaxMaskVocab]] union

@@ -27,6 +27,33 @@ object JsonDocs {
   private def duckDot(a: String, b: String) =
     s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
 
+  /** Build-once versioned-table fixture for d16: snapshot v0 = the corpus
+    * roster's documents (range-laid-out on doc_id so manifest stats carry
+    * disjoint per-file ranges), commit v1 = the batch append. Lives under
+    * the IndexStore dir fingerprint, so a REGENERATED fixture gets a fresh
+    * table; idempotent per JVM (and self-healing: a crash between data
+    * write and manifest publish leaves only unreferenced files — the
+    * manifest is the sole source of truth). */
+  private def docsTable(s: org.apache.spark.sql.SparkSession, dir: String,
+                        oldSources: Seq[String]): String = {
+    val gt = graft.sources.GraftTable
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_table")
+    gt.synchronized {
+      if (gt.currentVersion(tdir).isEmpty)
+        gt.create(s, tdir,
+          Tables.table(s, dir, "documents")
+            .filter(col("source").isin(oldSources: _*))
+            .repartitionByRange(4, col("doc_id")),
+          statsCols = Seq("doc_id"))
+      if (gt.currentVersion(tdir).contains(0))
+        gt.append(s, tdir,
+          Tables.table(s, dir, "documents")
+            .filter(!col("source").isin(oldSources: _*)),
+          statsCols = Seq("doc_id"))
+    }
+    tdir
+  }
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     DeclaredQuery("j1_props_sum",
@@ -605,6 +632,66 @@ object JsonDocs {
     // already-curated corpus.
     DeclaredQuery.noOracle("d15_semantic_dedup") {
       (s, dir) => graft.operators.Sketches.semanticDedupSummary(s, dir)
+    },
+
+    // d14's ingest gate run END-TO-END through a versioned table
+    // (sources.GraftTable): the corpus is snapshot v0 of a real table, the
+    // batch arrives as an APPEND commit, the probe reads the manifest
+    // CHANGELOG (v0→v1: new files only, corpus never rescanned), and the
+    // corpus mask index is keyed by `table@v0` — the snapshot version IS
+    // the content fingerprint, so keying costs zero scans and the ingest
+    // cannot invalidate it. Same admit/reject semantics and oracle as d14;
+    // what this query adds is the production ingest PATH: create → append →
+    // changelog-probe → gate, over immutable snapshot files. Reuse-under-
+    // append and changelog exactness are proven in GraftTableTest.
+    DeclaredQuery("d16_table_ingest_dedup",
+      """WITH toks AS (SELECT DISTINCT doc_id, lang, tok
+        |              FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+        |                    FROM documents) u WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |olds AS (SELECT doc_id FROM documents
+        |         WHERE source IN ('src0','src1','src2','src3','src4',
+        |                          'src5','src6','src7','src8','src9')),
+        |news AS (SELECT doc_id, source FROM documents
+        |         WHERE source NOT IN ('src0','src1','src2','src3','src4',
+        |                              'src5','src6','src7','src8','src9')),
+        |inter AS (SELECT a.doc_id AS old_id, b.doc_id AS new_id, COUNT(*) AS i
+        |          FROM toks a JOIN olds o ON a.doc_id = o.doc_id
+        |          JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+        |          JOIN news n ON b.doc_id = n.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |nd AS (SELECT DISTINCT new_id FROM inter
+        |       JOIN sizes s1 ON s1.doc_id = old_id
+        |       JOIN sizes s2 ON s2.doc_id = new_id
+        |       WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |fl AS (SELECT n.doc_id, n.source, nd.new_id IS NOT NULL AS dup
+        |       FROM news n LEFT JOIN nd ON n.doc_id = nd.new_id)
+        |SELECT source, COUNT(*) AS n_new,
+        |       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted,
+        |       md5(COALESCE(string_agg(CASE WHEN dup THEN doc_id::VARCHAR END,
+        |                               ',' ORDER BY doc_id), '')) AS dup_md5
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val oldSources = (0 to 9).map(i => s"src$i")
+        val tdir = docsTable(s, dir, oldSources)
+        val pairs = graft.operators.DocSimilarity
+          .incrementalNearDupsTable(s, tdir, corpusVersion = 0, batchVersion = 1)
+        val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
+          .withColumn("dup", lit(true))
+        graft.sources.GraftTable.readChanges(s, tdir, 0, 1)
+          .select(col("doc_id"), col("source"))
+          .join(dupIds, Seq("doc_id"), "left_outer")
+          .withColumn("dup", coalesce(col("dup"), lit(false)))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_new"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("dup"), 0L).otherwise(1L)).as("n_admitted"),
+            md5(concat_ws(",",
+              expr("transform(array_sort(collect_list(CASE WHEN dup THEN doc_id END)), x -> CAST(x AS STRING))")))
+              .as("dup_md5"))
+          .orderBy(col("source"))
     },
 
     // Exact duplicated-span SURGERY — the removal step d8 only measures

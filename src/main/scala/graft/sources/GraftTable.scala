@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Path => JPath, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Minimal snapshot/manifest table format — the versioned-table layer the
+  * incremental operators key on (SCALE.md "table format"; the local,
+  * zero-dependency analog of a Delta/Iceberg commit log).
+  *
+  * Layout under one table directory:
+  * {{{
+  *   <dir>/_log/v00000.manifest     one immutable manifest per snapshot
+  *   <dir>/data/c00000_<salt>/...   each commit's parquet files (never rewritten)
+  * }}}
+  *
+  * A manifest is the COMPLETE file list of its snapshot (not a delta), plus
+  * the schema DDL and per-file row counts and min/max stats for designated
+  * long-typed columns. That gives, with no extra I/O at read time:
+  *
+  *  - '''snapshot isolation / time travel''': `read(dir, Some(v))` sees
+  *    exactly snapshot v's files, regardless of later appends;
+  *  - '''changelog reads''': `readChanges(dir, v0, v1)` = the files added
+  *    between two snapshots — the incremental-ingestion batch source
+  *    (Delta CDF / Iceberg incremental-scan analog);
+  *  - '''manifest-level file skipping''': `scanWhere` drops whole files
+  *    whose [min,max] range misses the predicate before Spark ever opens
+  *    them (the coarse layer above parquet row-group pruning);
+  *  - '''a free index validity key''': snapshots are immutable, so
+  *    `table@version` identifies corpus content with ZERO scanning —
+  *    `DocSimilarity.incrementalNearDupsTable` keys its corpus mask
+  *    artifact this way instead of fingerprinting rows.
+  *
+  * Commits are atomic and optimistic: data files land first under a fresh
+  * salted subdirectory (concurrent writers can never collide on data
+  * paths), then the manifest is published via hard-link-from-temp, which
+  * fails — [[java.nio.file.FileAlreadyExistsException]] — if another writer
+  * published the same version first; the loser re-reads and retries against
+  * the new head. On an object store the same protocol is a conditional PUT
+  * (if-none-match) of the manifest key. The log is the only serialization
+  * point; data writes are fully parallel.
+  *
+  * Append-only by design (create + append): the dedup/index surfaces this
+  * backs never rewrite history. Compaction/deletes would add `remove`
+  * manifest entries, orthogonal to the read/changelog contract here.
+  */
+object GraftTable {
+
+  /** One data file of a snapshot: table-relative path, row count, and
+    * min/max per stats column (absent ⇒ no pruning info, file is kept). */
+  final case class TableFile(path: String, records: Long,
+                             stats: Map[String, (Long, Long)])
+
+  final case class Manifest(version: Int, op: String, schemaDdl: String,
+                            files: Seq[TableFile])
+
+  /** Thrown when a commit loses the optimistic race for its version slot. */
+  final class CommitConflict(v: Int)
+    extends RuntimeException(s"manifest v$v already published by another writer")
+
+  private def logDir(dir: String): JPath = Paths.get(dir, "_log")
+  private def manifestPath(dir: String, v: Int): JPath =
+    logDir(dir).resolve(f"v$v%05d.manifest")
+
+  /** Latest committed snapshot version, None for a non-table directory. */
+  def currentVersion(dir: String): Option[Int] = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) return None
+    val vs = Files.list(ld).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def manifest(dir: String, v: Int): Manifest = {
+    val lines = new String(Files.readAllBytes(manifestPath(dir, v)),
+      StandardCharsets.UTF_8).linesIterator.toSeq
+    val kv = lines.takeWhile(!_.startsWith("file\t"))
+      .map(_.split('\t')).collect { case Array(k, v0) => k -> v0 }.toMap
+    val files = lines.filter(_.startsWith("file\t")).map { l =>
+      val p = l.split('\t')
+      val stats =
+        if (p.length < 5 || p(4) == "-") Map.empty[String, (Long, Long)]
+        else p(4).split(';').map { s =>
+          val Array(c, range) = s.split('=')
+          val Array(mn, mx) = range.split("\\.\\.", 2)
+          c -> (mn.toLong, mx.toLong)
+        }.toMap
+      TableFile(p(2), p(3).toLong, stats)
+    }
+    Manifest(kv("version").toInt, kv("op"), kv("schema"), files)
+  }
+
+  /** Create snapshot v0. Fails if the table already exists. */
+  def create(s: SparkSession, dir: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Int = {
+    require(currentVersion(dir).isEmpty, s"table already exists at $dir")
+    commit(s, dir, df, statsCols, version = 0, op = "create", prev = Nil)
+  }
+
+  /** Append one batch as snapshot current+1. Throws [[CommitConflict]] if a
+    * concurrent writer takes the slot first (data files are never clobbered
+    * either way — retry by calling append again). */
+  def append(s: SparkSession, dir: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    commit(s, dir, df, statsCols, version = head + 1, op = "append",
+      prev = manifest(dir, head).files)
+  }
+
+  private def commit(s: SparkSession, dir: String, df: DataFrame,
+                     statsCols: Seq[String], version: Int, op: String,
+                     prev: Seq[TableFile]): Int = {
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val sub = f"data/c$version%05d_$salt"
+    df.write.parquet(s"$dir/$sub")
+    // one column-pruned scan of the just-written batch yields the per-file
+    // manifest stats; rows are bounded by the batch's FILE count
+    val back = s.read.parquet(s"$dir/$sub")
+    val aggs = count(lit(1)).as("_n") +:
+      statsCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"_mn_$c"), max(col(c).cast("long")).as(s"_mx_$c")))
+    val perFile = back.groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per data FILE of this commit
+    val fresh = perFile.map { r =>
+      val full = r.getString(0)
+      val rel = full.substring(full.indexOf(sub))
+      val stats = statsCols.flatMap { c =>
+        val mn = r.getAs[Any](s"_mn_$c"); val mx = r.getAs[Any](s"_mx_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+      }.toMap
+      TableFile(rel, r.getAs[Long]("_n"), stats)
+    }.sortBy(_.path)
+    publish(dir, Manifest(version, op, df.schema.toDDL, prev ++ fresh))
+    version
+  }
+
+  /** Atomic publish: full write to a temp name, then hard-link into the
+    * version slot — link creation fails atomically if the slot is taken
+    * (object-store analog: conditional PUT). */
+  private def publish(dir: String, m: Manifest): Unit = {
+    Files.createDirectories(logDir(dir))
+    val body = new StringBuilder()
+      .append("graft-manifest\t1\n")
+      .append(s"version\t${m.version}\n")
+      .append(s"op\t${m.op}\n")
+      .append(s"schema\t${m.schemaDdl}\n")
+    m.files.foreach { f =>
+      val stats = if (f.stats.isEmpty) "-"
+        else f.stats.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }.mkString(";")
+      body.append(s"file\tadd\t${f.path}\t${f.records}\t$stats\n")
+    }
+    val tmp = logDir(dir).resolve(
+      s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
+    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(manifestPath(dir, m.version), tmp)
+    catch { case _: FileAlreadyExistsException =>
+      throw new CommitConflict(m.version)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Snapshot read: exactly `version`'s files (default: latest). */
+  def read(s: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    readFiles(s, dir, manifest(dir, v))
+  }
+
+  /** Files added between two snapshots (append-only changelog). */
+  def addedFiles(dir: String, fromV: Int, toV: Int): Seq[TableFile] = {
+    val before = manifest(dir, fromV).files.map(_.path).toSet
+    manifest(dir, toV).files.filterNot(f => before(f.path))
+  }
+
+  /** Changelog read: only the rows that arrived in (fromV, toV] — the
+    * incremental batch the d16/v10-style operators probe with. Cost is the
+    * NEW files only; the corpus snapshot is never rescanned. */
+  def readChanges(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame =
+    readFiles(s, dir, manifest(dir, toV).copy(files = addedFiles(dir, fromV, toV)))
+
+  /** Manifest-level file skipping: read only files whose [min,max] stats
+    * range for `colName` overlaps [lo,hi], then apply the row predicate.
+    * Files without stats for the column are conservatively kept. */
+  def scanWhere(s: SparkSession, dir: String, version: Option[Int],
+                colName: String, lo: Long, hi: Long): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, v)
+    val kept = m.files.filter(_.stats.get(colName)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    readFiles(s, dir, m.copy(files = kept))
+      .filter(col(colName).between(lo, hi))
+  }
+
+  private def readFiles(s: SparkSession, dir: String, m: Manifest): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    if (m.files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else
+      s.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+  }
+}

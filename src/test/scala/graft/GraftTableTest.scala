@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DocSimilarity
+import graft.sources.GraftTable
+
+/** Versioned snapshot/manifest table (sources.GraftTable): snapshot
+  * isolation, atomic optimistic commits, changelog reads, manifest-level
+  * file skipping — and the d16 contract: the incremental dedup probe over
+  * the table equals the source-roster form, reuses the corpus index across
+  * appends, and rebuilds it only when the corpus snapshot rolls forward. */
+class GraftTableTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-table-$tag").resolve("t").toString
+
+  private def docs(dir: String) = Tables.table(spark, dir, "documents")
+
+  test("create/append: time travel isolates snapshots; changelog is exactly the appended rows") {
+    val tdir = freshDir("basic")
+    val oldS = (0 to 9).map(i => s"src$i")
+    val corpus = docs(TestSpark.sf0001).filter(col("source").isin(oldS: _*))
+    val batch = docs(TestSpark.sf0001).filter(!col("source").isin(oldS: _*))
+
+    assert(GraftTable.currentVersion(tdir).isEmpty)
+    assert(GraftTable.create(spark, tdir, corpus, Seq("doc_id")) == 0)
+    assert(GraftTable.append(spark, tdir, batch, Seq("doc_id")) == 1)
+    assert(GraftTable.currentVersion(tdir).contains(1))
+
+    val nC = corpus.count(); val nB = batch.count()
+    // v0 read is unaffected by the later append — snapshot isolation
+    assert(GraftTable.read(spark, tdir, Some(0)).count() == nC)
+    assert(GraftTable.read(spark, tdir).count() == nC + nB)
+    // changelog = the appended rows, exactly (set equality on doc_id)
+    val changed = GraftTable.readChanges(spark, tdir, 0, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(changed == batch.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // schema round-trips through the manifest DDL
+    assert(GraftTable.read(spark, tdir).schema.fieldNames.toSeq
+      == corpus.schema.fieldNames.toSeq)
+  }
+
+  test("commit is atomic: losing writer gets CommitConflict, data files never collide, retry lands") {
+    val tdir = freshDir("conflict")
+    val base = docs(TestSpark.sf0001).limit(10)
+    GraftTable.create(spark, tdir, base, Seq("doc_id"))
+    // two writers race for v1: publish is an atomic link into the version
+    // slot, so exactly one wins; simulate by publishing v1 twice
+    GraftTable.append(spark, tdir, base.limit(3), Seq("doc_id"))
+    val e = intercept[GraftTable.CommitConflict] {
+      // second writer computed against the old head (v0) and tries v1 too
+      val m0 = GraftTable.manifest(tdir, 0)
+      val commitM = GraftTable.getClass.getDeclaredMethods
+        .find(_.getName == "commit").get
+      commitM.setAccessible(true)
+      try commitM.invoke(GraftTable, spark, tdir, base.limit(2), Seq("doc_id"),
+        Int.box(1), "append", m0.files)
+      catch { case ex: java.lang.reflect.InvocationTargetException => throw ex.getCause }
+    }
+    assert(e.getMessage.contains("v1"))
+    // loser's data files are orphans (unreferenced), not corruption: the
+    // surviving manifest still reads exactly winner rows, and a plain
+    // retry against the new head succeeds as v2
+    assert(GraftTable.read(spark, tdir).count() == 13)
+    assert(GraftTable.append(spark, tdir, base.limit(2), Seq("doc_id")) == 2)
+    assert(GraftTable.read(spark, tdir).count() == 15)
+  }
+
+  test("scanWhere skips files by manifest stats and matches the unpruned answer") {
+    val tdir = freshDir("prune")
+    val all = docs(TestSpark.sf0001)
+    // range layout on doc_id → per-file min/max ranges are disjoint
+    GraftTable.create(spark, tdir, all.repartitionByRange(4, col("doc_id")), Seq("doc_id"))
+    val m = GraftTable.manifest(tdir, 0)
+    assert(m.files.size >= 3, s"fixture should split into several files, got ${m.files.size}")
+    assert(m.files.forall(_.stats.contains("doc_id")))
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 8), ids(ids.length / 4)) // narrow low band
+    val pruned = GraftTable.scanWhere(spark, tdir, Some(0), "doc_id", lo, hi)
+    val full = GraftTable.read(spark, tdir, Some(0)).filter(col("doc_id").between(lo, hi))
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == full.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(pruned.inputFiles.length < m.files.size,
+      s"manifest stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
+  }
+
+  test("incremental dedup over the table == source-roster form; corpus index survives appends, rebuilds on corpus roll") {
+    val tmp = Files.createTempDirectory("graft-table-incr").toString
+    spark.conf.set("graft.index.dir", tmp)
+    val tdir = freshDir("incr")
+    try {
+      DocSimilarity.resetCaches()
+      val oldS = (0 to 9).map(i => s"src$i")
+      val all = docs(TestSpark.sf0001)
+      GraftTable.create(spark, tdir,
+        all.filter(col("source").isin(oldS: _*)), Seq("doc_id"))
+      GraftTable.append(spark, tdir,
+        all.filter(!col("source").isin(oldS: _*)), Seq("doc_id"))
+
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("old_id", "new_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaTable = key(DocSimilarity.incrementalNearDupsTable(spark, tdir, 0, 1))
+      val viaRoster = key(DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001, oldS))
+      assert(viaTable == viaRoster, "table changelog probe must equal the roster split")
+
+      // day N+1: ANOTHER batch appends as v2. The corpus snapshot (v0) is
+      // untouched, so its mask artifact must be REUSED — zero new builds —
+      // and the new probe still agrees with a from-scratch roster answer.
+      val builds0 = DocSimilarity.incrMaskBuilds.get()
+      GraftTable.append(spark, tdir, all.filter(!col("source").isin(oldS: _*))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)), Seq("doc_id"))
+      val v2pairs = DocSimilarity.incrementalNearDupsTable(spark, tdir, 0, 2)
+      assert(key(v2pairs).map(_._2).exists(_ >= 1000000L), "v2 batch rows probed")
+      assert(DocSimilarity.incrMaskBuilds.get() == builds0,
+        "append must NOT rebuild the corpus snapshot index")
+
+      // corpus rolls forward (v0 → v1 as the new corpus): different
+      // snapshot ⇒ different validity key ⇒ the index rebuilds once
+      DocSimilarity.incrementalNearDupsTable(spark, tdir, 1, 2).count()
+      assert(DocSimilarity.incrMaskBuilds.get() == builds0 + 1,
+        "a corpus snapshot roll must key (and build) a fresh index")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      DocSimilarity.resetCaches()
+    }
+  }
+
+  test("d16 declared query: plan has no cartesian product and matches the d14 gate on the fixture") {
+    val tmp = Files.createTempDirectory("graft-table-d16").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      DocSimilarity.resetCaches()
+      val d16 = SparkEntry.queries("d16_table_ingest_dedup")(spark, TestSpark.sf0001)
+      val plan = d16.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "ingest gate must never go all-pairs")
+      val d14 = SparkEntry.queries("d14_incremental_dedup")(spark, TestSpark.sf0001)
+      assert(d16.collect().map(_.toString).toSeq == d14.collect().map(_.toString).toSeq,
+        "table-path gate must produce d14's exact per-source admit/reject summary")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      DocSimilarity.resetCaches()
+    }
+  }
+}
