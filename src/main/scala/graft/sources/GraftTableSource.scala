@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming source over a [[GraftTable]] commit log — the
+  * changelog-stream half of the versioned-table story (SCALE.md: "streaming
+  * twins read the table's changelog"): the SAME table serves the batch
+  * backfill (`GraftTable.read`) and the incremental stream, so ingest gates
+  * like d16's run identically in both modes.
+  *
+  * {{{
+  *   spark.readStream.format("graft-table")
+  *     .option("path", tableDir)
+  *     .option("startingVersion", 1)   // default 0 = backfill v0 first
+  *     .load()
+  * }}}
+  *
+  * Offsets ARE snapshot versions (`LongOffset(v)` = "snapshots ≤ v
+  * emitted"), so exactly-once recovery falls out of the manifest log: a
+  * micro-batch is `readChanges(lastCommitted, head)` — the files appended
+  * between two manifests, never a rescan of the corpus — and replaying an
+  * offset range after a crash reads byte-identical files (snapshots are
+  * immutable). The first batch with `startingVersion` v₀ > 0 starts at
+  * v₀'s changelog; with the default 0 it is the full v0 snapshot
+  * (backfill-then-tail, the Delta-source shape).
+  */
+class GraftTableSource(spark: SparkSession, dir: String, startingVersion: Int)
+  extends Source {
+
+  override val schema: StructType =
+    GraftTableSource.tableSchema(dir)
+
+  private def ver(o: V1Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case s: SerializedOffset => s.json.trim.toInt
+    case other => other.json.trim.toInt
+  }
+
+  /** Latest committed snapshot, if it has reached `startingVersion`. */
+  override def getOffset: Option[V1Offset] =
+    GraftTable.currentVersion(dir).filter(_ >= startingVersion)
+      .map(v => LongOffset(v.toLong))
+
+  /** (start, end] as manifest changelog; `start = None` means "nothing
+    * emitted yet": the full `end` snapshot when startingVersion is 0, else
+    * the changelog from just before startingVersion. */
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = ver(end)
+    val fromExcl = start.map(ver).getOrElse(startingVersion - 1)
+    val batch =
+      if (fromExcl < 0) GraftTable.read(spark, dir, Some(to))
+      else GraftTable.readChanges(spark, dir, fromExcl, to)
+    org.apache.spark.sql.graft.Bridge
+      .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableSource[$dir, from v$startingVersion]"
+}
+
+object GraftTableSource {
+  private[sources] def tableSchema(dir: String): StructType = {
+    val head = GraftTable.currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no graft table at $dir"))
+    StructType.fromDDL(GraftTable.manifest(dir, head).schemaDdl)
+  }
+}
+
+/** `format("graft-table")` registration (META-INF/services). */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      GraftTableSource.tableSchema(parameters("path"))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftTableSource(ctx.sparkSession, parameters("path"),
+      parameters.get("startingVersion").map(_.toInt).getOrElse(0))
+}

@@ -363,6 +363,60 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("graft-table changelog stream: offsets = snapshot versions; gate over the tail == batch pairs") {
+    import graft.sources.GraftTable
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    val tdir = Files.createTempDirectory("graft-tstream").resolve("t").toString
+    val allDocs = Tables.table(spark, TestSpark.sf0001, "documents")
+    GraftTable.create(spark, tdir,
+      allDocs.filter($"source".isin(oldSrcs: _*)), Seq("doc_id"))
+
+    // the broadcast index side: corpus mask groups from SNAPSHOT v0 (what
+    // IndexStore serves under the table@v0 key in d16)
+    val toksA = GraftTable.read(spark, tdir, Some(0))
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "").distinct()
+    val vocab = toksA.select($"tok").distinct().collect().map(_.getString(0))
+    val groups = DocSimilarity.corpusMaskGroups(toksA, vocab)
+
+    // tail the commit log from v1: each APPEND commit becomes one
+    // micro-batch (offset = snapshot version, batch = manifest changelog)
+    val stream = spark.readStream.format("graft-table")
+      .option("path", tdir).option("startingVersion", "1").load()
+    val q = StreamingQueries.streamIncrementalGate(stream, groups, vocab)
+      .writeStream.format("memory").queryName("s_tbl_gate")
+      .outputMode("append").start()
+    var afterV1Count = 0L
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s_tbl_gate").count() == 0, "no commits yet → no rows")
+
+      val newDocs = allDocs.filter(!$"source".isin(oldSrcs: _*))
+        .orderBy($"doc_id").collect()
+      val half = newDocs.length / 2
+      def slice(a: Int, b: Int) = spark.createDataFrame(
+        spark.sparkContext.parallelize(newDocs.slice(a, b).toSeq, 1), allDocs.schema)
+
+      GraftTable.append(spark, tdir, slice(0, half), Seq("doc_id"))
+      q.processAllAvailable()
+      afterV1Count = spark.table("s_tbl_gate").count()
+      assert(afterV1Count > 0, "v1 commit must stream through the gate")
+
+      GraftTable.append(spark, tdir, slice(half, newDocs.length), Seq("doc_id"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: DataFrame) =
+      df.select($"old_id", $"new_id", $"lang", $"jaccard")
+        .orderBy($"old_id", $"new_id").collect().map(_.toString).toSeq
+    val got = canon(spark.table("s_tbl_gate"))
+    val want = canon(DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001, oldSrcs))
+    assert(got == want,
+      "two tailed commits must reproduce the batch cross-pair set exactly")
+    assert(afterV1Count < got.size,
+      "the v2 commit must have contributed its own micro-batch of pairs")
+  }
+
   /** Round-8 directive #6: the p27 temperature-mix gate as an ingest-time
     * stream — per-source quota counters (state bounded by #sources) must
     * admit exactly the batch kept set when the corpus replays in the
