@@ -45,9 +45,12 @@ import org.apache.spark.sql.types.StructType
   * (if-none-match) of the manifest key. The log is the only serialization
   * point; data writes are fully parallel.
   *
-  * Append-only by design (create + append): the dedup/index surfaces this
-  * backs never rewrite history. Compaction/deletes would add `remove`
-  * manifest entries, orthogonal to the read/changelog contract here.
+  * Rows are append-only (create + append + the [[exactlyOnceAppend]]
+  * streaming sink): the dedup/index surfaces this backs never rewrite
+  * history. [[compact]] may rewrite LAYOUT (same rows, fewer files) as an
+  * op=compact commit that the changelog skips, and [[vacuum]] reclaims
+  * files no retained manifest references. Row-level deletes would add
+  * `remove` manifest entries, orthogonal to the contract here.
   */
 object GraftTable {
 
@@ -56,8 +59,10 @@ object GraftTable {
   final case class TableFile(path: String, records: Long,
                              stats: Map[String, (Long, Long)])
 
+  /** `txn` = idempotence token of the commit (`appId:batchId`) for the
+    * exactly-once streaming sink; None for plain commits. */
   final case class Manifest(version: Int, op: String, schemaDdl: String,
-                            files: Seq[TableFile])
+                            files: Seq[TableFile], txn: Option[(String, Long)] = None)
 
   /** Thrown when a commit loses the optimistic race for its version slot. */
   final class CommitConflict(v: Int)
@@ -95,7 +100,10 @@ object GraftTable {
         }.toMap
       TableFile(p(2), p(3).toLong, stats)
     }
-    Manifest(kv("version").toInt, kv("op"), kv("schema"), files)
+    val txn = kv.get("txn").map { t =>
+      val i = t.lastIndexOf(':'); (t.substring(0, i), t.substring(i + 1).toLong)
+    }
+    Manifest(kv("version").toInt, kv("op"), kv("schema"), files, txn)
   }
 
   /** Create snapshot v0. Fails if the table already exists. */
@@ -116,9 +124,89 @@ object GraftTable {
       prev = manifest(dir, head).files)
   }
 
+  /** Idempotent append for exactly-once streaming sinks
+    * (`writeStream.foreachBatch(GraftTable.sinkInto(dir, appId))`): the
+    * (appId, batchId) token is recorded in the commit's manifest, so a
+    * re-delivered micro-batch after crash recovery (batchId ≤ the app's
+    * last committed) is a NO-OP instead of a double append — the
+    * transactional-sink shape SCALE.md maps to Delta's `txn` action. The
+    * first batch of a fresh sink creates the table. Conflicts with OTHER
+    * writers re-check the token and retry. */
+  def exactlyOnceAppend(s: SparkSession, dir: String, df: DataFrame,
+                        appId: String, batchId: Long,
+                        statsCols: Seq[String] = Nil): Int = {
+    while (true) {
+      val headOpt = currentVersion(dir)
+      if (lastTxn(dir, appId).exists(_ >= batchId)) return headOpt.get
+      val (v, op, prev) = headOpt match {
+        case Some(h) => (h + 1, "append", manifest(dir, h).files)
+        case None => (0, "create", Nil)
+      }
+      try return commit(s, dir, df, statsCols, v, op, prev,
+        txn = Some(appId -> batchId))
+      catch { case _: CommitConflict => () } // other writer won; re-check
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Latest committed batchId of a sink appId (backward manifest scan —
+    * bounded by log length locally; a deployment checkpoints this). */
+  def lastTxn(dir: String, appId: String): Option[Long] = {
+    val head = currentVersion(dir).getOrElse(return None)
+    (head to 0 by -1).iterator
+      .map(v => manifest(dir, v).txn)
+      .collectFirst { case Some((a, b)) if a == appId => b }
+  }
+
+  /** foreachBatch adapter for the exactly-once sink. */
+  def sinkInto(dir: String, appId: String, statsCols: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit = (df, batchId) => {
+    exactlyOnceAppend(df.sparkSession, dir, df, appId, batchId, statsCols); ()
+  }
+
+  /** Rewrite the head snapshot into `targetFiles` files, published as an
+    * op=compact commit: same rows, new layout, and — by the changelog
+    * contract — contributes NOTHING to `readChanges`/the streaming source
+    * (a compact is not an ingest). This is the small-file compaction a
+    * high-frequency ingest needs; superseded files stay on disk for
+    * in-flight snapshot/changelog readers until [[vacuum]]. */
+  def compact(s: SparkSession, dir: String, targetFiles: Int = 1,
+              statsCols: Seq[String] = Nil): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    commit(s, dir, read(s, dir, Some(head)).repartition(targetFiles),
+      statsCols, head + 1, "compact", prev = Nil)
+  }
+
+  /** Delete unreferenced data files: conflict losers and crashed commits
+    * (referenced by NO manifest), plus — when `retainVersions` is set —
+    * files referenced only by manifests older than head−retainVersions
+    * (the time-travel/changelog horizon; don't vacuum past a reader).
+    * Only `*.parquet` files are candidates. Returns the deleted count. */
+  def vacuum(dir: String, retainVersions: Int = Int.MaxValue): Int = {
+    val head = currentVersion(dir).getOrElse(return 0)
+    val keepFrom = math.max(0, head.toLong - retainVersions).toInt
+    val live = (keepFrom to head).flatMap(v => manifest(dir, v).files.map(_.path)).toSet
+    val root = Paths.get(dir)
+    val dataRoot = root.resolve("data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    val it = Files.walk(dataRoot)
+    try {
+      var n = 0
+      it.iterator().asScala.foreach { p =>
+        if (Files.isRegularFile(p) && p.toString.endsWith(".parquet")
+            && !live(root.relativize(p).toString)) {
+          Files.delete(p); n += 1
+        }
+      }
+      n
+    } finally it.close()
+  }
+
   private def commit(s: SparkSession, dir: String, df: DataFrame,
                      statsCols: Seq[String], version: Int, op: String,
-                     prev: Seq[TableFile]): Int = {
+                     prev: Seq[TableFile],
+                     txn: Option[(String, Long)] = None): Int = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/c$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
@@ -141,7 +229,7 @@ object GraftTable {
       }.toMap
       TableFile(rel, r.getAs[Long]("_n"), stats)
     }.sortBy(_.path)
-    publish(dir, Manifest(version, op, df.schema.toDDL, prev ++ fresh))
+    publish(dir, Manifest(version, op, df.schema.toDDL, prev ++ fresh, txn))
     version
   }
 
@@ -155,6 +243,7 @@ object GraftTable {
       .append(s"version\t${m.version}\n")
       .append(s"op\t${m.op}\n")
       .append(s"schema\t${m.schemaDdl}\n")
+    m.txn.foreach { case (a, b) => body.append(s"txn\t$a:$b\n") }
     m.files.foreach { f =>
       val stats = if (f.stats.isEmpty) "-"
         else f.stats.toSeq.sortBy(_._1)
@@ -177,10 +266,20 @@ object GraftTable {
     readFiles(s, dir, manifest(dir, v))
   }
 
-  /** Files added between two snapshots (append-only changelog). */
+  /** Files LOGICALLY added between two snapshots: walk each commit in
+    * (fromV, toV] and take its own fresh files — a compact commit rewrites
+    * existing rows into new files and contributes nothing. (Until vacuum,
+    * superseded paths remain readable, so a changelog spanning a compact
+    * still reads the ORIGINAL ingest files — same rows either way.) */
   def addedFiles(dir: String, fromV: Int, toV: Int): Seq[TableFile] = {
-    val before = manifest(dir, fromV).files.map(_.path).toSet
-    manifest(dir, toV).files.filterNot(f => before(f.path))
+    val out = Seq.newBuilder[TableFile]
+    var prevPaths = manifest(dir, fromV).files.map(_.path).toSet
+    ((fromV + 1) to toV).foreach { v =>
+      val m = manifest(dir, v)
+      if (m.op != "compact") out ++= m.files.filterNot(f => prevPaths(f.path))
+      prevPaths = m.files.map(_.path).toSet
+    }
+    out.result()
   }
 
   /** Changelog read: only the rows that arrived in (fromV, toV] — the

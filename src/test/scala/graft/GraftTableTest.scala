@@ -59,7 +59,7 @@ class GraftTableTest extends AnyFunSuite {
         .find(_.getName == "commit").get
       commitM.setAccessible(true)
       try commitM.invoke(GraftTable, spark, tdir, base.limit(2), Seq("doc_id"),
-        Int.box(1), "append", m0.files)
+        Int.box(1), "append", m0.files, None)
       catch { case ex: java.lang.reflect.InvocationTargetException => throw ex.getCause }
     }
     assert(e.getMessage.contains("v1"))
@@ -87,6 +87,79 @@ class GraftTableTest extends AnyFunSuite {
       == full.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
     assert(pruned.inputFiles.length < m.files.size,
       s"manifest stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
+  }
+
+  test("exactly-once sink: first batch creates, replayed batch ids are no-ops, fresh ids append") {
+    val tdir = freshDir("sink")
+    val base = docs(TestSpark.sf0001).orderBy("doc_id").limit(20).collect()
+    def slice(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(base.slice(a, b).toSeq, 1),
+      docs(TestSpark.sf0001).schema)
+    val sink = GraftTable.sinkInto(tdir, "gate-app")
+
+    sink(slice(0, 5), 0L) // first delivery creates the table
+    assert(GraftTable.currentVersion(tdir).contains(0))
+    assert(GraftTable.read(spark, tdir).count() == 5)
+
+    sink(slice(0, 5), 0L) // crash-recovery re-delivery of batch 0: no-op
+    assert(GraftTable.currentVersion(tdir).contains(0), "replay must not commit")
+
+    sink(slice(5, 12), 1L)
+    assert(GraftTable.currentVersion(tdir).contains(1))
+    assert(GraftTable.read(spark, tdir).count() == 12)
+
+    sink(slice(12, 15), 0L) // stale out-of-order replay: still a no-op
+    assert(GraftTable.read(spark, tdir).count() == 12)
+    assert(GraftTable.lastTxn(tdir, "gate-app").contains(1L))
+    assert(GraftTable.lastTxn(tdir, "other-app").isEmpty)
+
+    // a plain (non-txn) append from another writer doesn't disturb the
+    // sink's token, and the sink continues past it
+    GraftTable.append(spark, tdir, slice(15, 17), Seq("doc_id"))
+    assert(GraftTable.lastTxn(tdir, "gate-app").contains(1L))
+    sink(slice(17, 20), 2L)
+    assert(GraftTable.read(spark, tdir).count() == 17)
+  }
+
+  test("compact rewrites layout not content, contributes nothing to the changelog; vacuum reclaims") {
+    val tdir = freshDir("compact")
+    val all = docs(TestSpark.sf0001)
+    val oldS = (0 to 9).map(i => s"src$i")
+    val corpus = all.filter(col("source").isin(oldS: _*))
+    val batch = all.filter(!col("source").isin(oldS: _*))
+    GraftTable.create(spark, tdir, corpus.repartitionByRange(4, col("doc_id")), Seq("doc_id"))
+    GraftTable.append(spark, tdir, batch.repartition(3), Seq("doc_id"))
+    val filesBefore = GraftTable.manifest(tdir, 1).files.size
+    assert(filesBefore >= 5)
+
+    assert(GraftTable.compact(spark, tdir, targetFiles = 1, Seq("doc_id")) == 2)
+    val ids = (v: Int) => GraftTable.read(spark, tdir, Some(v))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(GraftTable.manifest(tdir, 2).files.size < filesBefore)
+    assert(ids(2) == ids(1), "compact must preserve row content exactly")
+
+    // changelog across the compact: still exactly the ingest's rows
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(GraftTable.readChanges(spark, tdir, 0, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == batchIds)
+    assert(GraftTable.addedFiles(tdir, 1, 2).isEmpty, "compact adds nothing logically")
+
+    // ingest continues after the compact; per-commit changelog stays exact
+    val extra = batch.limit(7)
+    GraftTable.append(spark, tdir, extra, Seq("doc_id"))
+    assert(GraftTable.readChanges(spark, tdir, 2, 3).count() == 7)
+
+    // vacuum: an orphan (conflict loser / crashed commit) goes even under
+    // full retention; superseded pre-compact files go once retention drops
+    val orphan = java.nio.file.Paths.get(tdir, "data", "stray.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    assert(GraftTable.vacuum(tdir) == 1, "only the orphan is unreferenced")
+    val reclaimed = GraftTable.vacuum(tdir, retainVersions = 0)
+    assert(reclaimed >= filesBefore,
+      s"superseded pre-compact files must be reclaimed, got $reclaimed")
+    // the head snapshot never references reclaimed files — still readable
+    assert(GraftTable.read(spark, tdir).count() ==
+      GraftTable.manifest(tdir, 3).files.map(_.records).sum)
   }
 
   test("incremental dedup over the table == source-roster form; corpus index survives appends, rebuilds on corpus roll") {
