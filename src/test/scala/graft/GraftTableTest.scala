@@ -162,6 +162,44 @@ class GraftTableTest extends AnyFunSuite {
       GraftTable.manifest(tdir, 3).files.map(_.records).sum)
   }
 
+  test("stream restart: checkpointed snapshot offsets resume exactly-once into the txn sink") {
+    val oldS = (0 to 9).map(i => s"src$i")
+    val all = docs(TestSpark.sf0001)
+    val tdir = freshDir("restart-in")
+    val outDir = freshDir("restart-out")
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val corpus = all.filter(col("source").isin(oldS: _*))
+    val batchRows = all.filter(!col("source").isin(oldS: _*))
+      .orderBy("doc_id").collect()
+    val half = batchRows.length / 2
+    def slice(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(batchRows.slice(a, b).toSeq, 1), all.schema)
+
+    GraftTable.create(spark, tdir, corpus, Seq("doc_id"))
+    GraftTable.append(spark, tdir, slice(0, half), Seq("doc_id"))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", tdir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(GraftTable.sinkInto(outDir, "restart-sink"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run() // first life: backfills v0 and tails v1
+    val nCorpus = corpus.count()
+    assert(GraftTable.read(spark, outDir).count() == nCorpus + half)
+
+    GraftTable.append(spark, tdir, slice(half, batchRows.length), Seq("doc_id"))
+    run() // second life: recovered offset (serialized form) → only v2 flows
+    val outIds = GraftTable.read(spark, outDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val wantIds = (corpus.select("doc_id").collect().map(_.getLong(0))
+      ++ batchRows.map(_.getLong(0))).sorted.toSeq
+    assert(outIds == wantIds,
+      "restart must deliver each snapshot exactly once — no gaps, no dups")
+  }
+
   test("incremental dedup over the table == source-roster form; corpus index survives appends, rebuilds on corpus roll") {
     val tmp = Files.createTempDirectory("graft-table-incr").toString
     spark.conf.set("graft.index.dir", tmp)
