@@ -76,7 +76,8 @@ object ScaleSmoke {
 
     // modes (args): "queries" = heavy declared queries per factor;
     // "knn xN [paths]" = t21 paths at one factor; "crossover" = the
-    // points-per-trajectory sweep. No args = everything (long).
+    // points-per-trajectory sweep; "table" = versioned-table ingest
+    // (create/append/changelog/probe per factor). No args = everything.
     val mode = args.headOption.getOrElse("all")
 
     if (mode == "all" || mode == "queries") for (f <- Seq(1, 3, 10)) {
@@ -130,6 +131,50 @@ object ScaleSmoke {
       val (cSec, ccRows) = time(
         SparkEntry.queries("d6_dedup_groups")(spark, dir).count())
       report("d6_components", s"x$f", cSec, ccRows)
+    }
+
+    // versioned-table ingest scaling (round-8 table layer): the corpus
+    // (src0–9, all copies) is snapshot v0 of a GraftTable; the FIXED base
+    // batch (src10–19) arrives as one append commit. The claims under
+    // measurement: append commit cost and the changelog read track the
+    // BATCH (flat in ×k), create tracks the corpus (linear — it writes
+    // it), and the d16 probe behaves like d14's (the same cross core,
+    // keyed by table@v0 instead of a content scan).
+    if (mode == "all" || mode == "table") {
+      import graft.sources.GraftTable
+      // fresh artifact root per run so a previous run's table@v0 mask
+      // can't serve this run's probe timing
+      spark.conf.set("graft.index.dir", s"$Out/table_idx_${System.nanoTime()}")
+      val oldSrcs = (0 to 9).map(i => s"src$i")
+      val baseMax = spark.read.parquet(s"$Base/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      def rmrf(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rmrf)); p.delete(); ()
+      }
+      for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val tdir = s"$Out/table_x$f"
+        rmrf(new java.io.File(tdir))
+        val corpus = docs.filter(col("source").isin(oldSrcs: _*))
+        val batch = docs.filter(!col("source").isin(oldSrcs: _*)
+          && col("doc_id") <= baseMax)
+        val (cSec, cRows) = time {
+          GraftTable.create(spark, tdir, corpus, Seq("doc_id"))
+          GraftTable.read(spark, tdir).count()
+        }
+        report("table_create", s"x$f", cSec, cRows)
+        val (aSec, _) = time(
+          GraftTable.append(spark, tdir, batch, Seq("doc_id")).toLong)
+        report("table_append", s"x$f", aSec,
+          GraftTable.manifest(tdir, 1).files.size.toLong)
+        val (rSec, rRows) = time(GraftTable.readChanges(spark, tdir, 0, 1).count())
+        report("table_changelog", s"x$f", rSec, rRows)
+        graft.operators.DocSimilarity.resetCaches()
+        val (pSec, pRows) = time(graft.operators.DocSimilarity
+          .incrementalNearDupsTable(spark, tdir, 0, 1).count())
+        report("table_probe", s"x$f", pSec, pRows)
+      }
     }
 
     if (mode == "all" || mode == "knn") {
