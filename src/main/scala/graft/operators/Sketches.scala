@@ -473,6 +473,62 @@ object Sketches {
       .orderBy(col("list_id"))
   }
 
+  /** Cross-side SemDeDup pairs — d14's cross-probe shape in embedding
+    * space: (corpus member, batch member) pairs within the SAME coarse
+    * cluster at cosine ≥ threshold; corpus×corpus and batch×batch pair
+    * spaces are never enumerated, so at 100 TB the probe cost tracks the
+    * arriving batch, not the corpus. Both inputs must be
+    * (vec_id, list_id, embedding) frames assigned under the same FROZEN
+    * quantizer (routing a batch with [[ivfRoute]] against the corpus
+    * centers guarantees that). */
+  def crossSemanticPairs(corpusAssigned: DataFrame, batchAssigned: DataFrame,
+                         threshold: Double): DataFrame = {
+    val s = corpusAssigned.sparkSession
+    graft.functions.FloatDotProduct.register(s)
+    val a = corpusAssigned.select(col("list_id"), col("vec_id").as("old_id"),
+      col("embedding").as("e1"),
+      sqrt(expr("graft_dot(embedding, embedding)")).as("n1"))
+    val b = batchAssigned.select(col("list_id").as("l2"),
+      col("vec_id").as("new_id"), col("embedding").as("e2"),
+      sqrt(expr("graft_dot(embedding, embedding)")).as("n2"))
+    a.join(b, col("list_id") === col("l2"))
+      .withColumn("dot", expr("graft_dot(e1, e2)"))
+      .filter(col("dot") >= lit(threshold) * col("n1") * col("n2"))
+      .select(col("old_id"), col("new_id"), col("list_id"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+  }
+
+  /** Incremental semantic-dedup gate (v11): the NEW embedding batch routes
+    * to the FROZEN corpus quantizer (no refit, no corpus rescan —
+    * [[ivfIncremental]]), and a new vector is rejected iff some CORPUS
+    * member of its cluster sits at cosine ≥ threshold. The embedding-space
+    * analog of the d14 ingest gate, completing the pair: d14 gates
+    * lexical near-dups at ingest, this gates paraphrase/translation
+    * duplicates lexical hashing cannot see. */
+  def incrementalSemanticDups(s: SparkSession, dir: String,
+                              threshold: Double = 0.3, nlist: Int = 16): DataFrame = {
+    val (idx, delta, _) = ivfIncremental(s, dir, nlist)
+    crossSemanticPairs(idx.assigned, delta, threshold)
+  }
+
+  /** Declared v11 form: per-cluster admit/reject summary of the gate with
+    * an exact rejected-id checksum (pins the rejection SET). */
+  def semanticGateSummary(s: SparkSession, dir: String,
+                          threshold: Double = 0.3, nlist: Int = 16): DataFrame = {
+    val (idx, delta, _) = ivfIncremental(s, dir, nlist)
+    val rejected = crossSemanticPairs(idx.assigned, delta, threshold)
+      .select(col("list_id"), col("new_id").as("vec_id")).distinct()
+      .withColumn("rej", lit(true))
+    delta.select(col("list_id"), col("vec_id"))
+      .join(rejected, Seq("list_id", "vec_id"), "left_outer")
+      .groupBy(col("list_id"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("rej"), 1L).otherwise(0L)).as("n_rejected"),
+        coalesce(sum(when(col("rej"), col("vec_id"))), lit(0L)).as("ck_rejected"))
+      .orderBy(col("list_id"))
+  }
+
   /** IVF (inverted-file) ANN: the query ranks the index's centroids on the
     * driver (nlist bounded scalars — no data scan), probes its `nprobe`
     * nearest lists, and refines with exact cosine. The partition-then-probe

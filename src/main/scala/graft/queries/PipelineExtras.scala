@@ -119,6 +119,22 @@ object PipelineExtras {
           .orderBy(col("list_id"))
     },
 
+    // Incremental SEMANTIC-dedup gate — the embedding-space analog of the
+    // d14 ingest gate, completing the incremental pair: d14 gates lexical
+    // near-dups at ingest, this gates the paraphrase/translation
+    // duplicates lexical hashing cannot see (SemDeDup semantics at
+    // continuous ingestion). The new batch (vec_id % 10 == 0) routes to
+    // the FROZEN corpus quantizer (v10's no-refit routing), and CROSS
+    // pairs only (corpus = index side, batch = probe side) reject a new
+    // vector whose cluster holds a corpus neighbor at cosine ≥ 0.3.
+    // Output: per-cluster admit/reject counts + exact rejected-id
+    // checksum. No oracle (seeded k-means); planted-twin rejection and
+    // streaming-replay equivalence proven in SketchesTest /
+    // StreamingEquivalenceTest.
+    DeclaredQuery.noOracle("v11_semantic_gate") {
+      (s, dir) => Sketches.semanticGateSummary(s, dir)
+    },
+
     // As-of join as a composable operator (union-tag + running last):
     // each event joined to the latest error event of the same user at or
     // before it.

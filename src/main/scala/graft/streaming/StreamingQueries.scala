@@ -233,6 +233,56 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
+  /** Embeddings replay schema (fixed dim 64, float). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source replay of an embeddings directory: one file per batch. */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embeddingsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** v11's incremental SEMANTIC gate as a continuous stream — the
+    * embedding-space form of [[streamIncrementalGate]]: each arriving
+    * vector routes to the FROZEN coarse centroids per row (stateless; the
+    * nlist×dim centers ride the closure, exactly [[ivfRoute]]'s argmin
+    * arithmetic with its lowest-list tie-break), then a stream-static join
+    * against the broadcast corpus cluster members rejects at cosine ≥
+    * threshold. No watermark, no state store; pairwise ≡ the batch gate
+    * under replay (StreamingEquivalenceTest). */
+  def streamSemanticGate(newVecs: DataFrame, corpusAssigned: DataFrame,
+                         centers: Array[Array[Double]],
+                         threshold: Double): DataFrame = {
+    val s = newVecs.sparkSession
+    graft.functions.FloatDotProduct.register(s)
+    val route = udf((emb: Seq[Float]) => {
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < centers.length) {
+        val c = centers(i); var d = 0.0; var j = 0
+        while (j < c.length) { val t = emb(j).toDouble - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i } // strict < keeps lowest list on ties
+        i += 1
+      }
+      best
+    })
+    val routed = newVecs
+      .select(col("vec_id").as("new_id"), col("embedding").as("e2"))
+      .withColumn("list_id", route(col("e2")))
+      .withColumn("n2", sqrt(expr("graft_dot(e2, e2)")))
+    val corpus = corpusAssigned.select(col("list_id").as("l1"),
+      col("vec_id").as("old_id"), col("embedding").as("e1"),
+      sqrt(expr("graft_dot(embedding, embedding)")).as("n1"))
+    routed.join(broadcast(corpus), col("list_id") === col("l1"))
+      .withColumn("dot", expr("graft_dot(e1, e2)"))
+      .filter(col("dot") >= lit(threshold) * col("n1") * col("n2"))
+      .select(col("old_id"), col("new_id"), col("list_id"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+  }
+
   /** d5 counterpart: CONTINUOUS benchmark decontamination — the shape a
     * 100 TB ingest pipeline runs on arriving documents. Entirely STATELESS:
     * per-doc shingling is map-side, the Bloom probe is a broadcast filter,

@@ -174,6 +174,65 @@ class SketchesTest extends AnyFunSuite {
     assert(q1 == q2 && q1.nonEmpty)
   }
 
+  test("v11 incremental semantic gate: planted twins rejected, cross-only pairs == exact, deterministic summary") {
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val corpusRows = (0L until 40L).map(i => (i, vec()))
+    // batch: 15 near-twins of corpus members (must be rejected) + 10 fresh
+    // random vectors (pairwise |cos| ≪ 0.9 w.h.p. at dim 64 — admitted)
+    val twins = (0L until 15L).map(i =>
+      (100L + i, corpusRows(i.toInt)._2.map(x => x + 0.002f)))
+    val fresh = (0L until 10L).map(i => (200L + i, vec()))
+    val crnd = new scala.util.Random(5)
+    val centers = Array.fill(4, 64)(crnd.nextGaussian())
+    val corpusA = Sketches.ivfRoute(corpusRows.toDF("vec_id", "embedding"), centers)
+    val batchA = Sketches.ivfRoute((twins ++ fresh).toDF("vec_id", "embedding"), centers)
+
+    val pairs = Sketches.crossSemanticPairs(corpusA, batchA, 0.9)
+    val rejected = pairs.select($"new_id").as[Long].collect().toSet
+    val olds = pairs.select($"old_id").as[Long].collect().toSet
+    assert(olds.forall(_ < 100L) && rejected.forall(_ >= 100L),
+      "cross pairs only: old side from the corpus, new side from the batch")
+    // a twin routes WITH its source (cos ≈ 1 ⇒ same argmin centroid), so
+    // the within-cluster enumeration must equal exact all-cross-pairs here
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (for {
+      (_, cv) <- corpusRows; (bi, bv) <- twins ++ fresh
+      if cos(cv, bv) >= 0.9
+    } yield bi).toSet
+    assert(exact.size == 15, s"planting failed: ${exact.size}")
+    assert(rejected == exact,
+      s"gate must equal exact cross keep-out: missing ${exact.diff(rejected).take(5)}, " +
+        s"extra ${rejected.diff(exact).take(5)}")
+
+    // declared form on the frozen fixture: covers the whole batch, is
+    // deterministic, and reuses the session's single IVF fit
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-v11").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      Sketches.resetCaches()
+      val q1 = SparkEntry.queries("v11_semantic_gate")(spark, TestSpark.sf0001)
+        .collect()
+      val q2 = SparkEntry.queries("v11_semantic_gate")(spark, TestSpark.sf0001)
+        .collect()
+      assert(q1.map(_.toString).toSeq == q2.map(_.toString).toSeq && q1.nonEmpty)
+      val nNew = q1.map(_.getLong(1)).sum
+      val wantNew = Tables.table(spark, TestSpark.sf0001, "embeddings")
+        .filter($"vec_id" % 10 === 0).count()
+      assert(nNew == wantNew, s"summary must cover the whole batch: $nNew != $wantNew")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   test("PQ batch encode against frozen codebooks == the full build's codes (codes-side delta)") {
     val idx = Sketches.buildPqIndex(spark, TestSpark.sf0001)
     val em = Tables.table(spark, TestSpark.sf0001, "embeddings")

@@ -363,6 +363,49 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("v11 streaming semantic gate == batch cross pairs (per-row routing, stream-static probe)") {
+    import graft.operators.Sketches
+    val tmp = Files.createTempDirectory("graft-semgate-idx").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      Sketches.resetCaches()
+      val (idx, delta, _) = Sketches.ivfIncremental(spark, TestSpark.sf0001)
+      // replay the new batch (vec_id % 10 == 0) as 3 micro-batch files
+      val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+      val batchRows = em.filter($"vec_id" % 10 === 0).orderBy($"vec_id").collect()
+      val n = batchRows.length
+      val dir = Files.createTempDirectory("graft-semgate-stream")
+      (0 until 3).foreach { b =>
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(batchRows.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1),
+          em.schema)
+        val tmp2 = Files.createTempDirectory("graft-semgate-slice")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+        val part = Files.list(tmp2).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+        Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+        Thread.sleep(20)
+      }
+
+      val q = StreamingQueries.streamSemanticGate(
+          StreamingQueries.embeddingsStream(spark, dir.toString),
+          idx.assigned, idx.centers, 0.25)
+        .writeStream.format("memory").queryName("s_v11")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select($"old_id", $"new_id", $"list_id", $"cosine")
+          .orderBy($"old_id", $"new_id").collect().map(_.toString).toSeq
+      val got = canon(spark.table("s_v11"))
+      val want = canon(Sketches.crossSemanticPairs(idx.assigned, delta, 0.25))
+      assert(got == want, "streamed gate must equal the batch cross-pair set")
+      assert(got.nonEmpty, "threshold 0.25 must fire on the fixture")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   test("graft-table changelog stream: offsets = snapshot versions; gate over the tail == batch pairs") {
     import graft.sources.GraftTable
     val oldSrcs = (0 to 9).map(i => s"src$i")
