@@ -115,13 +115,21 @@ object GraftTable {
 
   /** Append one batch as snapshot current+1. Throws [[CommitConflict]] if a
     * concurrent writer takes the slot first (data files are never clobbered
-    * either way — retry by calling append again). */
+    * either way — retry by calling append again).
+    *
+    * Schema evolution is ADDITIVE: a batch may carry new columns (the new
+    * snapshot's schema is old ∪ new, and readers see null for the new
+    * columns in pre-evolution files — parquet-by-schema semantics), it may
+    * omit existing columns (they read as null in the batch's files), but
+    * it may never CHANGE an existing column's type — history would become
+    * unreadable under one schema, so that throws. */
   def append(s: SparkSession, dir: String, df: DataFrame,
              statsCols: Seq[String] = Nil): Int = {
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, head)
     commit(s, dir, df, statsCols, version = head + 1, op = "append",
-      prev = manifest(dir, head).files)
+      prev = m.files, prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
   }
 
   /** Idempotent append for exactly-once streaming sinks
@@ -138,12 +146,14 @@ object GraftTable {
     while (true) {
       val headOpt = currentVersion(dir)
       if (lastTxn(dir, appId).exists(_ >= batchId)) return headOpt.get
-      val (v, op, prev) = headOpt match {
-        case Some(h) => (h + 1, "append", manifest(dir, h).files)
-        case None => (0, "create", Nil)
+      val (v, op, prevFiles, prevSchema) = headOpt match {
+        case Some(h) =>
+          val m = manifest(dir, h)
+          (h + 1, "append", m.files, Some(StructType.fromDDL(m.schemaDdl)))
+        case None => (0, "create", Seq.empty[TableFile], Option.empty[StructType])
       }
-      try return commit(s, dir, df, statsCols, v, op, prev,
-        txn = Some(appId -> batchId))
+      try return commit(s, dir, df, statsCols, v, op, prevFiles,
+        txn = Some(appId -> batchId), prevSchema = prevSchema)
       catch { case _: CommitConflict => () } // other writer won; re-check
     }
     throw new IllegalStateException("unreachable")
@@ -203,10 +213,25 @@ object GraftTable {
     } finally it.close()
   }
 
+  /** Merge for additive evolution: existing columns keep their position
+    * and type (a type change throws), genuinely new columns append. */
+  private def mergeSchema(prev: StructType, next: StructType): StructType = {
+    next.fields.foreach { f =>
+      prev.fields.find(_.name == f.name).foreach { pf =>
+        require(pf.dataType == f.dataType,
+          s"column '${f.name}' type change ${pf.dataType.simpleString} -> " +
+            s"${f.dataType.simpleString}: history would be unreadable")
+      }
+    }
+    StructType(prev.fields ++
+      next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+  }
+
   private def commit(s: SparkSession, dir: String, df: DataFrame,
                      statsCols: Seq[String], version: Int, op: String,
                      prev: Seq[TableFile],
-                     txn: Option[(String, Long)] = None): Int = {
+                     txn: Option[(String, Long)] = None,
+                     prevSchema: Option[StructType] = None): Int = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/c$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
@@ -229,7 +254,8 @@ object GraftTable {
       }.toMap
       TableFile(rel, r.getAs[Long]("_n"), stats)
     }.sortBy(_.path)
-    publish(dir, Manifest(version, op, df.schema.toDDL, prev ++ fresh, txn))
+    val schema = prevSchema.map(mergeSchema(_, df.schema)).getOrElse(df.schema)
+    publish(dir, Manifest(version, op, schema.toDDL, prev ++ fresh, txn))
     version
   }
 

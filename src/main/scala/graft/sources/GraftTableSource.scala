@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.StructType
   * immutable). The first batch with `startingVersion` v₀ > 0 starts at
   * v₀'s changelog; with the default 0 it is the full v0 snapshot
   * (backfill-then-tail, the Delta-source shape).
+  *
+  * The stream's schema is pinned at query start (the head manifest's);
+  * an ADDITIVE schema evolution committed mid-stream requires a stream
+  * restart to surface the new columns — the Delta-source behavior — and
+  * the restart resumes loss-free from the checkpointed snapshot offset.
   */
 class GraftTableSource(spark: SparkSession, dir: String, startingVersion: Int)
   extends Source {
@@ -51,9 +56,13 @@ class GraftTableSource(spark: SparkSession, dir: String, startingVersion: Int)
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = ver(end)
     val fromExcl = start.map(ver).getOrElse(startingVersion - 1)
-    val batch =
+    val raw =
       if (fromExcl < 0) GraftTable.read(spark, dir, Some(to))
       else GraftTable.readChanges(spark, dir, fromExcl, to)
+    // project to the schema pinned at query start: columns added by a
+    // mid-stream additive evolution stay invisible until a restart (the
+    // Delta-source behavior), instead of breaking the running plan
+    val batch = raw.select(schema.fieldNames.map(raw.col).toSeq: _*)
     org.apache.spark.sql.graft.Bridge
       .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
   }

@@ -58,8 +58,11 @@ class GraftTableTest extends AnyFunSuite {
       val commitM = GraftTable.getClass.getDeclaredMethods
         .find(_.getName == "commit").get
       commitM.setAccessible(true)
-      try commitM.invoke(GraftTable, spark, tdir, base.limit(2), Seq("doc_id"),
-        Int.box(1), "append", m0.files, None)
+      // trailing args fill commit's optional params (txn, prevSchema, ...)
+      val args = Seq[AnyRef](spark, tdir, base.limit(2), Seq("doc_id"),
+        Int.box(1), "append", m0.files) ++
+        Seq.fill(commitM.getParameterCount - 7)(None)
+      try commitM.invoke(GraftTable, args: _*)
       catch { case ex: java.lang.reflect.InvocationTargetException => throw ex.getCause }
     }
     assert(e.getMessage.contains("v1"))
@@ -160,6 +163,40 @@ class GraftTableTest extends AnyFunSuite {
     // the head snapshot never references reclaimed files — still readable
     assert(GraftTable.read(spark, tdir).count() ==
       GraftTable.manifest(tdir, 3).files.map(_.records).sum)
+  }
+
+  test("additive schema evolution: new columns append, old files read null, type changes refuse") {
+    val tdir = freshDir("evolve")
+    val base = docs(TestSpark.sf0001).limit(10)
+    GraftTable.create(spark, tdir, base, Seq("doc_id"))
+
+    // batch arrives with a NEW column → snapshot schema = old ∪ new
+    val enriched = docs(TestSpark.sf0001).limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(500000L))
+      .withColumn("quality", col("n_chars").cast("double") / 100.0)
+    GraftTable.append(spark, tdir, enriched, Seq("doc_id"))
+
+    val head = GraftTable.read(spark, tdir)
+    assert(head.schema.fieldNames.toSeq == base.schema.fieldNames.toSeq :+ "quality")
+    assert(head.count() == 15)
+    // pre-evolution rows read null in the new column; new rows carry it
+    assert(head.filter(col("doc_id") < 500000L && col("quality").isNull).count() == 10)
+    assert(head.filter(col("doc_id") >= 500000L && col("quality").isNotNull).count() == 5)
+    // time travel sees the pre-evolution schema
+    assert(!GraftTable.read(spark, tdir, Some(0)).schema.fieldNames.contains("quality"))
+    // a batch OMITTING existing columns reads as null there, keeps schema
+    import spark.implicits._
+    GraftTable.append(spark, tdir,
+      Seq((900000L, "tiny doc")).toDF("doc_id", "text"), Seq("doc_id"))
+    val v2 = GraftTable.read(spark, tdir)
+    assert(v2.schema.fieldNames.length == base.schema.fieldNames.length + 1)
+    assert(v2.filter(col("doc_id") === 900000L && col("lang").isNull).count() == 1)
+    // a TYPE change would make history unreadable → refused
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.append(spark, tdir,
+        Seq(("not-a-long", "x")).toDF("doc_id", "text"), Nil)
+    }
+    assert(e.getMessage.contains("doc_id"))
   }
 
   test("stream restart: checkpointed snapshot offsets resume exactly-once into the txn sink") {
