@@ -370,8 +370,30 @@ object Sketches {
                         vecs: => DataFrame, nlist: Int = 16): IvfIndex =
     ivfOverMemo.getOrElseUpdate((s, s"$dir#$name", nlist)) {
       import graft.sources.IndexStore
-      val cPath = IndexStore.artifactPath(s, dir, s"$name${nlist}_centers")
-      val aPath = IndexStore.artifactPath(s, dir, s"$name${nlist}_assigned")
+      buildIvfIndexAt(s,
+        IndexStore.artifactPath(s, dir, s"$name${nlist}_centers"),
+        IndexStore.artifactPath(s, dir, s"$name${nlist}_assigned"),
+        vecs, nlist)
+    }
+
+  /** [[buildIvfIndexOver]] under an EXPLICIT validity key (the
+    * `artifactPathKeyed` convention): for quantizers over a corpus whose
+    * identity is already pinned by something cheaper than a dir
+    * fingerprint — e.g. a [[graft.sources.GraftTable]] snapshot version. */
+  def buildIvfIndexKeyed(s: SparkSession, key: String,
+                         vecs: => DataFrame, nlist: Int = 16): IvfIndex =
+    ivfOverMemo.getOrElseUpdate((s, s"k:$key", nlist)) {
+      import graft.sources.IndexStore
+      buildIvfIndexAt(s,
+        IndexStore.artifactPathKeyed(s, key, s"ivf${nlist}_centers"),
+        IndexStore.artifactPathKeyed(s, key, s"ivf${nlist}_assigned"),
+        vecs, nlist)
+    }
+
+  private def buildIvfIndexAt(s: SparkSession, cPath: String, aPath: String,
+                              vecs: => DataFrame, nlist: Int): IvfIndex = {
+    {
+      import graft.sources.IndexStore
       val canLoad = IndexStore.persistEnabled(s) &&
         IndexStore.exists(s, cPath) && IndexStore.exists(s, aPath)
       if (canLoad) {
@@ -402,6 +424,7 @@ object Sketches {
           fromArtifact = false)
       }
     }
+  }
 
   /** Incremental IVF ingestion — the vector-space analog of the d14
     * cross-probe (round-8 directive #2): the coarse quantizer fits ONCE on
@@ -424,6 +447,31 @@ object Sketches {
       .materialize(s, dir, s"ivfc90_${nlist}_delta") {
         ivfRoute(em.filter(col("vec_id") % 10 === 0), idx.centers)
       }
+    (idx, delta, idx.assigned.unionByName(delta))
+  }
+
+  /** [[ivfIncremental]] over a versioned [[graft.sources.GraftTable]] of
+    * embeddings — the v-side twin of `incrementalNearDupsTable`, making
+    * the "snapshot version keys the artifacts" scaladoc above literal: the
+    * quantizer fits ONCE on snapshot `corpusVersion` with its centers /
+    * assignment artifacts keyed by `table@version` (immutable snapshot ⇒
+    * zero-scan validity; a later ingest append cannot invalidate them),
+    * and each batch is the manifest changelog routed against the frozen
+    * centers, persisted as a per-batch-version delta artifact. The served
+    * index is corpus ∪ delta. */
+  def ivfIncrementalTable(s: SparkSession, tableDir: String, corpusVersion: Int,
+                          batchVersion: Int, nlist: Int = 16)
+      : (IvfIndex, DataFrame, DataFrame) = {
+    import graft.sources.{GraftTable, IndexStore}
+    val key = "ivftbl" + Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(tableDir)) + s"-v$corpusVersion"
+    val idx = buildIvfIndexKeyed(s, key,
+      GraftTable.read(s, tableDir, Some(corpusVersion))
+        .select(col("vec_id"), col("embedding")), nlist)
+    val (delta, _) = IndexStore.materializeKeyed(s, key, s"delta_v$batchVersion") {
+      ivfRoute(GraftTable.readChanges(s, tableDir, corpusVersion, batchVersion)
+        .select(col("vec_id"), col("embedding")), idx.centers)
+    }
     (idx, delta, idx.assigned.unionByName(delta))
   }
 

@@ -279,6 +279,49 @@ class GraftTableTest extends AnyFunSuite {
     }
   }
 
+  test("ivf over the table: snapshot-keyed quantizer survives appends, routes changelog batches, refits on corpus roll") {
+    import graft.operators.Sketches
+    val tmp = Files.createTempDirectory("graft-ivftbl-idx").toString
+    spark.conf.set("graft.index.dir", tmp)
+    try {
+      Sketches.resetCaches()
+      val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+      val tdir = freshDir("ivftbl")
+      GraftTable.create(spark, tdir, em.filter(col("vec_id") % 10 =!= 0), Seq("vec_id"))
+      GraftTable.append(spark, tdir, em.filter(col("vec_id") % 10 === 0), Seq("vec_id"))
+
+      val fits0 = Sketches.ivfFits.get()
+      val (idx, delta, all) = Sketches.ivfIncrementalTable(spark, tdir, 0, 1)
+      assert(Sketches.ivfFits.get() == fits0 + 1, "cold table index fits exactly once")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("list_id").cast("long")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // append ≡ one-shot against the same frozen centers, and the delta
+      // holds exactly the changelog batch
+      assert(pairs(all) == pairs(Sketches.ivfRoute(GraftTable.read(spark, tdir)
+        .select(col("vec_id"), col("embedding")), idx.centers)))
+      assert(delta.select(col("vec_id")).collect().map(_.getLong(0)).toSet ==
+        em.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+          .collect().map(_.getLong(0)).toSet)
+
+      // next ingest day: v2 appends; the snapshot-keyed quantizer is
+      // REUSED (no refit) and the (0,2] changelog routes both batches
+      GraftTable.append(spark, tdir, em.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(100000L)), Seq("vec_id"))
+      val fits1 = Sketches.ivfFits.get()
+      val (_, delta2, _) = Sketches.ivfIncrementalTable(spark, tdir, 0, 2)
+      assert(Sketches.ivfFits.get() == fits1, "an ingest append must not refit")
+      assert(delta2.count() == delta.count() * 2)
+
+      // corpus snapshot rolls to v1 → different validity key → one refit
+      Sketches.ivfIncrementalTable(spark, tdir, 1, 2)
+      assert(Sketches.ivfFits.get() == fits1 + 1, "corpus roll keys a fresh fit")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   test("d16 declared query: plan has no cartesian product and matches the d14 gate on the fixture") {
     val tmp = Files.createTempDirectory("graft-table-d16").toString
     spark.conf.set("graft.index.dir", tmp)
