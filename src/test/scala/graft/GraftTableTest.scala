@@ -74,6 +74,37 @@ class GraftTableTest extends AnyFunSuite {
     assert(GraftTable.read(spark, tdir).count() == 15)
   }
 
+  test("two live writers racing append slots: conflicts retry, both batches land, no row lost") {
+    val tdir = freshDir("race")
+    val rows = docs(TestSpark.sf0001).orderBy("doc_id").limit(30).collect()
+    def slice(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 1),
+      docs(TestSpark.sf0001).schema)
+    GraftTable.create(spark, tdir, slice(0, 10), Seq("doc_id"))
+
+    def appendWithRetry(a: Int, b: Int): Unit = {
+      var done = false
+      while (!done) {
+        try { GraftTable.append(spark, tdir, slice(a, b), Seq("doc_id")); done = true }
+        catch { case _: GraftTable.CommitConflict => () } // lost the slot; retry
+      }
+    }
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val f1 = pool.submit(new Runnable {
+      def run(): Unit = { latch.await(); appendWithRetry(10, 20) } })
+    val f2 = pool.submit(new Runnable {
+      def run(): Unit = { latch.await(); appendWithRetry(20, 30) } })
+    latch.countDown()
+    f1.get(); f2.get(); pool.shutdown()
+
+    assert(GraftTable.currentVersion(tdir).contains(2), "both appends must commit")
+    val got = GraftTable.read(spark, tdir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == rows.map(_.getLong(0)).toSet,
+      "the optimistic protocol must lose no batch and duplicate none")
+  }
+
   test("scanWhere skips files by manifest stats and matches the unpruned answer") {
     val tdir = freshDir("prune")
     val all = docs(TestSpark.sf0001)
