@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming source over a [[GraftTable]] commit log — the
@@ -80,10 +81,83 @@ object GraftTableSource {
   }
 }
 
+/** Batch relation over a [[GraftTable]] snapshot: gives
+  * `spark.read.format("graft-table").option("path", dir)` (with
+  * `versionAsOf` time travel) and SQL surface
+  * `CREATE TABLE/VIEW ... USING `graft-table` OPTIONS (path '...')` — a
+  * reference user's `spark.sql` queries run unchanged over the versioned
+  * layout. [[PrunedFilteredScan]] integrates the manifest's per-file
+  * min/max stats with Catalyst: pushed comparison filters on stats
+  * columns drop whole files before Spark opens them (the `scanWhere`
+  * skipping, now automatic), columns prune into the parquet scan, and
+  * every filter is re-applied above (`unhandledFilters` keeps them all —
+  * file skipping is a bound, not an evaluation). */
+class GraftTableRelation(ctx: SQLContext, dir: String, version: Option[Int])
+  extends BaseRelation with PrunedFilteredScan {
+
+  private val m = GraftTable.manifest(dir,
+    version.orElse(GraftTable.currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no graft table at $dir")))
+
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = StructType.fromDDL(m.schemaDdl)
+  // file skipping only bounds the scan; Spark must re-evaluate everything
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  /** Conservative per-file test: false only when the filter PROVES the
+    * stats range [mn, mx] cannot contain a match. */
+  private def mayMatch(f: GraftTable.TableFile, flt: Filter): Boolean = {
+    def rng(c: String): Option[(Long, Long)] = f.stats.get(c)
+    def lv(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    flt match {
+      case EqualTo(c, v) => rng(c).flatMap(r => lv(v).map(x =>
+        x >= r._1 && x <= r._2)).getOrElse(true)
+      case GreaterThan(c, v) => rng(c).flatMap(r => lv(v).map(_ < r._2)).getOrElse(true)
+      case GreaterThanOrEqual(c, v) => rng(c).flatMap(r => lv(v).map(_ <= r._2)).getOrElse(true)
+      case LessThan(c, v) => rng(c).flatMap(r => lv(v).map(_ > r._1)).getOrElse(true)
+      case LessThanOrEqual(c, v) => rng(c).flatMap(r => lv(v).map(_ >= r._1)).getOrElse(true)
+      case In(c, vs) => rng(c).map(r => vs.exists(v =>
+        lv(v).forall(x => x >= r._1 && x <= r._2))).getOrElse(true)
+      case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+      case _ => true // Or/IsNull/strings/...: no file-level bound, keep
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val kept = m.files.filter(f => filters.forall(mayMatch(f, _)))
+    GraftTableRelation.lastScan.set((kept.size, m.files.size))
+    val spark = ctx.sparkSession
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(f => s"$dir/${f.path}"): _*)
+    df.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+  }
+}
+
+object GraftTableRelation {
+  /** (files read, files in snapshot) of the most recent buildScan — the
+    * observable the skipping tests assert on (BaseRelation has no
+    * inputFiles surface). */
+  private[graft] val lastScan =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+}
+
 /** `format("graft-table")` registration (META-INF/services). */
-class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftTableSourceProvider extends StreamSourceProvider with RelationProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    new GraftTableRelation(ctx, parameters("path"),
+      parameters.get("versionAsOf").map(_.toInt))
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,

@@ -123,6 +123,41 @@ class GraftTableTest extends AnyFunSuite {
       s"manifest stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
   }
 
+  test("batch relation: versionAsOf time travel, SQL USING surface, pushed filters skip files") {
+    import graft.sources.GraftTableRelation
+    val tdir = freshDir("relation")
+    val all = docs(TestSpark.sf0001)
+    val oldS = (0 to 9).map(i => s"src$i")
+    val corpus = all.filter(col("source").isin(oldS: _*))
+    GraftTable.create(spark, tdir, corpus.repartitionByRange(4, col("doc_id")), Seq("doc_id"))
+    GraftTable.append(spark, tdir, all.filter(!col("source").isin(oldS: _*)), Seq("doc_id"))
+
+    val df = spark.read.format("graft-table").option("path", tdir).load()
+    assert(df.count() == all.count())
+    assert(spark.read.format("graft-table").option("path", tdir)
+      .option("versionAsOf", "0").load().count() == corpus.count())
+
+    // a pushed range predicate on the stats column must drop whole files
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 8), ids(ids.length / 4))
+    val got = df.filter(col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val (read, totalFiles) = GraftTableRelation.lastScan.get()
+    assert(read < totalFiles, s"pushed filter must skip files: $read of $totalFiles")
+    assert(got == all.filter(col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+
+    // the reference user's SQL runs unchanged over the versioned layout
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gt_docs USING `graft-table` " +
+      s"OPTIONS (path '$tdir')")
+    assert(spark.sql("SELECT COUNT(*) FROM gt_docs").head().getLong(0) == all.count())
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM gt_docs WHERE doc_id BETWEEN $lo AND $hi")
+      .head().getLong(0) == got.size)
+    val (read2, totalFiles2) = GraftTableRelation.lastScan.get()
+    assert(read2 < totalFiles2, "SQL predicate pushes through to file skipping")
+  }
+
   test("exactly-once sink: first batch creates, replayed batch ids are no-ops, fresh ids append") {
     val tdir = freshDir("sink")
     val base = docs(TestSpark.sf0001).orderBy("doc_id").limit(20).collect()
