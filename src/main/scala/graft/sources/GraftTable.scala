@@ -76,12 +76,15 @@ object GraftTable {
   def currentVersion(dir: String): Option[Int] = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) return None
-    val vs = Files.list(ld).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .toSeq
-    if (vs.isEmpty) None else Some(vs.max)
+    val st = Files.list(ld)
+    try {
+      val vs = st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    } finally st.close()
   }
 
   def manifest(dir: String, v: Int): Manifest = {
