@@ -239,8 +239,11 @@ object GraftTable {
     val sub = f"data/c$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
     // one column-pruned scan of the just-written batch yields the per-file
-    // manifest stats; rows are bounded by the batch's FILE count
-    val back = s.read.parquet(s"$dir/$sub")
+    // manifest stats; rows are bounded by the batch's FILE count. The
+    // explicit schema keeps an EMPTY batch (a zero-row micro-batch through
+    // the sink writes no part files) from failing schema inference — it
+    // commits as a files-less manifest instead of crashing the stream.
+    val back = s.read.schema(df.schema).parquet(s"$dir/$sub")
     val aggs = count(lit(1)).as("_n") +:
       statsCols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"_mn_$c"), max(col(c).cast("long")).as(s"_mx_$c")))

@@ -188,6 +188,15 @@ class GraftTableTest extends AnyFunSuite {
     assert(GraftTable.lastTxn(tdir, "gate-app").contains(1L))
     sink(slice(17, 20), 2L)
     assert(GraftTable.read(spark, tdir).count() == 17)
+
+    // an EMPTY micro-batch (zero-row trigger) commits a files-less
+    // manifest instead of crashing the stream; table content unchanged
+    sink(slice(0, 0), 3L)
+    assert(GraftTable.lastTxn(tdir, "gate-app").contains(3L))
+    assert(GraftTable.read(spark, tdir).count() == 17)
+    assert(GraftTable.readChanges(spark, tdir,
+      GraftTable.currentVersion(tdir).get - 1,
+      GraftTable.currentVersion(tdir).get).count() == 0)
   }
 
   test("compact rewrites layout not content, contributes nothing to the changelog; vacuum reclaims") {
