@@ -240,6 +240,36 @@ class GraftTableTest extends AnyFunSuite {
       GraftTable.manifest(tdir, 3).files.map(_.records).sum)
   }
 
+  test("stream tails across a compact: empty micro-batch for the rewrite, appends keep flowing") {
+    val tdir = freshDir("compact-stream")
+    val outDir = freshDir("compact-stream-out")
+    val rows = docs(TestSpark.sf0001).orderBy("doc_id").limit(30).collect()
+    def slice(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 1),
+      docs(TestSpark.sf0001).schema)
+    GraftTable.create(spark, tdir, slice(0, 10).repartition(4), Seq("doc_id"))
+
+    val q = spark.readStream.format("graft-table").option("path", tdir).load()
+      .writeStream.foreachBatch(GraftTable.sinkInto(outDir, "cs"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(GraftTable.read(spark, outDir).count() == 10)
+
+      GraftTable.compact(spark, tdir, targetFiles = 1, Seq("doc_id"))
+      q.processAllAvailable()
+      // the compact advanced the offset but re-delivered NOTHING
+      assert(GraftTable.read(spark, outDir).count() == 10,
+        "a compact commit must not re-emit rewritten rows into the stream")
+
+      GraftTable.append(spark, tdir, slice(10, 30), Seq("doc_id"))
+      q.processAllAvailable()
+      assert(GraftTable.read(spark, outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == rows.map(_.getLong(0)).toSet,
+        "appends after the compact keep flowing exactly-once")
+    } finally q.stop()
+  }
+
   test("additive schema evolution: new columns append, old files read null, type changes refuse") {
     val tdir = freshDir("evolve")
     val base = docs(TestSpark.sf0001).limit(10)
