@@ -291,6 +291,22 @@ object GraftTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Commit history as a DataFrame (the DESCRIBE HISTORY analog): one row
+    * per snapshot — version, op, file/row totals, fresh-file count of the
+    * commit itself, and the sink txn token if any. Driver-side work is one
+    * manifest read per version (the log is metadata, not data). */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    (0 to head).map { v =>
+      val m = manifest(dir, v)
+      val fresh = if (v == 0) m.files.size else addedFiles(dir, v - 1, v).size
+      (v, m.op, m.files.size, m.files.map(_.records).sum, fresh,
+        m.txn.map { case (a, b) => s"$a:$b" }.orNull)
+    }.toDF("version", "op", "n_files", "n_records", "n_added_files", "txn")
+  }
+
   /** Snapshot read: exactly `version`'s files (default: latest). */
   def read(s: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(dir))

@@ -238,6 +238,13 @@ class GraftTableTest extends AnyFunSuite {
     // the head snapshot never references reclaimed files — still readable
     assert(GraftTable.read(spark, tdir).count() ==
       GraftTable.manifest(tdir, 3).files.map(_.records).sum)
+
+    // history: one metadata row per snapshot; the compact shows 0 logical adds
+    val h = GraftTable.history(spark, tdir)
+      .orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("create", "append", "compact", "append"))
+    assert(h(2).getInt(4) == 0, "compact adds nothing logically")
+    assert(h(3).getLong(3) == GraftTable.read(spark, tdir).count())
   }
 
   test("stream tails across a compact: empty micro-batch for the rewrite, appends keep flowing") {
