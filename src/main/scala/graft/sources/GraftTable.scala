@@ -201,11 +201,20 @@ object GraftTable {
     val keepFrom = math.max(0, head.toLong - retainVersions).toInt
     val live = (keepFrom to head).flatMap(v => manifest(dir, v).files.map(_.path)).toSet
     val root = Paths.get(dir)
+    var n = 0
+    // a publish that crashed between temp-write and link leaves .tmp_ files
+    // in the log; they are never the published manifest, always safe to drop
+    val ld = logDir(dir)
+    if (Files.isDirectory(ld)) {
+      val ls = Files.list(ld)
+      try ls.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.startsWith(".tmp_")) { Files.delete(p); n += 1 }
+      } finally ls.close()
+    }
     val dataRoot = root.resolve("data")
-    if (!Files.isDirectory(dataRoot)) return 0
+    if (!Files.isDirectory(dataRoot)) return n
     val it = Files.walk(dataRoot)
     try {
-      var n = 0
       it.iterator().asScala.foreach { p =>
         if (Files.isRegularFile(p) && p.toString.endsWith(".parquet")
             && !live(root.relativize(p).toString)) {

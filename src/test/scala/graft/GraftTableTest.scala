@@ -231,7 +231,11 @@ class GraftTableTest extends AnyFunSuite {
     // full retention; superseded pre-compact files go once retention drops
     val orphan = java.nio.file.Paths.get(tdir, "data", "stray.parquet")
     java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
-    assert(GraftTable.vacuum(tdir) == 1, "only the orphan is unreferenced")
+    // a publish that crashed between temp-write and link
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tdir, "_log", ".tmp_crashed"), Array[Byte](9))
+    assert(GraftTable.vacuum(tdir) == 2,
+      "exactly the unreferenced stray + the crashed publish temp")
     val reclaimed = GraftTable.vacuum(tdir, retainVersions = 0)
     assert(reclaimed >= filesBefore,
       s"superseded pre-compact files must be reclaimed, got $reclaimed")
