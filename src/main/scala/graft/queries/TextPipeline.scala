@@ -347,16 +347,19 @@ object TextPipeline {
     // quotas, and each source fills its quota DETERMINISTICALLY by ranking
     // its docs on a content-independent hash (md5 of the id) — re-running
     // the pipeline reproduces the exact sample, and the oracle pins the
-    // sampled SET via an ORDER-INDEPENDENT checksum: Σ over kept ids of the
-    // first 60 md5 bits as DECIMAL(38,0). The sum is associative and
-    // constant-space (a mergeable partial aggregate — no per-group id
-    // buffer, unlike a collect_list md5, so a source whose quota is
-    // millions of docs at 100 TB still fingerprints in O(1) memory per
-    // partition). The declared
+    // sampled SET via an ORDER-INDEPENDENT checksum: XOR over kept ids of
+    // the first 60 md5 bits, kept strictly in BIGINT. XOR is associative,
+    // commutative and constant-space (a mergeable partial aggregate — no
+    // per-group id buffer, unlike a collect_list md5, so a source whose
+    // quota is millions of docs at 100 TB still fingerprints in O(1)
+    // memory per partition) — and unlike a Σ it never widens past int64,
+    // so NO engine/driver pair can disagree on its representation (a
+    // DECIMAL(38,0) sum here is exactly what SURVEY §2.7b rule 4 bans:
+    // DuckDB computes it as HUGEINT-and-cast, drivers that canonicalize
+    // decimals through float lose exactness above 2⁵³). The declared
     // instance uses τ = 1/2 (weight = mass², sharpening) so every weight,
     // share, and quota stays EXACT int64 arithmetic — no float pow() to
-    // disagree across engines; a production τ sweep would widen the same
-    // plan to decimal(38,0). Two column-pruned (doc_id, source, ws) passes:
+    // disagree across engines. Two column-pruned (doc_id, source, ws) passes:
     // a bounded per-source rollup whose 20-row quota frame broadcasts back
     // onto a source-partitioned rank window — no global sort anywhere.
     DeclaredQuery("p27_temperature_mix",
@@ -378,9 +381,9 @@ object TextPipeline {
         |      FROM r JOIN q ON r.source = q.source)
         |SELECT q.source, q.n_docs, q.n_tokens, q.quota,
         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        |       CAST(COALESCE(SUM(CASE WHEN keep THEN
+        |       CAST(COALESCE(BIT_XOR(CASE WHEN keep THEN
         |                CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
-        |            END), 0) AS DECIMAL(38,0)) AS sample_ck
+        |            END), 0) AS BIGINT) AS sample_ck
         |FROM q JOIN k ON q.source = k.source
         |GROUP BY q.source, q.n_docs, q.n_tokens, q.quota
         |ORDER BY q.source""".stripMargin) {
@@ -403,9 +406,9 @@ object TextPipeline {
           .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("quota"))
           .agg(
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
-            coalesce(sum(when(col("keep"), expr(
-                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DECIMAL(38,0))"))),
-              lit(0)).cast("decimal(38,0)").as("sample_ck"))
+            coalesce(expr(
+                "bit_xor(CASE WHEN keep THEN CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) END)"),
+              lit(0L)).as("sample_ck"))
           .orderBy(col("source"))
     },
 
