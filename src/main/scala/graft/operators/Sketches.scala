@@ -331,26 +331,31 @@ object Sketches {
       }
     }
 
-  /** Relational nearest-centroid routing: each vector to its argmin list
-    * over the BROADCAST centroid frame (|vecs|·nlist intermediate rows,
-    * one row_number window keyed by vec_id — the annIvfKnnBatch probe
-    * shape). Per-row independent and deterministic (ties break to the
-    * lowest list id), so routing a batch and routing the full table
-    * against the same centers agree vector-for-vector — the property
-    * incremental ingestion rests on. */
+  /** Map-side nearest-centroid routing: each vector to its argmin list via
+    * a single PROJECTION over an array-literal of the centroids — a
+    * left-fold argmin (strict `<`, so ties break to the LOWEST list id)
+    * inside one higher-order expression. Zero shuffle, zero join, zero
+    * window: the round-7 relational form (`crossJoin(broadcast(centers))`
+    * → row_number) fanned every vector out ×nlist WITH its full embedding
+    * through a window exchange, i.e. a full-corpus index build shuffled
+    * nlist× the corpus bytes; this form touches each row exactly once
+    * where it already lives (plan-guarded Exchange-free in
+    * ExplainPlanTest). Per-row independent and deterministic — the
+    * per-centroid distance is the same fixed-order zip_with/aggregate
+    * fold as before and the argmin scans centroids in list-id order — so
+    * routing a batch and routing the full table against the same centers
+    * agree vector-for-vector, the property incremental ingestion rests
+    * on (append ≡ one-shot tests in SketchesTest). */
   def ivfRoute(vecs: DataFrame, centers: Array[Array[Double]]): DataFrame = {
-    val s = vecs.sparkSession
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val cdf = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toSeq.toDF("list_id", "center")
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("list_id"))
-    vecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("cdist", expr(
-        "aggregate(zip_with(embedding, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
-      .withColumn("prn", row_number().over(w))
-      .filter(col("prn") === 1)
+    val cs = array(centers.map(c => array(c.map(lit(_)): _*)): _*)
+    vecs.select(col("vec_id"), col("embedding"), cs.as("cs"))
+      .withColumn("list_id", expr(
+        """aggregate(
+          |  transform(cs, (c, i) -> named_struct(
+          |    'd', aggregate(zip_with(embedding, c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v),
+          |    'id', i)),
+          |  named_struct('d', CAST('Infinity' AS DOUBLE), 'id', -1),
+          |  (best, cur) -> IF(cur.d < best.d, cur, best)).id""".stripMargin))
       .select(col("vec_id"), col("embedding"), col("list_id"))
   }
 

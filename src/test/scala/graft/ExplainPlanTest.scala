@@ -399,4 +399,19 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.linesIterator.exists(_.trim.startsWith("+- Window") ) ||
       p.contains("Window ["), p)
   }
+
+  test("ivfRoute: map-side argmin — no Exchange, no join, no window in the route plan") {
+    // round-8 directive #3: routing must touch each vector once where it
+    // lives. The round-7 crossJoin(broadcast)+row_number form shipped every
+    // embedding ×nlist through a window exchange — a full-corpus index
+    // build then shuffled nlist× the corpus bytes.
+    val spark = TestSpark.spark
+    val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val centers = Array.tabulate(16, 64) { (i, j) => (i * 64 + j) / 1024.0 }
+    val p = graft.operators.Sketches.ivfRoute(em, centers)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
