@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.StructType
   *
   * A manifest is the COMPLETE file list of its snapshot (not a delta), plus
   * the schema DDL and per-file row counts and min/max stats for designated
-  * long-typed columns. That gives, with no extra I/O at read time:
+  * integral- and string-typed columns. That gives, with no extra I/O at
+  * read time:
   *
   *  - '''snapshot isolation / time travel''': `read(dir, Some(v))` sees
   *    exactly snapshot v's files, regardless of later appends;
@@ -45,19 +46,33 @@ import org.apache.spark.sql.types.StructType
   * (if-none-match) of the manifest key. The log is the only serialization
   * point; data writes are fully parallel.
   *
-  * Rows are append-only (create + append + the [[exactlyOnceAppend]]
-  * streaming sink): the dedup/index surfaces this backs never rewrite
-  * history. [[compact]] may rewrite LAYOUT (same rows, fewer files) as an
-  * op=compact commit that the changelog skips, and [[vacuum]] reclaims
-  * files no retained manifest references. Row-level deletes would add
-  * `remove` manifest entries, orthogonal to the contract here.
+  * Rows arrive by create + append + the [[exactlyOnceAppend]] streaming
+  * sink, and leave ONLY through [[delete]] (copy-on-write: matching files
+  * are rewritten without the matching rows; history stays time-travelable).
+  * [[compact]] may rewrite LAYOUT (same rows, fewer files); compact and
+  * delete commits both contribute nothing to the changelog, which carries
+  * arrivals. [[vacuum]] reclaims files no retained manifest references —
+  * guarded by a modification-time retention window so an in-flight
+  * commit's pre-publish data files survive a concurrent vacuum.
   */
 object GraftTable {
 
   /** One data file of a snapshot: table-relative path, row count, and
-    * min/max per stats column (absent ⇒ no pruning info, file is kept). */
+    * min/max per stats column (absent ⇒ no pruning info, file is kept).
+    * `stats` holds integral-column bounds; `strStats` holds string-column
+    * bounds under Spark's binary (UTF-8 byte) ordering — the d16-style
+    * text-table predicates (`source`, `lang`) prune files through these. */
   final case class TableFile(path: String, records: Long,
-                             stats: Map[String, (Long, Long)])
+                             stats: Map[String, (Long, Long)],
+                             strStats: Map[String, (String, String)] = Map.empty)
+
+  /** Spark's string min/max order is UTF8String BINARY order (UTF-8 byte
+    * comparison, = code-point order), which differs from Java's
+    * UTF-16-code-unit `compareTo` for supplementary characters — pruning
+    * must compare the way the bounds were computed or it drops live files. */
+  private[graft] def strCmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
 
   /** `txn` = idempotence token of the commit (`appId:batchId`) for the
     * exactly-once streaming sink; None for plain commits. */
@@ -67,6 +82,11 @@ object GraftTable {
   /** Thrown when a commit loses the optimistic race for its version slot. */
   final class CommitConflict(v: Int)
     extends RuntimeException(s"manifest v$v already published by another writer")
+
+  private def hex(s: String): String =
+    s.getBytes(StandardCharsets.UTF_8).map("%02x".format(_)).mkString
+  private def unhex(h: String): String = new String(
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, StandardCharsets.UTF_8)
 
   private def logDir(dir: String): JPath = Paths.get(dir, "_log")
   private def manifestPath(dir: String, v: Int): JPath =
@@ -97,11 +117,20 @@ object GraftTable {
       val stats =
         if (p.length < 5 || p(4) == "-") Map.empty[String, (Long, Long)]
         else p(4).split(';').map { s =>
-          val Array(c, range) = s.split('=')
+          val Array(c, range) = s.split("=", 2)
           val Array(mn, mx) = range.split("\\.\\.", 2)
           c -> (mn.toLong, mx.toLong)
         }.toMap
-      TableFile(p(2), p(3).toLong, stats)
+      // 6th field (absent in pre-string-stats manifests): hex-encoded UTF-8
+      // string bounds — hex keeps the `;`/`=`/`..` separators unambiguous
+      val strStats =
+        if (p.length < 6 || p(5) == "-") Map.empty[String, (String, String)]
+        else p(5).split(';').map { s =>
+          val Array(c, range) = s.split("=", 2)
+          val Array(mn, mx) = range.split("\\.\\.", 2)
+          c -> (unhex(mn), unhex(mx))
+        }.toMap
+      TableFile(p(2), p(3).toLong, stats, strStats)
     }
     val txn = kv.get("txn").map { t =>
       val i = t.lastIndexOf(':'); (t.substring(0, i), t.substring(i + 1).toLong)
@@ -191,24 +220,41 @@ object GraftTable {
       statsCols, head + 1, "compact", prev = Nil)
   }
 
+  /** Files younger than this survive [[vacuum]] even when unreferenced:
+    * a commit lands its data files BEFORE publishing the manifest, so an
+    * in-flight writer's files are "unreferenced" for that window — the
+    * same reason Delta's VACUUM has a modification-time retention. */
+  val DefaultVacuumRetainAgeMs: Long = 10L * 60 * 1000
+
   /** Delete unreferenced data files: conflict losers and crashed commits
     * (referenced by NO manifest), plus — when `retainVersions` is set —
     * files referenced only by manifests older than head−retainVersions
     * (the time-travel/changelog horizon; don't vacuum past a reader).
-    * Only `*.parquet` files are candidates. Returns the deleted count. */
-  def vacuum(dir: String, retainVersions: Int = Int.MaxValue): Int = {
+    * Only `*.parquet` files are candidates, and only files older than
+    * `retainAgeMs`: a concurrent writer's not-yet-published data files
+    * (and its `.tmp_` manifest) are unreferenced but must survive, or the
+    * published snapshot would reference deleted parquet. Pass 0 only when
+    * no writer can be in flight. Returns the deleted count. */
+  def vacuum(dir: String, retainVersions: Int = Int.MaxValue,
+             retainAgeMs: Long = DefaultVacuumRetainAgeMs): Int = {
     val head = currentVersion(dir).getOrElse(return 0)
     val keepFrom = math.max(0, head.toLong - retainVersions).toInt
     val live = (keepFrom to head).flatMap(v => manifest(dir, v).files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - retainAgeMs
+    def oldEnough(p: JPath): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
     val root = Paths.get(dir)
     var n = 0
     // a publish that crashed between temp-write and link leaves .tmp_ files
-    // in the log; they are never the published manifest, always safe to drop
+    // in the log; they are never the published manifest — but a LIVE
+    // publish is mid-link for a moment, so the age guard applies here too
     val ld = logDir(dir)
     if (Files.isDirectory(ld)) {
       val ls = Files.list(ld)
       try ls.iterator().asScala.foreach { p =>
-        if (p.getFileName.toString.startsWith(".tmp_")) { Files.delete(p); n += 1 }
+        if (p.getFileName.toString.startsWith(".tmp_") && oldEnough(p)) {
+          Files.delete(p); n += 1
+        }
       } finally ls.close()
     }
     val dataRoot = root.resolve("data")
@@ -217,12 +263,71 @@ object GraftTable {
     try {
       it.iterator().asScala.foreach { p =>
         if (Files.isRegularFile(p) && p.toString.endsWith(".parquet")
-            && !live(root.relativize(p).toString)) {
+            && !live(root.relativize(p).toString) && oldEnough(p)) {
           Files.delete(p); n += 1
         }
       }
       n
     } finally it.close()
+  }
+
+  /** Row-level DELETE, copy-on-write (the Delta/Iceberg CoW shape): rows
+    * matching `predicate` disappear from the NEW snapshot; history is
+    * untouched — time travel to any pre-delete version still reads the
+    * deleted rows (their files stay until [[vacuum]] past the horizon).
+    * Only files that actually CONTAIN matching rows are rewritten (one
+    * column-pruned probe finds them; cost scales with the touched files,
+    * not the table) — untouched files carry over by reference, with their
+    * stats. The op=delete commit contributes nothing to the changelog,
+    * like compact: its fresh files hold surviving OLD rows, not arrivals.
+    *
+    * SQL three-valued semantics: a row is deleted iff the predicate is
+    * TRUE — rows where it evaluates NULL survive (`DELETE WHERE c > 5`
+    * keeps c IS NULL rows, as in every SQL engine).
+    *
+    * This turns the d9 keep-one dedup survivors into a TABLE operation:
+    * delete the non-canonical group members in place, and every reader —
+    * batch, SQL relation, changelog key — sees the deduped corpus. */
+  def delete(s: SparkSession, dir: String, predicate: org.apache.spark.sql.Column,
+             statsCols: Seq[String] = Nil): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, head)
+    val pred = coalesce(predicate, lit(false))
+    // bounded collect: one row per data FILE containing a match
+    val touched = readFiles(s, dir, m).filter(pred)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return head // nothing to delete — no empty commit
+    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val survivors = readFiles(s, dir, m.copy(files = rewrite)).filter(!pred)
+    commit(s, dir, survivors, statsCols, head + 1, "delete", prev = carry,
+      prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
+  }
+
+  /** [[delete]] by KEY SET: remove every row whose `keyCol` appears in
+    * `keys` — the shape the d9 keep-one dedup emits (a frame of
+    * non-canonical member ids, potentially huge). The touched-file probe
+    * is a semi-join and the rewrite an anti-join, both on the key column —
+    * never a driver-side id list, so a billion-row drop set distributes
+    * like any other join (AQE broadcasts it when it is small). */
+  def deleteKeys(s: SparkSession, dir: String, keyCol: String, keys: DataFrame,
+                 statsCols: Seq[String] = Nil): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, head)
+    // input_file_name() must be captured IN the scan stage — after the
+    // join's exchange it evaluates to "" and the probe would see no files
+    val touched = readFiles(s, dir, m).withColumn("_f", input_file_name())
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "semi")
+      .select(col("_f")).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty).toSet // one row per data FILE
+    if (touched.isEmpty) return head
+    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val survivors = readFiles(s, dir, m.copy(files = rewrite))
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    commit(s, dir, survivors, statsCols, head + 1, "delete", prev = carry,
+      prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
   }
 
   /** Merge for additive evolution: existing columns keep their position
@@ -247,6 +352,19 @@ object GraftTable {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/c$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
+    // stats columns must be integral (exact long bounds) or string (binary
+    // order bounds): anything else — a DOUBLE through cast("long") — would
+    // silently truncate its bounds and pruning would then DROP live files,
+    // an unrecoverable wrong-result, so it throws at commit time instead
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    val (longCols, strCols) = {
+      val typed = statsCols.map(c => c -> df.schema(c).dataType)
+      typed.foreach { case (c, t) => require(
+        Seq(ByteType, ShortType, IntegerType, LongType, StringType).contains(t),
+        s"stats column '$c' has non-integral, non-string type ${t.simpleString}: " +
+          "min/max bounds would be lossy and file skipping would drop live files") }
+      (typed.filter(_._2 != StringType).map(_._1), typed.filter(_._2 == StringType).map(_._1))
+    }
     // one column-pruned scan of the just-written batch yields the per-file
     // manifest stats; rows are bounded by the batch's FILE count. The
     // explicit schema keeps an EMPTY batch (a zero-row micro-batch through
@@ -254,20 +372,29 @@ object GraftTable {
     // commits as a files-less manifest instead of crashing the stream.
     val back = s.read.schema(df.schema).parquet(s"$dir/$sub")
     val aggs = count(lit(1)).as("_n") +:
-      statsCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"_mn_$c"), max(col(c).cast("long")).as(s"_mx_$c")))
+      (longCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"_mn_$c"), max(col(c).cast("long")).as(s"_mx_$c"))) ++
+       strCols.flatMap(c => Seq(
+        min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"))))
     val perFile = back.groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per data FILE of this commit
     val fresh = perFile.map { r =>
       val full = r.getString(0)
       val rel = full.substring(full.indexOf(sub))
-      val stats = statsCols.flatMap { c =>
+      val stats = longCols.flatMap { c =>
         val mn = r.getAs[Any](s"_mn_$c"); val mx = r.getAs[Any](s"_mx_$c")
         if (mn == null || mx == null) None
         else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
       }.toMap
-      TableFile(rel, r.getAs[Long]("_n"), stats)
+      // bounds past 64 chars are dropped (file conservatively kept): a
+      // truncated MAX prefix is a lower string, i.e. an INVALID upper bound
+      val strStats = strCols.flatMap { c =>
+        val mn = r.getAs[String](s"_mn_$c"); val mx = r.getAs[String](s"_mx_$c")
+        if (mn == null || mx == null || mn.length > 64 || mx.length > 64) None
+        else Some(c -> (mn, mx))
+      }.toMap
+      TableFile(rel, r.getAs[Long]("_n"), stats, strStats)
     }.sortBy(_.path)
     val schema = prevSchema.map(mergeSchema(_, df.schema)).getOrElse(df.schema)
     publish(dir, Manifest(version, op, schema.toDDL, prev ++ fresh, txn))
@@ -289,7 +416,10 @@ object GraftTable {
       val stats = if (f.stats.isEmpty) "-"
         else f.stats.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }.mkString(";")
-      body.append(s"file\tadd\t${f.path}\t${f.records}\t$stats\n")
+      val strStats = if (f.strStats.isEmpty) "-"
+        else f.strStats.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"$c=${hex(mn)}..${hex(mx)}" }.mkString(";")
+      body.append(s"file\tadd\t${f.path}\t${f.records}\t$stats\t$strStats\n")
     }
     val tmp = logDir(dir).resolve(
       s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -308,10 +438,16 @@ object GraftTable {
     import s.implicits._
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    // ONE forward walk — each manifest is read once, O(V); the logical-add
+    // rule matches addedFiles (layout rewrites contribute nothing)
+    var prevPaths = Set.empty[String]
     (0 to head).map { v =>
       val m = manifest(dir, v)
-      val fresh = if (v == 0) m.files.size else addedFiles(dir, v - 1, v).size
-      (v, m.op, m.files.size, m.files.map(_.records).sum, fresh,
+      val freshN =
+        if (m.op == "compact" || m.op == "delete") 0
+        else m.files.count(f => !prevPaths(f.path))
+      prevPaths = m.files.map(_.path).toSet
+      (v, m.op, m.files.size, m.files.map(_.records).sum, freshN,
         m.txn.map { case (a, b) => s"$a:$b" }.orNull)
     }.toDF("version", "op", "n_files", "n_records", "n_added_files", "txn")
   }
@@ -333,7 +469,11 @@ object GraftTable {
     var prevPaths = manifest(dir, fromV).files.map(_.path).toSet
     ((fromV + 1) to toV).foreach { v =>
       val m = manifest(dir, v)
-      if (m.op != "compact") out ++= m.files.filterNot(f => prevPaths(f.path))
+      // compact and delete REWRITE existing rows into new files — neither
+      // contributes arrivals (the changelog carries appends; a full CDC
+      // would add retraction records, out of scope for append-mode ingest)
+      if (m.op != "compact" && m.op != "delete")
+        out ++= m.files.filterNot(f => prevPaths(f.path))
       prevPaths = m.files.map(_.path).toSet
     }
     out.result()
@@ -357,6 +497,20 @@ object GraftTable {
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     readFiles(s, dir, m.copy(files = kept))
       .filter(col(colName).between(lo, hi))
+  }
+
+  /** [[scanWhere]] for STRING equality (the d16-shape predicates: `source`,
+    * `lang`): read only files whose binary-order [min,max] string range
+    * contains `value` — a changelog probe over a source-clustered text
+    * table then opens just that source's files. */
+  def scanWhereEq(s: SparkSession, dir: String, version: Option[Int],
+                  colName: String, value: String): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, v)
+    val kept = m.files.filter(_.strStats.get(colName)
+      .forall { case (mn, mx) => strCmp(value, mn) >= 0 && strCmp(value, mx) <= 0 })
+    readFiles(s, dir, m.copy(files = kept)).filter(col(colName) === value)
   }
 
   private def readFiles(s: SparkSession, dir: String, m: Manifest): DataFrame = {

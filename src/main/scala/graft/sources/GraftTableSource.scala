@@ -62,8 +62,15 @@ class GraftTableSource(spark: SparkSession, dir: String, startingVersion: Int)
       else GraftTable.readChanges(spark, dir, fromExcl, to)
     // project to the schema pinned at query start: columns added by a
     // mid-stream additive evolution stay invisible until a restart (the
-    // Delta-source behavior), instead of breaking the running plan
-    val batch = raw.select(schema.fieldNames.map(raw.col).toSeq: _*)
+    // Delta-source behavior), instead of breaking the running plan.
+    // The reverse direction — a RESTART whose pinned (post-evolution)
+    // schema is wider than a replayed pre-evolution batch's manifest —
+    // resolves the missing columns as typed nulls, so checkpoint recovery
+    // across an evolution stays loss-free instead of failing resolution
+    val batch = raw.select(schema.fields.map { f =>
+      if (raw.columns.contains(f.name)) raw.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
     org.apache.spark.sql.graft.Bridge
       .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
   }
@@ -95,39 +102,60 @@ object GraftTableSource {
 class GraftTableRelation(ctx: SQLContext, dir: String, version: Option[Int])
   extends BaseRelation with PrunedFilteredScan {
 
-  private val m = GraftTable.manifest(dir,
+  /** Without `versionAsOf` the head resolves PER SCAN, not at relation
+    * creation: a long-lived `CREATE TEMPORARY VIEW ... USING graft-table`
+    * then sees later appends on every query (the Delta/Iceberg behavior).
+    * The SCHEMA stays pinned at creation (Spark requires a stable relation
+    * schema): columns added by a later additive evolution surface after
+    * the view is re-created, but their files' rows are visible before
+    * that — parquet-by-schema reads. */
+  private def currentManifest(): GraftTable.Manifest = GraftTable.manifest(dir,
     version.orElse(GraftTable.currentVersion(dir))
       .getOrElse(throw new IllegalStateException(s"no graft table at $dir")))
 
   override def sqlContext: SQLContext = ctx
-  override val schema: StructType = StructType.fromDDL(m.schemaDdl)
+  override val schema: StructType = StructType.fromDDL(currentManifest().schemaDdl)
   // file skipping only bounds the scan; Spark must re-evaluate everything
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   /** Conservative per-file test: false only when the filter PROVES the
-    * stats range [mn, mx] cannot contain a match. */
+    * stats range [mn, mx] cannot contain a match. Integral values compare
+    * against the long stats; string values against the string stats under
+    * the SAME binary (UTF-8 byte) order Spark's min/max computed them in
+    * — comparing with Java's UTF-16 order instead could wrongly prune a
+    * live file on supplementary characters. */
   private def mayMatch(f: GraftTable.TableFile, flt: Filter): Boolean = {
-    def rng(c: String): Option[(Long, Long)] = f.stats.get(c)
-    def lv(v: Any): Option[Long] = v match {
-      case n: Number => Some(n.longValue)
+    import GraftTable.strCmp
+    // cmp(v) = Some(sign of v vs bound) when a usable (value, stat) pair
+    // exists for the column, None (⇒ keep the file) otherwise
+    def vsMin(c: String, v: Any): Option[Int] = v match {
+      case n: Number => f.stats.get(c).map(r => java.lang.Long.compare(n.longValue, r._1))
+      case s: String => f.strStats.get(c).map(r => strCmp(s, r._1))
       case _ => None
     }
+    def vsMax(c: String, v: Any): Option[Int] = v match {
+      case n: Number => f.stats.get(c).map(r => java.lang.Long.compare(n.longValue, r._2))
+      case s: String => f.strStats.get(c).map(r => strCmp(s, r._2))
+      case _ => None
+    }
+    def inRange(c: String, v: Any): Boolean =
+      vsMin(c, v).forall(_ >= 0) && vsMax(c, v).forall(_ <= 0)
     flt match {
-      case EqualTo(c, v) => rng(c).flatMap(r => lv(v).map(x =>
-        x >= r._1 && x <= r._2)).getOrElse(true)
-      case GreaterThan(c, v) => rng(c).flatMap(r => lv(v).map(_ < r._2)).getOrElse(true)
-      case GreaterThanOrEqual(c, v) => rng(c).flatMap(r => lv(v).map(_ <= r._2)).getOrElse(true)
-      case LessThan(c, v) => rng(c).flatMap(r => lv(v).map(_ > r._1)).getOrElse(true)
-      case LessThanOrEqual(c, v) => rng(c).flatMap(r => lv(v).map(_ >= r._1)).getOrElse(true)
-      case In(c, vs) => rng(c).map(r => vs.exists(v =>
-        lv(v).forall(x => x >= r._1 && x <= r._2))).getOrElse(true)
+      case EqualTo(c, v) => inRange(c, v)
+      case GreaterThan(c, v) => vsMax(c, v).forall(_ < 0)
+      case GreaterThanOrEqual(c, v) => vsMax(c, v).forall(_ <= 0)
+      case LessThan(c, v) => vsMin(c, v).forall(_ > 0)
+      case LessThanOrEqual(c, v) => vsMin(c, v).forall(_ >= 0)
+      case In(c, vs) => vs.exists(inRange(c, _)) // empty IN matches nothing
       case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
-      case _ => true // Or/IsNull/strings/...: no file-level bound, keep
+      case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+      case _ => true // IsNull/StartsWith/...: no file-level bound, keep
     }
   }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    val m = currentManifest()
     val kept = m.files.filter(f => filters.forall(mayMatch(f, _)))
     GraftTableRelation.lastScan.set((kept.size, m.files.size))
     val spark = ctx.sparkSession

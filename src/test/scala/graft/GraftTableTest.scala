@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -234,9 +236,13 @@ class GraftTableTest extends AnyFunSuite {
     // a publish that crashed between temp-write and link
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tdir, "_log", ".tmp_crashed"), Array[Byte](9))
-    assert(GraftTable.vacuum(tdir) == 2,
+    // default retention age protects YOUNG unreferenced files (they could
+    // be an in-flight commit's pre-publish data) — nothing goes yet
+    assert(GraftTable.vacuum(tdir) == 0,
+      "age window must spare freshly-written unreferenced files")
+    assert(GraftTable.vacuum(tdir, retainAgeMs = 0) == 2,
       "exactly the unreferenced stray + the crashed publish temp")
-    val reclaimed = GraftTable.vacuum(tdir, retainVersions = 0)
+    val reclaimed = GraftTable.vacuum(tdir, retainVersions = 0, retainAgeMs = 0)
     assert(reclaimed >= filesBefore,
       s"superseded pre-compact files must be reclaimed, got $reclaimed")
     // the head snapshot never references reclaimed files — still readable
@@ -453,5 +459,142 @@ class GraftTableTest extends AnyFunSuite {
       spark.conf.unset("graft.index.dir")
       DocSimilarity.resetCaches()
     }
+  }
+
+  test("vacuum retention window: an interleaved slow commit's pre-publish files survive and publish") {
+    val tdir = freshDir("vacuum-age")
+    val base = docs(TestSpark.sf0001).limit(20)
+    GraftTable.create(spark, tdir, base, Seq("doc_id"))
+
+    // a SLOW writer mid-commit: data files landed under the salted v1 slot,
+    // manifest not yet published — exactly the window the age guard covers
+    val sub = "data/c00001_inflite"
+    base.limit(5).coalesce(1).write.parquet(s"$tdir/$sub")
+    val inflight = java.nio.file.Files.list(java.nio.file.Paths.get(tdir, sub))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(inflight.nonEmpty)
+    // ...and a concurrent publish mid-link (temp manifest present)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tdir, "_log", ".tmp_inflight"), Array[Byte](7))
+
+    // a concurrent vacuum — even at retainVersions = 0 — reclaims NOTHING
+    // young: the writer's files and temp manifest are not yet referenced
+    // but must survive or its publish would yield a corrupt snapshot
+    assert(GraftTable.vacuum(tdir, retainVersions = 0) == 0)
+    assert(inflight.forall(java.nio.file.Files.exists(_)))
+
+    // the slow commit now completes: publish a manifest referencing the
+    // surviving files (reflection: publish is private, as in the race test)
+    val rel = inflight.map(p =>
+      java.nio.file.Paths.get(tdir).relativize(p).toString)
+    val m0 = GraftTable.manifest(tdir, 0)
+    val pubM = GraftTable.getClass.getDeclaredMethods
+      .find(_.getName == "publish").get
+    pubM.setAccessible(true)
+    pubM.invoke(GraftTable, tdir, GraftTable.Manifest(1, "append", m0.schemaDdl,
+      m0.files ++ rel.map(GraftTable.TableFile(_, 5, Map.empty)), None))
+    assert(GraftTable.read(spark, tdir).count() == 25,
+      "the interleaved commit must land intact after the vacuum")
+
+    // once AGED past the window, genuinely crashed leftovers do reclaim
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - GraftTable.DefaultVacuumRetainAgeMs - 60000)
+    val stray = java.nio.file.Paths.get(tdir, "data", "stray.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](1))
+    java.nio.file.Files.setLastModifiedTime(stray, old)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(tdir, "_log", ".tmp_inflight"), old)
+    assert(GraftTable.vacuum(tdir) == 2,
+      "aged stray data + aged orphan temp manifest reclaim under the default window")
+    assert(GraftTable.read(spark, tdir).count() == 25)
+  }
+
+  test("string manifest stats: equality predicates skip files; lossy stats types refuse at commit") {
+    val tdir = freshDir("strstats")
+    val d = docs(TestSpark.sf0001)
+      .repartitionByRange(4, col("source")) // files clustered by source
+    GraftTable.create(spark, tdir, d, Seq("doc_id", "source"))
+    val m = GraftTable.manifest(tdir, 0)
+    assert(m.files.size == 4)
+    assert(m.files.forall(f => f.strStats.contains("source") && f.stats.contains("doc_id")))
+
+    val probe = docs(TestSpark.sf0001).select("source").distinct()
+      .orderBy("source").collect().map(_.getString(0)).head
+    // manifest-level: only files whose [min,max] source range covers the
+    // probe value are kept — clustered layout makes that a strict subset
+    val kept = m.files.count(_.strStats.get("source")
+      .forall { case (mn, mx) =>
+        GraftTable.strCmp(probe, mn) >= 0 && GraftTable.strCmp(probe, mx) <= 0 })
+    assert(kept < m.files.size, s"expected source-file skipping, kept $kept/4")
+    val expect = docs(TestSpark.sf0001).filter(col("source") === probe).count()
+    assert(GraftTable.scanWhereEq(spark, tdir, None, "source", probe).count() == expect)
+
+    // the SQL relation pushes the string filter into the same skipping
+    val viaRelation = spark.read.format("graft-table").option("path", tdir).load()
+      .filter(col("source") === probe)
+    assert(viaRelation.count() == expect)
+    val (read, total) = graft.sources.GraftTableRelation.lastScan.get()
+    assert(total == 4 && read == kept, s"relation read $read/$total, manifest says $kept")
+
+    // a double stats column would silently truncate bounds and prune live
+    // files — it must refuse at commit time, not corrupt queries later
+    val ev = Tables.table(spark, TestSpark.sf0001, "events").limit(10)
+    val err = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, freshDir("badstats"), ev, Seq("value"))
+    }
+    assert(err.getMessage.contains("value"))
+  }
+
+  test("row-level delete: copy-on-write rewrite, time travel keeps history, changelog skips; d9 as a table op") {
+    val tdir = freshDir("delete")
+    val all = docs(TestSpark.sf0001)
+    val n = all.count()
+    GraftTable.create(spark, tdir,
+      all.repartitionByRange(4, col("doc_id")), Seq("doc_id"))
+
+    // delete a range that lives in ONE file: untouched files carry over by
+    // reference (no rewrite), exactly one file is rewritten
+    val cut = all.orderBy("doc_id").limit((n / 8).toInt)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val v1 = GraftTable.delete(spark, tdir, col("doc_id") <= cut, Seq("doc_id"))
+    assert(v1 == 1 && GraftTable.manifest(tdir, 1).op == "delete")
+    val f0 = GraftTable.manifest(tdir, 0).files.map(_.path).toSet
+    val f1 = GraftTable.manifest(tdir, 1).files.map(_.path).toSet
+    assert((f0 & f1).size == 3, "three untouched files must carry over by reference")
+    val deleted = all.filter(col("doc_id") <= cut).count()
+    assert(GraftTable.read(spark, tdir).count() == n - deleted)
+    assert(GraftTable.read(spark, tdir)
+      .agg(min(col("doc_id"))).head.getLong(0) > cut)
+    // history is untouched: time travel to v0 still reads the deleted rows
+    assert(GraftTable.read(spark, tdir, Some(0)).count() == n)
+    // the changelog carries arrivals only — the rewrite contributes nothing
+    assert(GraftTable.addedFiles(tdir, 0, 1).isEmpty)
+    // a no-match delete is a no-op, not an empty commit
+    assert(GraftTable.delete(spark, tdir, col("doc_id") < -1) == 1)
+    // NULL predicate rows survive (SQL three-valued delete)
+    // appends continue; per-commit changelog stays exact across the delete
+    val extra = all.filter(col("doc_id") <= cut).limit(7)
+    GraftTable.append(spark, tdir, extra, Seq("doc_id"))
+    assert(GraftTable.readChanges(spark, tdir, 1, 2).count() == 7)
+
+    // d9 keep-one as a TABLE operation: drop the non-canonical near-dup
+    // group members via the key-set form (anti-join, no driver id list),
+    // then the surviving table matches the declared query's per-lang counts
+    val tdir2 = freshDir("delete-d9")
+    GraftTable.create(spark, tdir2, all, Seq("doc_id"))
+    val labels = graft.operators.Components.connectedComponentsCached(
+      graft.operators.DocSimilarity.nearDupPairs(spark, TestSpark.sf0001)
+        .select(col("d1").as("a"), col("d2").as("b")),
+      cacheKey = s"${TestSpark.sf0001}#neardup", assumeCanonical = true)
+    val dropped = labels.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    GraftTable.deleteKeys(spark, tdir2, "doc_id", dropped, Seq("doc_id"))
+    val gotByLang = GraftTable.read(spark, tdir2)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantByLang = SparkEntry.queries("d9_dedup_survivors")(spark, TestSpark.sf0001)
+      .select("lang", "n_kept")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotByLang == wantByLang,
+      "deduped table must match d9's oracle-checked per-lang survivor counts")
   }
 }

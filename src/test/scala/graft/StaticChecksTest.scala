@@ -36,12 +36,13 @@ class StaticChecksTest extends AnyFunSuite {
     // artifact loads, the v7 MMR top-50 rerank shortlist, the tiled
     // kNN join's nx·ny tile summaries + per-tile radii, the two
     // cross-corpus jaccard vocab probes capped at MaxMaskVocab+1 rows,
-    // buildIvfIndexOver's nlist-row centers artifact load, and
+    // buildIvfIndexOver's nlist-row centers artifact load,
     // GraftTable.commit's per-file manifest stats — one row per data FILE
-    // of the commit, not per data row).
+    // of the commit, not per data row — and the delete/deleteKeys
+    // touched-file probes, likewise one row per matching data FILE).
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 18, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 20, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }
