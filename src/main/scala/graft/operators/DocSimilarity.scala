@@ -181,9 +181,12 @@ object DocSimilarity {
     }.result
 
   /** Snapshot-version validity key: immutable snapshot ⇒ the version pins
-    * the corpus content with zero scanning. */
+    * the corpus content with zero scanning. The table identity is a 64-bit
+    * digest ([[graft.sources.IndexStore.dirId]]) — a 32-bit hash could
+    * collide across tables sharing one index root and silently serve the
+    * wrong table's mask artifact. */
   private[graft] def tableSnapshotKey(tableDir: String, v: Int): String =
-    s"tbl${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(tableDir))}-v$v"
+    s"tbl${graft.sources.IndexStore.dirId(tableDir)}-v$v"
 
   /** Cross-corpus Jaccard join (a ∈ A, b ∈ B only): same measured-vocab
     * strategy chooser as [[jaccardPairs]] — ≤[[MaxMaskVocab]] union

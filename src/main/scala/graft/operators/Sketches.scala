@@ -468,8 +468,7 @@ object Sketches {
                           batchVersion: Int, nlist: Int = 16)
       : (IvfIndex, DataFrame, DataFrame) = {
     import graft.sources.{GraftTable, IndexStore}
-    val key = "ivftbl" + Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(tableDir)) + s"-v$corpusVersion"
+    val key = "ivftbl" + IndexStore.dirId(tableDir) + s"-v$corpusVersion"
     val idx = buildIvfIndexKeyed(s, key,
       GraftTable.read(s, tableDir, Some(corpusVersion))
         .select(col("vec_id"), col("embedding")), nlist)

@@ -28,6 +28,15 @@ object IndexStore {
   def persistEnabled(s: SparkSession): Boolean =
     s.conf.get("graft.index.persist", "true").toBoolean
 
+  /** Collision-safe identifier for a table/data directory inside artifact
+    * validity keys: 64-bit SHA-256 prefix. A 32-bit string hash here is a
+    * real risk — two distinct table dirs sharing one `graft.index.dir`
+    * that collide would silently serve each other's artifacts (wrong
+    * results, no error); at 64 bits the birthday bound is ~2³² tables. */
+  def dirId(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Artifact key = data dir + a cheap content fingerprint (name/size/mtime
     * of each source file), so a REGENERATED data dir gets fresh artifacts
     * instead of being served stale index data. The cluster-scale analog is
