@@ -1,85 +1,21 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.{Row, SQLContext}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
-/** Structured-Streaming source over a [[GraftTable]] commit log — the
-  * changelog-stream half of the versioned-table story (SCALE.md: "streaming
-  * twins read the table's changelog"): the SAME table serves the batch
-  * backfill (`GraftTable.read`) and the incremental stream, so ingest gates
-  * like d16's run identically in both modes.
+/** Schema lookup shared by the streaming (DSv2, [[GraftTableV2]]) and
+  * batch ([[GraftTableRelation]]) halves of `format("graft-table")`.
   *
+  * The streaming source itself lives in [[GraftTableMicroBatchStream]]:
   * {{{
   *   spark.readStream.format("graft-table")
   *     .option("path", tableDir)
   *     .option("startingVersion", 1)   // default 0 = backfill v0 first
   *     .load()
   * }}}
-  *
-  * Offsets ARE snapshot versions (`LongOffset(v)` = "snapshots ≤ v
-  * emitted"), so exactly-once recovery falls out of the manifest log: a
-  * micro-batch is `readChanges(lastCommitted, head)` — the files appended
-  * between two manifests, never a rescan of the corpus — and replaying an
-  * offset range after a crash reads byte-identical files (snapshots are
-  * immutable). The first batch with `startingVersion` v₀ > 0 starts at
-  * v₀'s changelog; with the default 0 it is the full v0 snapshot
-  * (backfill-then-tail, the Delta-source shape).
-  *
-  * The stream's schema is pinned at query start (the head manifest's);
-  * an ADDITIVE schema evolution committed mid-stream requires a stream
-  * restart to surface the new columns — the Delta-source behavior — and
-  * the restart resumes loss-free from the checkpointed snapshot offset.
   */
-class GraftTableSource(spark: SparkSession, dir: String, startingVersion: Int)
-  extends Source {
-
-  override val schema: StructType =
-    GraftTableSource.tableSchema(dir)
-
-  private def ver(o: V1Offset): Int = o match {
-    case l: LongOffset => l.offset.toInt
-    case s: SerializedOffset => s.json.trim.toInt
-    case other => other.json.trim.toInt
-  }
-
-  /** Latest committed snapshot, if it has reached `startingVersion`. */
-  override def getOffset: Option[V1Offset] =
-    GraftTable.currentVersion(dir).filter(_ >= startingVersion)
-      .map(v => LongOffset(v.toLong))
-
-  /** (start, end] as manifest changelog; `start = None` means "nothing
-    * emitted yet": the full `end` snapshot when startingVersion is 0, else
-    * the changelog from just before startingVersion. */
-  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val to = ver(end)
-    val fromExcl = start.map(ver).getOrElse(startingVersion - 1)
-    val raw =
-      if (fromExcl < 0) GraftTable.read(spark, dir, Some(to))
-      else GraftTable.readChanges(spark, dir, fromExcl, to)
-    // project to the schema pinned at query start: columns added by a
-    // mid-stream additive evolution stay invisible until a restart (the
-    // Delta-source behavior), instead of breaking the running plan.
-    // The reverse direction — a RESTART whose pinned (post-evolution)
-    // schema is wider than a replayed pre-evolution batch's manifest —
-    // resolves the missing columns as typed nulls, so checkpoint recovery
-    // across an evolution stays loss-free instead of failing resolution
-    val batch = raw.select(schema.fields.map { f =>
-      if (raw.columns.contains(f.name)) raw.col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
-    org.apache.spark.sql.graft.Bridge
-      .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
-  }
-
-  override def stop(): Unit = ()
-
-  override def toString: String = s"GraftTableSource[$dir, from v$startingVersion]"
-}
-
 object GraftTableSource {
   private[sources] def tableSchema(dir: String): StructType = {
     val head = GraftTable.currentVersion(dir)
@@ -176,9 +112,16 @@ object GraftTableRelation {
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 }
 
-/** `format("graft-table")` registration (META-INF/services). */
-class GraftTableSourceProvider extends StreamSourceProvider with RelationProvider
-  with DataSourceRegister {
+/** `format("graft-table")` registration (META-INF/services).
+  *
+  * Split personality by design: STREAMING resolves through the DSv2
+  * [[org.apache.spark.sql.connector.catalog.TableProvider]] surface
+  * ([[GraftTableV2]] advertises MICRO_BATCH_READ only), while BATCH reads
+  * fall back to the V1 [[GraftTableRelation]] — which carries the
+  * manifest-stats file skipping and `versionAsOf` time travel. */
+class GraftTableSourceProvider extends RelationProvider
+  with DataSourceRegister
+  with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft-table"
 
@@ -187,15 +130,12 @@ class GraftTableSourceProvider extends StreamSourceProvider with RelationProvide
     new GraftTableRelation(ctx, parameters("path"),
       parameters.get("versionAsOf").map(_.toInt))
 
-  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      GraftTableSource.tableSchema(parameters("path"))))
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    GraftTableSource.tableSchema(options.get("path"))
 
-  override def createSource(ctx: SQLContext, metadataPath: String,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
-    new GraftTableSource(ctx.sparkSession, parameters("path"),
-      parameters.get("startingVersion").map(_.toInt).getOrElse(0))
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table =
+    new GraftTableV2(properties.get("path"), schema)
 }
