@@ -174,6 +174,15 @@ object ScaleSmoke {
         val (pSec, pRows) = time(graft.operators.DocSimilarity
           .incrementalNearDupsTable(spark, tdir, 0, 1).count())
         report("table_probe", s"x$f", pSec, pRows)
+        // copy-on-write delete, WORST case: a ~10% drop set spread across
+        // every file (all files rewrite). The touched-files-only claim is
+        // contract-tested; this measures the full-rewrite ceiling.
+        val (dSec, dSurv) = time {
+          GraftTable.deleteKeys(spark, tdir, "doc_id",
+            docs.filter(col("doc_id") % 10 === 5).select("doc_id"), Seq("doc_id"))
+          GraftTable.read(spark, tdir).count()
+        }
+        report("table_delete", s"x$f", dSec, dSurv)
       }
     }
 

@@ -54,6 +54,31 @@ object JsonDocs {
     tdir
   }
 
+  /** Build-once DEDUPED table for d17: snapshot v0 = the full corpus,
+    * v1 = an in-place `deleteKeys` of the non-canonical near-dup group
+    * members (the d9 drop set, from the same memoized pair labeling).
+    * Guarded like [[docsTable]]: a warm session finds v1 and reads it. */
+  private def dedupedTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val gt = graft.sources.GraftTable
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_dedup_table")
+    gt.synchronized {
+      if (gt.currentVersion(tdir).isEmpty)
+        gt.create(s, tdir,
+          Tables.table(s, dir, "documents").repartitionByRange(4, col("doc_id")),
+          statsCols = Seq("doc_id"))
+      if (gt.currentVersion(tdir).contains(0)) {
+        val labels = graft.operators.Components.connectedComponentsCached(
+          graft.operators.DocSimilarity.nearDupPairs(s, dir)
+            .select(col("d1").as("a"), col("d2").as("b")),
+          cacheKey = s"$dir#neardup", assumeCanonical = true)
+        gt.deleteKeys(s, tdir, "doc_id",
+          labels.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
+          statsCols = Seq("doc_id"))
+      }
+    }
+    tdir
+  }
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     DeclaredQuery("j1_props_sum",
@@ -692,6 +717,53 @@ object JsonDocs {
               expr("transform(array_sort(collect_list(CASE WHEN dup THEN doc_id END)), x -> CAST(x AS STRING))")))
               .as("dup_md5"))
           .orderBy(col("source"))
+    },
+
+    // d9's keep-one dedup as an IN-PLACE TABLE OPERATION (round-8
+    // directive #6 made real): the corpus lives in a versioned table, the
+    // non-canonical near-dup group members are REMOVED by a copy-on-write
+    // `deleteKeys` commit (anti-join rewrite of only the touched files —
+    // never a driver-side id list), and the query reports the surviving
+    // corpus per language BY READING THE TABLE HEAD. Same oracle as d9:
+    // the delete must land exactly the derived-frame answer, but here
+    // time travel still serves the pre-delete corpus and the changelog
+    // never re-emits the rewrite — the dedup-end-to-end story (curate in
+    // place, stream the arrivals) instead of a per-query derived view.
+    DeclaredQuery("d17_table_delete_dedup",
+      """WITH RECURSIVE
+        |toks AS (SELECT DISTINCT doc_id, lang, tok
+        |         FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |         WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |          FROM toks a JOIN toks b ON a.tok=b.tok AND a.lang=b.lang
+        |                                  AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM inter JOIN sizes s1 ON s1.doc_id=d1
+        |          JOIN sizes s2 ON s2.doc_id=d2
+        |          WHERE 5*i >= 3*(s1.c + s2.c - i)),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |                WHERE e.b <> r.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+        |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+        |SELECT d.lang, COUNT(*) AS n_kept,
+        |       CAST(SUM(s.c) AS BIGINT) AS kept_distinct_toks
+        |FROM documents d JOIN sizes s ON s.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) {
+      (s, dir) =>
+        val tdir = dedupedTable(s, dir)
+        val sizes = Tables.docTokens(s, dir)
+          .select(col("doc_id"), col("lang"), col("tok")).distinct()
+          .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("c"))
+        graft.sources.GraftTable.read(s, tdir).select(col("doc_id"))
+          .join(sizes, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("c")).as("kept_distinct_toks"))
+          .orderBy(col("lang"))
     },
 
     // Exact duplicated-span SURGERY — the removal step d8 only measures
