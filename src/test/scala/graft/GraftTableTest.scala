@@ -461,6 +461,40 @@ class GraftTableTest extends AnyFunSuite {
     }
   }
 
+  test("changelog stream resolves through DataSource V2 and backfills across a schema evolution") {
+    val tdir = freshDir("dsv2")
+    val base = docs(TestSpark.sf0001).limit(10)
+    GraftTable.create(spark, tdir, base, Seq("doc_id"))
+    // an additive evolution lands BEFORE the stream starts: the pinned
+    // schema is the evolved (wider) one, so the v0 backfill batch reads
+    // pre-evolution parquet files that LACK the new column — the DSv2
+    // partition reader must resolve it as null, not fail (the V1-era
+    // restart-replay hole, now structural)
+    val enriched = docs(TestSpark.sf0001).limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(500000L))
+      .withColumn("quality", col("n_chars").cast("double") / 100.0)
+    GraftTable.append(spark, tdir, enriched, Seq("doc_id"))
+
+    val df = spark.readStream.format("graft-table").option("path", tdir).load()
+    assert(df.isStreaming)
+    // the public connector path, not a V1 Source: the unresolved relation
+    // is a DSv2 streaming relation (guards against a silent fallback)
+    val nodeNames = df.queryExecution.analyzed.collect {
+      case n => n.getClass.getSimpleName }
+    assert(nodeNames.contains("StreamingRelationV2"), nodeNames.mkString(","))
+
+    val q = df.writeStream.format("memory").queryName("s_dsv2")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_dsv2")
+    assert(got.count() == 15)
+    assert(got.filter(col("doc_id") < 500000L).count() == 10)
+    assert(got.filter(col("doc_id") < 500000L && col("quality").isNull).count() == 10,
+      "pre-evolution files must resolve the added column as null")
+    assert(got.filter(col("doc_id") >= 500000L && col("quality").isNotNull).count() == 5)
+  }
+
   test("vacuum retention window: an interleaved slow commit's pre-publish files survive and publish") {
     val tdir = freshDir("vacuum-age")
     val base = docs(TestSpark.sf0001).limit(20)
