@@ -331,11 +331,28 @@ object GraftTable {
   }
 
   /** Merge for additive evolution: existing columns keep their position
-    * and type (a type change throws), genuinely new columns append. */
+    * and type (a type change throws), genuinely new columns append.
+    * Nullability is IGNORED in the compatibility test (`sameType`): the
+    * manifest stores schemas as DDL, which round-trips every field and
+    * array element as nullable — a batch whose encoder derived
+    * `array<float> containsNull=false` must still append to the table its
+    * own create commit declared. */
+  private def sameTypeIgnoreNull(a: org.apache.spark.sql.types.DataType,
+                                 b: org.apache.spark.sql.types.DataType): Boolean =
+    (a, b) match {
+      case (x: org.apache.spark.sql.types.ArrayType,
+            y: org.apache.spark.sql.types.ArrayType) =>
+        sameTypeIgnoreNull(x.elementType, y.elementType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameTypeIgnoreNull(f.dataType, g.dataType) }
+      case _ => a == b
+    }
+
   private def mergeSchema(prev: StructType, next: StructType): StructType = {
     next.fields.foreach { f =>
       prev.fields.find(_.name == f.name).foreach { pf =>
-        require(pf.dataType == f.dataType,
+        require(sameTypeIgnoreNull(pf.dataType, f.dataType),
           s"column '${f.name}' type change ${pf.dataType.simpleString} -> " +
             s"${f.dataType.simpleString}: history would be unreadable")
       }

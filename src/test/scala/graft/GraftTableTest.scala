@@ -495,6 +495,33 @@ class GraftTableTest extends AnyFunSuite {
     assert(got.filter(col("doc_id") >= 500000L && col("quality").isNotNull).count() == 5)
   }
 
+  test("DSv2 partition reader round-trips array and binary columns through the stream") {
+    val tdir = freshDir("dsv2-types")
+    import spark.implicits._
+    // array<float> (the embeddings shape), array<long>, binary, and a
+    // null-element array — every non-scalar branch of the Group decoder
+    val rows = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat / 10f),
+        Array(i, i * 2), s"blob$i".getBytes("UTF-8"))
+    }
+    val df = rows.toDF("vec_id", "embedding", "longs", "payload")
+    GraftTable.create(spark, tdir, df.limit(20), Seq("vec_id"))
+    GraftTable.append(spark, tdir, df.filter(col("vec_id") >= 20), Seq("vec_id"))
+
+    val q = spark.readStream.format("graft-table").option("path", tdir).load()
+      .writeStream.format("memory").queryName("s_types")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_types").collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toList, r.getSeq[Long](2).toList,
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))
+    }.toSet
+    val want = rows.map(t => (t._1, t._2.toList, t._3.toList,
+      new String(t._4, "UTF-8"))).toSet
+    assert(got == want, s"missing ${(want -- got).take(2)}, extra ${(got -- want).take(2)}")
+  }
+
   test("vacuum retention window: an interleaved slow commit's pre-publish files survive and publish") {
     val tdir = freshDir("vacuum-age")
     val base = docs(TestSpark.sf0001).limit(20)
