@@ -508,12 +508,24 @@ class GraftTableTest extends AnyFunSuite {
     GraftTable.create(spark, tdir, df.limit(20), Seq("vec_id"))
     GraftTable.append(spark, tdir, df.filter(col("vec_id") >= 20), Seq("vec_id"))
 
+    // one more commit with real NULLs (null array, null binary): the
+    // decoder's repetition-count-0 branch must emit nulls, not crash
+    val nullable = org.apache.spark.sql.types.StructType(df.schema.fields
+      .map(_.copy(nullable = true)))
+    GraftTable.append(spark, tdir, spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(99L, null, Seq(9L), null)), nullable), Seq("vec_id"))
+
     val q = spark.readStream.format("graft-table").option("path", tdir).load()
       .writeStream.format("memory").queryName("s_types")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val got = spark.table("s_types").collect().map { r =>
+    val all = spark.table("s_types").collect()
+    val nullRow = all.find(_.getLong(0) == 99L).get
+    assert(nullRow.isNullAt(1) && nullRow.getSeq[Long](2) == Seq(9L) && nullRow.isNullAt(3),
+      s"null columns must round-trip: $nullRow")
+    val got = all.filter(_.getLong(0) != 99L).map { r =>
       (r.getLong(0), r.getSeq[Float](1).toList, r.getSeq[Long](2).toList,
         new String(r.getAs[Array[Byte]](3), "UTF-8"))
     }.toSet
