@@ -61,10 +61,15 @@ object GraftTable {
     * min/max per stats column (absent ⇒ no pruning info, file is kept).
     * `stats` holds integral-column bounds; `strStats` holds string-column
     * bounds under Spark's binary (UTF-8 byte) ordering — the d16-style
-    * text-table predicates (`source`, `lang`) prune files through these. */
+    * text-table predicates (`source`, `lang`) prune files through these.
+    * `arrival` = false marks a file holding REWRITTEN old rows (compact /
+    * delete survivors / the upsert rewrite half): such files never count
+    * as changelog arrivals, which is how one MERGE commit can carry both
+    * updated-in-place rows and genuinely new ones. */
   final case class TableFile(path: String, records: Long,
                              stats: Map[String, (Long, Long)],
-                             strStats: Map[String, (String, String)] = Map.empty)
+                             strStats: Map[String, (String, String)] = Map.empty,
+                             arrival: Boolean = true)
 
   /** Spark's string min/max order is UTF8String BINARY order (UTF-8 byte
     * comparison, = code-point order), which differs from Java's
@@ -130,7 +135,7 @@ object GraftTable {
           val Array(mn, mx) = range.split("\\.\\.", 2)
           c -> (unhex(mn), unhex(mx))
         }.toMap
-      TableFile(p(2), p(3).toLong, stats, strStats)
+      TableFile(p(2), p(3).toLong, stats, strStats, arrival = p(1) != "rewrite")
     }
     val txn = kv.get("txn").map { t =>
       val i = t.lastIndexOf(':'); (t.substring(0, i), t.substring(i + 1).toLong)
@@ -330,6 +335,44 @@ object GraftTable {
       prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
   }
 
+  /** MERGE / upsert by key, copy-on-write, ONE atomic commit: rows of
+    * `batch` whose `keyCol` already exists REPLACE the old rows (the
+    * touched files rewrite without the matched keys, exactly [[deleteKeys]]
+    * mechanics); the whole batch then lands as ARRIVAL files. The commit
+    * publishes once, so readers never see the delete-without-insert half
+    * state a deleteKeys+append pair would expose between its two versions.
+    *
+    * Changelog semantics via the per-file `arrival` marker: the batch's
+    * files count as arrivals (an upsert IS an ingest event — d16-style
+    * gates see every upserted row once), the rewrite half never does.
+    * Duplicate keys WITHIN the batch are kept as-is (both land), matching
+    * append; dedupe the batch first if keys must stay unique. */
+  def upsert(s: SparkSession, dir: String, keyCol: String, batch: DataFrame,
+             statsCols: Seq[String] = Nil): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, head)
+    val keys = batch.select(col(keyCol)).distinct()
+    // input_file_name() must be captured IN the scan stage (see deleteKeys)
+    val touched = readFiles(s, dir, m).withColumn("_f", input_file_name())
+      .join(keys, Seq(keyCol), "semi")
+      .select(col("_f")).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty).toSet // one row per data FILE
+    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val version = head + 1
+    val survivors =
+      if (rewrite.isEmpty) Nil
+      else writeFiles(s, dir,
+        readFiles(s, dir, m.copy(files = rewrite))
+          .join(keys, Seq(keyCol), "left_anti"),
+        statsCols, version, arrival = false)
+    val arrivals = writeFiles(s, dir, batch, statsCols, version, arrival = true)
+    val schema = mergeSchema(StructType.fromDDL(m.schemaDdl), batch.schema)
+    publish(dir, Manifest(version, "upsert", schema.toDDL,
+      carry ++ survivors ++ arrivals))
+    version
+  }
+
   /** Merge for additive evolution: existing columns keep their position
     * and type (a type change throws), genuinely new columns append.
     * Nullability is IGNORED in the compatibility test (`sameType`): the
@@ -361,11 +404,13 @@ object GraftTable {
       next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
   }
 
-  private def commit(s: SparkSession, dir: String, df: DataFrame,
-                     statsCols: Seq[String], version: Int, op: String,
-                     prev: Seq[TableFile],
-                     txn: Option[(String, Long)] = None,
-                     prevSchema: Option[StructType] = None): Int = {
+  /** Write one batch's data files under a fresh salted subdirectory of
+    * version `version` and return their manifest entries (per-file row
+    * counts + stats). Does NOT publish — callers compose one or more
+    * writes into a single atomic manifest publish. */
+  private def writeFiles(s: SparkSession, dir: String, df: DataFrame,
+                         statsCols: Seq[String], version: Int,
+                         arrival: Boolean): Seq[TableFile] = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/c$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
@@ -396,7 +441,7 @@ object GraftTable {
     val perFile = back.groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per data FILE of this commit
-    val fresh = perFile.map { r =>
+    perFile.map { r =>
       val full = r.getString(0)
       val rel = full.substring(full.indexOf(sub))
       val stats = longCols.flatMap { c =>
@@ -411,8 +456,18 @@ object GraftTable {
         if (mn == null || mx == null || mn.length > 64 || mx.length > 64) None
         else Some(c -> (mn, mx))
       }.toMap
-      TableFile(rel, r.getAs[Long]("_n"), stats, strStats)
-    }.sortBy(_.path)
+      TableFile(rel, r.getAs[Long]("_n"), stats, strStats, arrival)
+    }.sortBy(_.path).toSeq
+  }
+
+  private def commit(s: SparkSession, dir: String, df: DataFrame,
+                     statsCols: Seq[String], version: Int, op: String,
+                     prev: Seq[TableFile],
+                     txn: Option[(String, Long)] = None,
+                     prevSchema: Option[StructType] = None): Int = {
+    // compact/delete fresh files REWRITE old rows — never changelog arrivals
+    val arrival = op != "compact" && op != "delete"
+    val fresh = writeFiles(s, dir, df, statsCols, version, arrival)
     val schema = prevSchema.map(mergeSchema(_, df.schema)).getOrElse(df.schema)
     publish(dir, Manifest(version, op, schema.toDDL, prev ++ fresh, txn))
     version
@@ -436,7 +491,8 @@ object GraftTable {
       val strStats = if (f.strStats.isEmpty) "-"
         else f.strStats.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"$c=${hex(mn)}..${hex(mx)}" }.mkString(";")
-      body.append(s"file\tadd\t${f.path}\t${f.records}\t$stats\t$strStats\n")
+      val kind = if (f.arrival) "add" else "rewrite"
+      body.append(s"file\t$kind\t${f.path}\t${f.records}\t$stats\t$strStats\n")
     }
     val tmp = logDir(dir).resolve(
       s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -462,7 +518,7 @@ object GraftTable {
       val m = manifest(dir, v)
       val freshN =
         if (m.op == "compact" || m.op == "delete") 0
-        else m.files.count(f => !prevPaths(f.path))
+        else m.files.count(f => f.arrival && !prevPaths(f.path))
       prevPaths = m.files.map(_.path).toSet
       (v, m.op, m.files.size, m.files.map(_.records).sum, freshN,
         m.txn.map { case (a, b) => s"$a:$b" }.orNull)
@@ -488,9 +544,12 @@ object GraftTable {
       val m = manifest(dir, v)
       // compact and delete REWRITE existing rows into new files — neither
       // contributes arrivals (the changelog carries appends; a full CDC
-      // would add retraction records, out of scope for append-mode ingest)
+      // would add retraction records, out of scope for append-mode ingest).
+      // Within an upsert commit the per-file `arrival` marker separates the
+      // batch's new rows (arrivals) from the rewrite half (not arrivals);
+      // the op-level skip stays for pre-marker manifests.
       if (m.op != "compact" && m.op != "delete")
-        out ++= m.files.filterNot(f => prevPaths(f.path))
+        out ++= m.files.filter(f => f.arrival && !prevPaths(f.path))
       prevPaths = m.files.map(_.path).toSet
     }
     out.result()

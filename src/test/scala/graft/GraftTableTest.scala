@@ -534,6 +534,82 @@ class GraftTableTest extends AnyFunSuite {
     assert(got == want, s"missing ${(want -- got).take(2)}, extra ${(got -- want).take(2)}")
   }
 
+  test("upsert: one atomic MERGE commit — matched keys replace, new keys insert, changelog carries the batch once") {
+    val tdir = freshDir("upsert")
+    import spark.implicits._
+    val base = (0L until 20L).map(i => (i, s"v0-$i")).toDF("id", "value")
+    GraftTable.create(spark, tdir,
+      base.repartitionByRange(4, col("id")), Seq("id"))
+
+    // update 3 of the 5 rows in the first range file (2 survive its
+    // rewrite), insert 5 new keys
+    val batch = ((0L until 3L) ++ (100L until 105L))
+      .map(i => (i, s"v1-$i")).toDF("id", "value")
+    assert(GraftTable.upsert(spark, tdir, "id", batch, Seq("id")) == 1)
+    assert(GraftTable.manifest(tdir, 1).op == "upsert")
+
+    val head = GraftTable.read(spark, tdir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(head.size == 25)
+    (0L until 3L).foreach(i => assert(head(i) == s"v1-$i", s"id $i must update"))
+    (3L until 20L).foreach(i => assert(head(i) == s"v0-$i", s"id $i must survive"))
+    (100L until 105L).foreach(i => assert(head(i) == s"v1-$i", s"id $i must insert"))
+
+    // copy-on-write: the three untouched range files carry by reference
+    val f0 = GraftTable.manifest(tdir, 0).files.map(_.path).toSet
+    val m1 = GraftTable.manifest(tdir, 1)
+    assert((f0 & m1.files.map(_.path).toSet).size == 3,
+      "only the file containing ids 0-2 may rewrite")
+    // the batch's files are arrivals; the rewrite half (ids 3-4) is not
+    assert(m1.files.count(f => f.arrival && !f0(f.path)) >= 1)
+    assert(m1.files.filter(f => !f.arrival).map(_.records).sum == 2,
+      "the rewrite half holds exactly the touched file's surviving rows")
+
+    // changelog (0,1] = exactly the batch rows, once — updates AND inserts
+    // are ingest events; the rewritten survivors never re-emit
+    val ch = GraftTable.readChanges(spark, tdir, 0, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == batch.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+
+    // time travel: pre-upsert snapshot still serves the old values
+    val v0 = GraftTable.read(spark, tdir, Some(0)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0.size == 20 && v0(2L) == "v0-2" && !v0.contains(100L))
+
+    // history counts only the arrival files as logical adds
+    val h = GraftTable.history(spark, tdir).orderBy("version").collect()
+    assert(h(1).getString(1) == "upsert" &&
+      h(1).getInt(4) == m1.files.count(f => f.arrival && !f0(f.path)))
+
+    // a TAILING stream (checkpointed past v0) sees the upsert as ONE
+    // micro-batch of exactly the batch rows — the rewrite never re-emits.
+    // (A stream STARTING after the upsert backfills the head snapshot
+    // instead: current state, then tail — the Delta-source shape.)
+    val ckpt = freshDir("upsert-ckpt")
+    val more = (200L until 203L).map(i => (i, s"v2-$i")).toDF("id", "value")
+    val seen = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", tdir).load()
+        .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+          seen.synchronized { seen ++= rows }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // backfill: the post-upsert head snapshot (25)
+    assert(seen.size == 25)
+    seen.clear()
+    GraftTable.upsert(spark, tdir, "id", more, Seq("id")) // ids 200-202: pure insert
+    GraftTable.upsert(spark, tdir, "id",
+      Seq((201L, "v3-201")).toDF("id", "value"), Seq("id")) // one in-place update
+    drain() // tail: the two upserts' arrival batches ONLY
+    assert(seen.toSet == Set((200L, "v2-200"), (201L, "v2-201"), (202L, "v2-202"),
+      (201L, "v3-201")),
+      s"tail must be the arrival batches, no rewrite re-emission: ${seen.toSet}")
+  }
+
   test("vacuum retention window: an interleaved slow commit's pre-publish files survive and publish") {
     val tdir = freshDir("vacuum-age")
     val base = docs(TestSpark.sf0001).limit(20)
