@@ -48,12 +48,12 @@ class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsR
   }
 }
 
-class GraftTableScan(dir: String, pinned: StructType, startingVersion: Int)
+class GraftTableScan(dir: String, required: StructType, startingVersion: Int)
   extends Scan {
-  override def readSchema(): StructType = pinned
+  override def readSchema(): StructType = required
   override def description(): String = s"graft-table $dir from v$startingVersion"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTableMicroBatchStream(dir, pinned, startingVersion)
+    new GraftTableMicroBatchStream(dir, required, startingVersion)
 }
 
 /** Snapshot-version offset: "snapshots ≤ v emitted". */
@@ -125,12 +125,33 @@ class GraftParquetPartitionReader(path: String, schema: StructType)
   extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.example.data.Group
-  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
   import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+
+  private val conf = new Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(path)
+
+  // project the FILE's own schema down to the pruned read columns (taking
+  // the file's types verbatim sidesteps any re-construction mismatch);
+  // parquet then skips the unrequested column chunks entirely — the
+  // pruning half of "filters and column selection reach the scan"
+  locally {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
+    val kept = schema.fieldNames.filter(fileSchema.containsField)
+    if (kept.nonEmpty) {
+      val projected = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName,
+        kept.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+    }
+  }
 
   private val reader: ParquetReader[Group] = ParquetReader
-    .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
-    .withConf(new Configuration())
+    .builder(new GroupReadSupport(), hPath)
+    .withConf(conf)
     .build()
   private var current: Group = _
 

@@ -130,9 +130,25 @@ class GraftTableSourceProvider extends RelationProvider
     new GraftTableRelation(ctx, parameters("path"),
       parameters.get("versionAsOf").map(_.toInt))
 
+  /** The micro-batch engine builds streaming scans WITHOUT pushdown
+    * (column pruning only runs on batch V2 relations), so projection has
+    * an explicit seam instead: `.option("readColumns", "doc_id,source")`
+    * narrows the stream's schema — the partition readers then project the
+    * parquet footer to those fields and never read or decode the rest
+    * (the text column of a wide documents table stays untouched). */
+  private def narrow(full: StructType,
+                     readColumns: Option[String]): StructType =
+    readColumns.map { cs =>
+      val names = cs.split(',').map(_.trim).filter(_.nonEmpty)
+      StructType(names.map(n => full.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"readColumns: '$n' is not a column of ${full.fieldNames.mkString(",")}"))))
+    }.getOrElse(full)
+
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
-    GraftTableSource.tableSchema(options.get("path"))
+    narrow(GraftTableSource.tableSchema(options.get("path")),
+      Option(options.get("readColumns")))
 
   override def getTable(schema: StructType,
                         partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],

@@ -534,6 +534,25 @@ class GraftTableTest extends AnyFunSuite {
     assert(got == want, s"missing ${(want -- got).take(2)}, extra ${(got -- want).take(2)}")
   }
 
+  test("stream column pruning reaches the scan: unselected columns are never decoded") {
+    val tdir = freshDir("prune")
+    import spark.implicits._
+    // the 'm' column is a MAP — a type the stream decoder deliberately
+    // refuses. readColumns=(id,v) must keep the map column out of both the
+    // parquet projection and the decoder, so the stream runs; without the
+    // projection every micro-batch would throw on the map.
+    val df = (0L until 10L).map(i => (i, Map(s"k$i" -> i), i * 2)).toDF("id", "m", "v")
+    GraftTable.create(spark, tdir, df, Seq("id"))
+    val q = spark.readStream.format("graft-table").option("path", tdir)
+      .option("readColumns", "id,v").load()
+      .writeStream.format("memory").queryName("s_prune")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_prune").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 10L).map(i => (i, i * 2)).toSet)
+  }
+
   test("upsert: one atomic MERGE commit — matched keys replace, new keys insert, changelog carries the batch once") {
     val tdir = freshDir("upsert")
     import spark.implicits._
