@@ -42,57 +42,168 @@ class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsR
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = options.getInt("startingVersion", 0)
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     new ScanBuilder {
-      override def build(): Scan = new GraftTableScan(dir, pinned, startingVersion)
+      override def build(): Scan =
+        new GraftTableScan(dir, pinned, startingVersion, maxFiles)
     }
   }
 }
 
-class GraftTableScan(dir: String, required: StructType, startingVersion: Int)
+class GraftTableScan(dir: String, required: StructType, startingVersion: Int,
+                     maxFilesPerTrigger: Option[Int])
   extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft-table $dir from v$startingVersion"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTableMicroBatchStream(dir, required, startingVersion)
+    new GraftTableMicroBatchStream(dir, required, startingVersion, maxFilesPerTrigger)
 }
 
-/** Snapshot-version offset: "snapshots ≤ v emitted". */
-case class GraftVersionOffset(v: Int) extends Offset {
-  override def json: String = v.toString
+/** Stream offset in one of three shapes (json kept back-compatible with
+  * the original plain-int form, so old checkpoints deserialize):
+  *
+  *  - `v` (plain int, `backfillTo = idx = -1`): versions ≤ v fully
+  *    emitted; v = startingVersion−1 means "nothing yet".
+  *  - `{"backfill":B,"idx":i}`: the initial snapshot read was PINNED at
+  *    version B and its first i files are emitted (the
+  *    maxFilesPerTrigger-bounded backfill in flight).
+  *  - `{"v":v,"idx":i}`: versions ≤ v fully emitted PLUS the first i
+  *    arrival files of version v+1 (a bounded batch split a commit).
+  */
+case class GraftStreamOffset(v: Int, backfillTo: Int = -1, idx: Int = -1)
+  extends Offset {
+  override def json: String =
+    if (backfillTo >= 0) s"""{"backfill":$backfillTo,"idx":$idx}"""
+    else if (idx >= 0) s"""{"v":$v,"idx":$idx}"""
+    else v.toString
+}
+
+object GraftStreamOffset {
+  private val B = """\{"backfill":(-?\d+),"idx":(\d+)\}""".r
+  private val V = """\{"v":(-?\d+),"idx":(\d+)\}""".r
+  def parse(json: String): GraftStreamOffset = json.trim match {
+    case B(b, i) => GraftStreamOffset(-1, b.toInt, i.toInt)
+    case V(v, i) => GraftStreamOffset(v.toInt, -1, i.toInt)
+    case s => GraftStreamOffset(s.toInt)
+  }
 }
 
 class GraftTableMicroBatchStream(dir: String, pinned: StructType,
-                                 startingVersion: Int) extends MicroBatchStream {
+                                 startingVersion: Int,
+                                 maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private def off(o: Offset): Int = o match {
-    case GraftVersionOffset(v) => v
-    case other => other.json.trim.toInt
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  /** Trigger.AvailableNow cap, pinned at query start: without native
+    * support the engine falls back to ONE unbounded batch (Trigger.Once
+    * semantics), defeating maxFilesPerTrigger exactly where it matters —
+    * the giant backfill. */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = GraftTable.currentVersion(dir).filter(_ >= startingVersion)
+
+  private def off(o: Offset): GraftStreamOffset = o match {
+    case g: GraftStreamOffset => g
+    case other => GraftStreamOffset.parse(other.json)
   }
 
-  /** Head snapshot if it has reached startingVersion; else "nothing yet"
-    * (= initial), which the engine reads as no-new-data. */
-  override def latestOffset(): Offset =
-    GraftTable.currentVersion(dir).filter(_ >= startingVersion)
-      .map(GraftVersionOffset(_)).getOrElse(initialOffset())
+  /** Arrival files of commit v+1 (deterministic order: manifests list a
+    * commit's files sorted by path, addedFiles preserves it). */
+  private def arrivals(v: Int): Seq[GraftTable.TableFile] =
+    GraftTable.addedFiles(dir, v, v + 1)
 
-  override def initialOffset(): Offset = GraftVersionOffset(startingVersion - 1)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.trim.toInt)
+  override def initialOffset(): Offset = GraftStreamOffset(startingVersion - 1)
+
+  override def deserializeOffset(json: String): Offset = GraftStreamOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** (start, end] as the manifest changelog; start < startingVersion means
-    * "nothing emitted": the full `end` snapshot when startingVersion is 0
-    * (backfill-then-tail), else the changelog from just before it. */
+  override def reportLatestOffset(): Offset =
+    GraftTable.currentVersion(dir).filter(_ >= startingVersion)
+      .map(GraftStreamOffset(_)).getOrElse(initialOffset())
+
+  /** Unbounded form — the engine uses the admission-controlled overload. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = off(start)
+    val liveHead = GraftTable.currentVersion(dir).filter(_ >= startingVersion)
+      .getOrElse(return start)
+    // under Trigger.AvailableNow, never advance past the snapshot pinned
+    // at query start — commits racing the drain wait for the next run
+    val head = availableNowCap.fold(liveHead)(math.min(_, liveHead))
+    val budget0 = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    if (s.backfillTo >= 0) {
+      // bounded initial-snapshot backfill in flight (pinned at B)
+      val total = GraftTable.manifest(dir, s.backfillTo).files.size
+      if (s.idx + budget0 >= total) GraftStreamOffset(s.backfillTo)
+      else GraftStreamOffset(-1, s.backfillTo, s.idx + budget0)
+    } else if (s.v < 0 && s.idx < 0) {
+      // nothing emitted, startingVersion == 0: pin the backfill at head
+      val total = GraftTable.manifest(dir, head).files.size
+      if (budget0 >= total) GraftStreamOffset(head)
+      else GraftStreamOffset(-1, head, budget0)
+    } else {
+      // tail: walk whole commits (and empty ones for free) under budget,
+      // splitting inside a commit when its arrival list exceeds it
+      var v = s.v
+      var i = math.max(s.idx, 0)
+      var budget = budget0
+      while (v < head) {
+        val arr = arrivals(v)
+        val remaining = arr.size - i
+        if (remaining <= budget) { budget -= remaining; v += 1; i = 0 }
+        else return GraftStreamOffset(v, -1, i + budget)
+      }
+      GraftStreamOffset(head)
+    }
+  }
+
+  /** The file set of (start, end] under the offset semantics above. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val fromExcl = off(start)
-    val to = off(end)
-    if (to <= fromExcl) return Array.empty
-    val files =
-      if (fromExcl < 0) GraftTable.manifest(dir, to).files
-      else GraftTable.addedFiles(dir, fromExcl, to)
+    val s = off(start)
+    val e = off(end)
+    // an empty range (recovery re-plan, no-progress tick) must not touch
+    // any manifest: (v, 0) references commit v+1, which may not exist yet
+    if (s == e) return Array.empty
+    val files: Seq[GraftTable.TableFile] =
+      if (e.backfillTo >= 0) {
+        // still inside the pinned backfill
+        val all = GraftTable.manifest(dir, e.backfillTo).files
+        val from = if (s.backfillTo >= 0) s.idx else 0
+        all.slice(from, e.idx)
+      } else if (s.backfillTo >= 0) {
+        // backfill completes at e.v == the pinned snapshot
+        GraftTable.manifest(dir, s.backfillTo).files.drop(s.idx)
+      } else if (s.v < 0 && s.idx < 0) {
+        // unbounded first batch: the full snapshot at e.v
+        if (e.v < 0) Seq.empty else GraftTable.manifest(dir, e.v).files
+      } else {
+        // tail range, possibly split inside the first and/or last commit.
+        // Normalize both ends to (complete-through version, partial count
+        // into the NEXT commit's arrival list): plain v ≡ (v, 0).
+        val sPart = math.max(s.idx, 0)
+        val ePart = math.max(e.idx, 0)
+        if (e.v == s.v && ePart <= sPart) Seq.empty // before arrivals() I/O
+        else if (e.v == s.v) arrivals(s.v).slice(sPart, ePart)
+        else
+          arrivals(s.v).drop(sPart) ++                       // rest of commit s.v+1
+            GraftTable.addedFiles(dir, s.v + 1, e.v) ++      // commits s.v+2 .. e.v
+            (if (ePart > 0) arrivals(e.v).take(ePart) else Seq.empty)
+      }
     files.map(f =>
       GraftFilePartition(s"$dir/${f.path}", pinned.toDDL): InputPartition).toArray
   }

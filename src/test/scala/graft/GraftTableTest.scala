@@ -553,6 +553,55 @@ class GraftTableTest extends AnyFunSuite {
     assert(got == (0L until 10L).map(i => (i, i * 2)).toSet)
   }
 
+  test("maxFilesPerTrigger: bounded backfill, split commits, exactly-once across a mid-backfill restart") {
+    val tdir = freshDir("maxfiles")
+    import spark.implicits._
+    val v0 = (0L until 60L).map(i => (i, s"a$i")).toDF("id", "value")
+    GraftTable.create(spark, tdir, v0.repartitionByRange(6, col("id")), Seq("id"))
+    GraftTable.append(spark, tdir,
+      (100L until 140L).map(i => (i, s"b$i")).toDF("id", "value")
+        .repartitionByRange(4, col("id")), Seq("id"))
+    // head snapshot = 10 files; with maxFilesPerTrigger=2 the backfill is
+    // 5 bounded micro-batches instead of one giant one
+    val ckpt = freshDir("maxfiles-ckpt")
+    val batches = scala.collection.mutable.ListBuffer.empty[Long]
+    val seen = scala.collection.mutable.ListBuffer.empty[Long]
+    def start(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-table").option("path", tdir)
+        .option("maxFilesPerTrigger", 2).load()
+        .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids; batches += ids.length.toLong }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // stop the first run as soon as a bounded batch lands: the checkpoint
+    // then holds a composite mid-backfill offset ({"backfill":B,"idx":…})
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (batches.synchronized(batches.isEmpty) && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop(); q1.awaitTermination()
+    val afterStop = seen.size
+    assert(afterStop % 20 == 0 && afterStop >= 20,
+      s"bounded batches carry 2 files = 20 rows each, got $afterStop rows")
+    // resume from the (possibly composite) checkpointed offset and drain
+    val q2 = start(); q2.awaitTermination()
+    assert(seen.size == 100 && seen.toSet.size == 100,
+      s"restart mid-backfill must be exactly-once: ${seen.size} rows")
+    assert(batches.size == 5 && batches.forall(_ == 20), s"5 x 2-file batches: $batches")
+
+    // a large commit splits across micro-batches in the tail too
+    batches.clear(); seen.clear()
+    GraftTable.append(spark, tdir,
+      (200L until 250L).map(i => (i, s"c$i")).toDF("id", "value")
+        .repartitionByRange(5, col("id")), Seq("id"))
+    val q3 = start(); q3.awaitTermination()
+    assert(seen.size == 50 && seen.toSet == (200L until 250L).toSet)
+    assert(batches.size == 3 && batches.sorted.toSeq == Seq(10L, 20L, 20L),
+      s"5 files under a 2-file budget = 2+2+1 batches: $batches")
+  }
+
   test("upsert: one atomic MERGE commit — matched keys replace, new keys insert, changelog carries the batch once") {
     val tdir = freshDir("upsert")
     import spark.implicits._
