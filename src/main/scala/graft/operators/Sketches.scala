@@ -143,6 +143,85 @@ object Sketches {
       .distinct()
   }
 
+  /** Corpus banded-index builds observed (build-once contract test hook —
+    * the d14 `incrMaskBuilds` precedent). */
+  private[graft] val mhIndexBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  private val mhGateMemo =
+    new graft.util.Memo[(SparkSession, String, String), DataFrame]()(graft.util.Memo.unpersistDf)
+
+  /** d18: MinHash-LSH INCREMENTAL ingest gate — the lexical-sketch member
+    * of the incremental-dedup trilogy (d14/d16 exact token-set probe, v11
+    * semantic gate, this). The corpus's banded signature rows
+    * `(band, bkey, lang, doc_id)` are a build-once IndexStore artifact
+    * keyed by corpus content + sketch params; an arriving batch computes
+    * its OWN signatures with the same seeded hash family and probes the
+    * index by `(band, bkey, lang)` equi-join — candidate pairs are
+    * CROSS-side only (old×old and new×new bucket spaces never
+    * materialize), and probe cost tracks the batch, not the corpus.
+    * Every candidate is then EXACT-verified (Jaccard ≥ 3/5 over distinct
+    * token sets, pair-restricted — the verify join fans out candidate
+    * pairs by their tokens, never re-enumerating a quadratic space).
+    * Returns the verified duplicate NEW doc ids, one column `new_id`.
+    *
+    * vs d14: same admission contract, different index. d14's bitmap-mask
+    * probe carries the corpus VOCABULARY (bounded, but content-bearing);
+    * this carries `bands` longs per corpus doc regardless of vocabulary —
+    * the form that survives an unbounded-vocabulary corpus at 100 TB, at
+    * the price of probabilistic candidate recall
+    * (P(candidate | J=0.6) = 1−(1−0.6²)⁸ ≈ 0.97 per pair at k=16/b=8 —
+    * sf0.1 measurably misses ~1 borderline pair, so d18 is oracle-exempt;
+    * SketchesTest proves rejections ⊆ d14's exact set, recall ≥ 0.95,
+    * planted-twin catch, and build-once artifact reuse instead). */
+  def minhashIngestGate(s: SparkSession, dir: String, oldSources: Seq[String],
+                        k: Int = 16, bands: Int = 8): DataFrame =
+    mhGateMemo.getOrElseUpdate((s, dir, oldSources.sorted.mkString(","))) {
+      minhashIngestGateUncached(s, dir, oldSources, k, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def minhashIngestGateUncached(s: SparkSession, dir: String,
+                                        oldSources: Seq[String],
+                                        k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandRows = (df: DataFrame) => df
+      .select(col("doc_id"), col("lang"),
+        minhashUdf(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))"),
+          lit(k)).as("sig"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
+      .select(col("doc_id"), col("lang"), col("band"),
+        expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)").as("bkey"))
+    val docs = Tables.table(s, dir, "documents")
+    // build-once corpus index: keyed by roster + corpus content (append of
+    // NEW sources leaves it valid — the d14 keying contract) + params
+    val key = DocSimilarity.incrCorpusKey(s, dir, oldSources) + s"-mh$k-$bands"
+    val (idx, _) = graft.sources.IndexStore.materializeKeyed(s, key, "mh_bands") {
+      mhIndexBuilds.incrementAndGet()
+      bandRows(docs.filter(col("source").isin(oldSources: _*)))
+    }
+    val cand = idx.select(col("band"), col("bkey"), col("lang"),
+        col("doc_id").as("old_id"))
+      .join(bandRows(docs.filter(!col("source").isin(oldSources: _*)))
+        .select(col("band"), col("bkey"), col("lang"), col("doc_id").as("new_id")),
+        Seq("band", "bkey", "lang"))
+      .select(col("old_id"), col("new_id"), col("lang"))
+      .distinct()
+    // exact verification over candidate PAIRS only
+    val toks = DocSimilarity.distinctTokens(s, dir)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    cand
+      .join(toks.select(col("doc_id").as("old_id"), col("lang"), col("tok")),
+        Seq("old_id", "lang"))
+      .join(toks.select(col("doc_id").as("new_id"), col("lang"), col("tok")),
+        Seq("new_id", "lang", "tok"))
+      .groupBy(col("old_id"), col("new_id")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("old_id"), col("c").as("c1")), "old_id")
+      .join(sizes.select(col("doc_id").as("new_id"), col("c").as("c2")), "new_id")
+      .filter(col("i") * 5 >= (col("c1") + col("c2") - col("i")) * 3)
+      .select(col("new_id")).distinct()
+  }
+
   /** Random-projection LSH ANN: 8 seeded hyperplanes → 256-bucket space;
     * multiprobe the query bucket plus all 1-, 2- and 3-bit flips (93 buckets
     * — a recall/cost point chosen for the weakly clustered fixture);
@@ -287,7 +366,7 @@ object Sketches {
     * (disk IndexStore artifacts stay). */
   def resetCaches(): Unit = {
     ivfMemo.clear(); mhMemo.clear(); lshCandMemo.clear()
-    pqMemo.clear(); hamMemo.clear(); ivfOverMemo.clear()
+    pqMemo.clear(); hamMemo.clear(); ivfOverMemo.clear(); mhGateMemo.clear()
   }
 
   /** Build (or load) the IVF index: if the (centers, assigned) parquet

@@ -766,6 +766,42 @@ object JsonDocs {
           .orderBy(col("lang"))
     },
 
+    // MinHash-LSH INCREMENTAL ingest gate — d14's admission contract
+    // (admit a new-batch doc iff no corpus near-dup at Jaccard ≥ 0.6)
+    // served by a banded-signature index instead of the bitmap-mask probe:
+    // the corpus keeps `bands` longs per doc REGARDLESS of vocabulary (the
+    // form that survives an unbounded-vocabulary corpus at 100 TB), the
+    // batch probes by (band, bkey, lang) equi-join — cross pairs only —
+    // and every candidate is exact-verified over its token sets before a
+    // rejection is issued. NO ORACLE (seeded MinHash): recall is
+    // probabilistic — P(candidate|J=0.6) ≈ 0.97/pair at k=16/b=8, and
+    // sf0.1 measurably misses ~1 borderline pair — so instead of an exact
+    // hash gate, SketchesTest proves rejections ⊆ d14's exact rejections
+    // (verification kills false positives), recall ≥ 0.95 vs the exact
+    // gate, planted-twin catch, and build-once index reuse.
+    DeclaredQuery.noOracle("d18_minhash_ingest_gate") {
+      (s, dir) =>
+        val oldSources = (0 to 9).map(i => s"src$i")
+        val dupIds = graft.operators.Sketches
+          .minhashIngestGate(s, dir, oldSources)
+          .select(col("new_id").as("doc_id")).distinct()
+          .withColumn("dup", lit(true))
+        Tables.table(s, dir, "documents")
+          .filter(!col("source").isin(oldSources: _*))
+          .select(col("doc_id"), col("source"))
+          .join(dupIds, Seq("doc_id"), "left_outer")
+          .withColumn("dup", coalesce(col("dup"), lit(false)))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_new"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("dup"), 0L).otherwise(1L)).as("n_admitted"),
+            md5(concat_ws(",",
+              expr("transform(array_sort(collect_list(CASE WHEN dup THEN doc_id END)), x -> CAST(x AS STRING))")))
+              .as("dup_md5"))
+          .orderBy(col("source"))
+    },
+
     // Exact duplicated-span SURGERY — the removal step d8 only measures
     // (Lee et al. ACL'22 dedup applied to spans): tokens covered by any
     // cross-document 8-gram are cut and the doc is rebuilt from the

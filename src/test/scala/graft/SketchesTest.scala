@@ -343,4 +343,74 @@ class SketchesTest extends AnyFunSuite {
       bf.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(1)))
     }
   }
+
+  /** d18's declared verification (SURVEY §2.8): no oracle, so the contract
+    * is (a) rejections ⊆ the exact gate's (verification kills false
+    * positives), (b) recall ≥ 0.95 vs exact, (c) planted twins caught,
+    * (d) the banded corpus index is a build-once artifact that survives a
+    * batch append (the d14 keying contract, same fixture machinery). */
+  test("d18 minhash ingest gate: rejections subset-of exact, recall >= 0.95, planted twins, build-once index") {
+    val olds = (0 to 9).map(i => s"src$i")
+    val exact = DocSimilarity.incrementalNearDups(spark, TestSpark.sf0001, olds)
+      .select($"new_id").distinct().as[Long].collect().toSet
+    val lsh = Sketches.minhashIngestGate(spark, TestSpark.sf0001, olds)
+      .select($"new_id").as[Long].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain cross near-dups")
+    assert(lsh.subsetOf(exact),
+      s"false positives impossible after exact verification: ${lsh.diff(exact).take(5)}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall over ${exact.size} exact rejections")
+
+    // planted twins: clone 10 corpus docs under a NEW source — J=1.0 pairs
+    // must all be rejected through the banded index
+    import java.nio.file.{Files, Paths}
+    val data = Files.createTempDirectory("graft-d18").toString
+    Files.createDirectory(Paths.get(s"$data/documents.parquet"))
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/documents.parquet"),
+      Paths.get(s"$data/documents.parquet/part-00000.parquet"))
+    val twins = Tables.table(spark, data, "documents")
+      .filter($"source" === "src0").limit(10)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text", $"lang",
+        lit("src_twin").as("source"), $"n_chars")
+    val twinIds = twins.select($"doc_id").as[Long].collect().toSet
+    val tmp = Files.createTempDirectory("graft-d18-twin")
+    twins.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    Files.move(part, Paths.get(s"$data/documents.parquet/part-00001.parquet"))
+
+    val tmpIdx = Files.createTempDirectory("graft-idx-d18").toString
+    spark.conf.set("graft.index.dir", tmpIdx)
+    try {
+      def reset(): Unit = { Sketches.resetCaches(); Tables.resetCaches() }
+      reset()
+      val builds0 = Sketches.mhIndexBuilds.get()
+      val rejected1 = Sketches.minhashIngestGate(spark, data, olds)
+        .as[Long].collect().toSet
+      assert(Sketches.mhIndexBuilds.get() == builds0 + 1, "first call builds")
+      assert(twinIds.subsetOf(rejected1),
+        s"planted J=1.0 twins must all be rejected: missing ${twinIds.diff(rejected1)}")
+
+      // append MORE batch rows (non-roster source): index must be reused
+      val more = Tables.table(spark, data, "documents")
+        .filter($"source" === "src0").limit(3)
+        .select(($"doc_id" + 600000L).as("doc_id"), $"text", $"lang",
+          lit("src_twin2").as("source"), $"n_chars")
+      val moreIds = more.select($"doc_id").as[Long].collect().toSet
+      val tmp2 = Files.createTempDirectory("graft-d18-more")
+      more.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+      val part2 = Files.list(tmp2).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part2, Paths.get(s"$data/documents.parquet/part-00002.parquet"))
+      reset()
+      val rejected2 = Sketches.minhashIngestGate(spark, data, olds)
+        .as[Long].collect().toSet
+      assert(Sketches.mhIndexBuilds.get() == builds0 + 1,
+        "batch append must REUSE the banded corpus index (no rebuild)")
+      assert(rejected1.subsetOf(rejected2) && moreIds.subsetOf(rejected2),
+        "appended twins rejected too, earlier verdicts unchanged")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+      Tables.resetCaches()
+    }
+  }
 }
