@@ -218,11 +218,23 @@ object GraftTable {
     * high-frequency ingest needs; superseded files stay on disk for
     * in-flight snapshot/changelog readers until [[vacuum]]. */
   def compact(s: SparkSession, dir: String, targetFiles: Int = 1,
-              statsCols: Seq[String] = Nil): Int = {
+              statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Int = {
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
-    commit(s, dir, read(s, dir, Some(head)).repartition(targetFiles),
-      statsCols, head + 1, "compact", prev = Nil)
+    val snap = read(s, dir, Some(head))
+    // clusterBy range-clusters the rewrite (the local analog of Delta's
+    // OPTIMIZE ZORDER for the linear case): each output file owns a
+    // DISJOINT clusterBy range, so per-file manifest stats become tight
+    // and post-compact point/range scans (scanWhere / the relation's
+    // pushed filters) open one file instead of every file an arrival-
+    // ordered layout smears the key across. sortWithinPartitions
+    // additionally tightens parquet row-group stats for the engine's own
+    // pushdown below the manifest level.
+    val laid =
+      if (clusterBy.isEmpty) snap.repartition(targetFiles)
+      else snap.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    commit(s, dir, laid, statsCols, head + 1, "compact", prev = Nil)
   }
 
   /** Files younger than this survive [[vacuum]] even when unreferenced:

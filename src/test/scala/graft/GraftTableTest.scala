@@ -125,6 +125,35 @@ class GraftTableTest extends AnyFunSuite {
       s"manifest stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
   }
 
+  test("clustered compact: range-clustering the rewrite turns a no-skip layout into a 1-file scan") {
+    val tdir = freshDir("cluster")
+    val all = docs(TestSpark.sf0001)
+    // round-robin layout: every file spans the whole doc_id range, so
+    // manifest stats can skip NOTHING — the ingest-arrival-order reality
+    GraftTable.create(spark, tdir, all.repartition(6), Seq("doc_id"))
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 8), ids(ids.length / 4))
+    val want = all.filter(col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = GraftTable.scanWhere(spark, tdir, None, "doc_id", lo, hi)
+    assert(before.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == want)
+    assert(before.inputFiles.length == GraftTable.manifest(tdir, 0).files.size,
+      "round-robin layout must defeat stats skipping (every file overlaps)")
+
+    GraftTable.compact(spark, tdir, targetFiles = 6, statsCols = Seq("doc_id"),
+      clusterBy = Seq("doc_id"))
+    val m1 = GraftTable.manifest(tdir, 1)
+    assert(m1.op == "compact" && m1.files.map(_.records).sum == all.count())
+    val after = GraftTable.scanWhere(spark, tdir, None, "doc_id", lo, hi)
+    assert(after.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == want,
+      "clustering rewrites layout, never content")
+    assert(after.inputFiles.length <= 2,
+      s"disjoint ranges: the narrow band must live in <=2 of ${m1.files.size} files, " +
+        s"read ${after.inputFiles.length}")
+    // a clustered compact is still a compact: invisible to the changelog
+    assert(GraftTable.addedFiles(tdir, 0, 1).isEmpty)
+  }
+
   test("batch relation: versionAsOf time travel, SQL USING surface, pushed filters skip files") {
     import graft.sources.GraftTableRelation
     val tdir = freshDir("relation")
