@@ -143,6 +143,15 @@ object Sketches {
       .distinct()
   }
 
+  /** Per-doc MinHash signature + distinct token set — a pure projection
+    * (streaming-safe: no shuffle, no state), the row shape the streaming
+    * ingest gate broadcasts for its corpus side and computes per arriving
+    * document on its probe side. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("toks"))
+      .withColumn("sig", minhashUdf(col("toks"), lit(k)))
+
   /** Corpus banded-index builds observed (build-once contract test hook —
     * the d14 `incrMaskBuilds` precedent). */
   private[graft] val mhIndexBuilds = new java.util.concurrent.atomic.AtomicLong

@@ -344,6 +344,40 @@ object StreamingQueries {
         col("lang"), round(col("i").cast("double") / col("u"), 6).as("jaccard"))
   }
 
+  /** d18 counterpart: CONTINUOUS MinHash-LSH ingest gate — each arriving
+    * document computes its own signature per row (pure projection, the
+    * same seeded hash family as the batch gate) and probes the broadcast
+    * corpus side in one stateless stream-static join: a pair is a
+    * candidate iff SOME band's signature slice matches
+    * (`exists` over band slices — one row per pair, so no streaming
+    * `distinct`/state store is ever needed), and every candidate is
+    * exact-verified in the same row via `array_intersect` over the two
+    * distinct-token sets before a rejection is emitted. Append-mode
+    * stateless exactly like [[streamIncrementalGate]].
+    *
+    * The broadcast carries (sig, toks) per corpus doc — candidates AND
+    * verification ride one artifact here for the stateless demonstration;
+    * at 100 TB the broadcast half is the 16-long banded index (what
+    * `minhashIngestGate` persists) and the verify half runs as the
+    * downstream batch join against the corpus store, same semantics. */
+  def streamMinhashGate(newDocs: DataFrame, corpusSigs: DataFrame,
+                        k: Int = 16, bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val probe = graft.operators.Sketches.minhashSignatures(newDocs, k)
+    val c = corpusSigs.select(col("doc_id").as("old_id"),
+      col("lang").as("lang1"), col("sig").as("sig1"), col("toks").as("toks1"))
+    probe.join(broadcast(c), col("lang") === col("lang1") &&
+        expr(s"""exists(sequence(0, ${bands - 1}),
+                |       b -> slice(sig, b * $r + 1, $r) = slice(sig1, b * $r + 1, $r))"""
+          .stripMargin))
+      .withColumn("i", size(array_intersect(col("toks"), col("toks1"))).cast("long"))
+      .withColumn("u",
+        size(col("toks1")).cast("long") + size(col("toks")).cast("long") - col("i"))
+      .filter(lit(5) * col("i") >= lit(3) * col("u"))
+      .select(col("old_id"), col("doc_id").as("new_id"), col("lang"),
+        round(col("i").cast("double") / col("u"), 6).as("jaccard"))
+  }
+
   /** p16 counterpart: CONTINUOUS PII scrubbing at ingest — the redaction
     * pass runs BEFORE anything else persists the text, so it must be a
     * stateless map over arriving documents: per-row regex counts + masked

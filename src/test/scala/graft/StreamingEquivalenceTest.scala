@@ -363,6 +363,45 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("d18 streaming minhash gate: rejected ids == batch gate (per-row sig, stream-static probe)") {
+    import graft.operators.Sketches
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    val dir = Files.createTempDirectory("graft-mhstream")
+    val allDocs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val newRows = allDocs.filter(!$"source".isin(oldSrcs: _*)).orderBy($"doc_id").collect()
+    val n = newRows.length
+    (0 until 3).foreach { b =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(newRows.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1),
+        allDocs.schema)
+      val tmp = Files.createTempDirectory("graft-mhslice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+
+    // corpus side: signatures + token sets, batch-built once and broadcast
+    val corpusSigs = Sketches.minhashSignatures(
+      allDocs.filter($"source".isin(oldSrcs: _*)))
+    val q = StreamingQueries.streamMinhashGate(
+        StreamingQueries.documentsStream(spark, dir.toString), corpusSigs)
+      .writeStream.format("memory").queryName("s_d18")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val emitted = spark.table("s_d18").collect()
+    // every emitted rejection is exact-verified in-row
+    assert(emitted.forall(_.getDouble(3) >= 0.6 - 1e-9))
+    val got = emitted.map(_.getLong(1)).toSet
+    val want = Sketches.minhashIngestGate(spark, TestSpark.sf0001, oldSrcs)
+      .as[Long].collect().toSet
+    assert(got == want,
+      s"stream gate must equal batch gate: missing ${want.diff(got).take(5)}, " +
+        s"extra ${got.diff(want).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("v11 streaming semantic gate == batch cross pairs (per-row routing, stream-static probe)") {
     import graft.operators.Sketches
     val tmp = Files.createTempDirectory("graft-semgate-idx").toString
