@@ -115,6 +115,78 @@ object ScaleSmoke {
       }
     }
 
+    // d18 banded-minhash gate at growing corpus (round-9): fixed base
+    // batch, corpus grown ×k. Two measurements per factor: build+probe
+    // (cold — the index build is corpus-linear, a one-time cost), and
+    // probe-only against the persisted artifact (the daily-ingest number;
+    // grows only through bucket-candidate volume — the ×k dirs clone each
+    // corpus match k times, so candidates scale ~×k here by construction,
+    // NOT through any corpus-sized pair space).
+    if (mode == "all" || mode == "mh") {
+      import graft.operators.{DocSimilarity, Sketches}
+      val oldSrcs = (0 to 9).map(i => s"src$i")
+      val baseMax = spark.read.parquet(s"$Base/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-mh-scale").toString
+      spark.conf.set("graft.index.dir", idxRoot)
+      try for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val corpus = docs.filter(col("source").isin(oldSrcs: _*))
+        val batch = docs.filter(!col("source").isin(oldSrcs: _*)
+          && col("doc_id") <= baseMax)
+        val toks = DocSimilarity.distinctTokens(spark, dir)
+        val key = s"mh-scale-x$f"
+        val (cold, rows) = time(
+          Sketches.minhashCrossGate(spark, corpus, batch, toks, Some(key)).count())
+        report("mh_gate_build_probe", s"x$f", cold, rows)
+        val (warm, rows2) = time(
+          Sketches.minhashCrossGate(spark, corpus, batch, toks, Some(key)).count())
+        report("mh_gate_probe", s"x$f", warm, rows2)
+        val (candSec, candRows) = time(
+          Sketches.minhashCrossCandidates(spark, corpus, batch, Some(key),
+            collisions = true).count())
+        report("mh_probe_candidates", s"x$f", candSec, candRows)
+        val (hot, rows3) = time(
+          Sketches.minhashCrossGate(spark, corpus, batch, toks, Some(key)).count())
+        report("mh_gate_probe_hot", s"x$f", hot, rows3)
+      } finally spark.conf.unset("graft.index.dir")
+    }
+
+    // stage-level timing of the d18 probe at one factor (diagnosis tool):
+    // candidates alone vs full gate, plus the token-distinct cost
+    if (mode == "mhdebug") {
+      import graft.operators.{DocSimilarity, Sketches}
+      val oldSrcs = (0 to 9).map(i => s"src$i")
+      val f = args.lift(1).map(_.toInt).getOrElse(10)
+      val baseMax = spark.read.parquet(s"$Base/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val dir = if (f == 1) Base else scaledDir(spark, f)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("source").isin(oldSrcs: _*))
+      val batch = docs.filter(!col("source").isin(oldSrcs: _*)
+        && col("doc_id") <= baseMax)
+      val toks = DocSimilarity.distinctTokens(spark, dir)
+      val k = args.lift(2).map(_.toInt).getOrElse(16)
+      val b = args.lift(3).map(_.toInt).getOrElse(8)
+      val (tSec, tRows) = time(toks.count())
+      report("mhdbg_toks_distinct", s"x$f", tSec, tRows)
+      val (cSec, cRows) = time(
+        Sketches.minhashCrossCandidates(spark, corpus, batch, None, k, b,
+          collisions = true).count())
+      report(s"mhdbg_candidates_k${k}b$b", s"x$f", cSec, cRows)
+      val (rSec, rRows) = time(
+        graft.operators.Rank.topKPerGroup(
+          Sketches.minhashCrossCandidates(spark, corpus, batch, None, k, b,
+            collisions = true),
+          Seq(col("new_id")), Seq(col("nb").desc, col("old_id").asc), 16,
+          col("old_id")).count())
+      report(s"mhdbg_ranked_k${k}b$b", s"x$f", rSec, rRows)
+      val (gSec, gRows) = time(
+        Sketches.minhashCrossGate(spark, corpus, batch, toks, None, k, b).count())
+      report(s"mhdbg_gate_k${k}b$b", s"x$f", gSec, gRows)
+    }
+
     // d3 pair-set build + d6 star-contraction components at growing corpus
     // size (round-8 directive #5): the ×k dirs duplicate every text k
     // times, so near-dup CLIQUES grow ~k² pairs while docs grow ×k — the

@@ -185,13 +185,31 @@ object Sketches {
   def minhashIngestGate(s: SparkSession, dir: String, oldSources: Seq[String],
                         k: Int = 16, bands: Int = 8): DataFrame =
     mhGateMemo.getOrElseUpdate((s, dir, oldSources.sorted.mkString(","))) {
-      minhashIngestGateUncached(s, dir, oldSources, k, bands)
+      val docs = Tables.table(s, dir, "documents")
+      // build-once corpus index: keyed by roster + corpus content (append
+      // of NEW sources leaves it valid — the d14 keying contract) + params
+      val key = DocSimilarity.incrCorpusKey(s, dir, oldSources) + s"-mh$k-$bands"
+      minhashCrossGate(s,
+        docs.filter(col("source").isin(oldSources: _*)),
+        docs.filter(!col("source").isin(oldSources: _*)),
+        DocSimilarity.distinctTokens(s, dir), Some(key), k, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  private def minhashIngestGateUncached(s: SparkSession, dir: String,
-                                        oldSources: Seq[String],
-                                        k: Int, bands: Int): DataFrame = {
+  /** The d18 core over explicit corpus/batch document frames (ScaleSmoke
+    * fixes the batch while growing the corpus through this seam). `toks`
+    * must cover both sides' doc ids — it is pair-restricted by the
+    * candidate semi-structure before any quadratic space could form. */
+  /** The candidate stage of [[minhashCrossGate]]: banded corpus index
+    * (built or loaded under `corpusKey`) bucket-joined with the batch's
+    * banded rows — one (old_id, new_id, lang) row per candidate cross
+    * pair; with `collisions` the row carries `nb` = the number of bands
+    * the pair collided in (a monotone Jaccard estimate the gate ranks
+    * by). */
+  def minhashCrossCandidates(s: SparkSession, corpusDocs: DataFrame,
+                             batchDocs: DataFrame, corpusKey: Option[String],
+                             k: Int = 16, bands: Int = 8,
+                             collisions: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
     val bandRows = (df: DataFrame) => df
       .select(col("doc_id"), col("lang"),
@@ -201,32 +219,80 @@ object Sketches {
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
       .select(col("doc_id"), col("lang"), col("band"),
         expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)").as("bkey"))
-    val docs = Tables.table(s, dir, "documents")
-    // build-once corpus index: keyed by roster + corpus content (append of
-    // NEW sources leaves it valid — the d14 keying contract) + params
-    val key = DocSimilarity.incrCorpusKey(s, dir, oldSources) + s"-mh$k-$bands"
-    val (idx, _) = graft.sources.IndexStore.materializeKeyed(s, key, "mh_bands") {
-      mhIndexBuilds.incrementAndGet()
-      bandRows(docs.filter(col("source").isin(oldSources: _*)))
+    val idx = corpusKey match {
+      case Some(key) =>
+        graft.sources.IndexStore.materializeKeyed(s, key, "mh_bands") {
+          mhIndexBuilds.incrementAndGet()
+          bandRows(corpusDocs)
+        }._1
+      case None =>
+        mhIndexBuilds.incrementAndGet()
+        bandRows(corpusDocs)
     }
-    val cand = idx.select(col("band"), col("bkey"), col("lang"),
-        col("doc_id").as("old_id"))
-      .join(bandRows(docs.filter(!col("source").isin(oldSources: _*)))
-        .select(col("band"), col("bkey"), col("lang"), col("doc_id").as("new_id")),
+    // broadcast the BATCH side explicitly: the artifact's parquet compresses
+    // below the auto-broadcast threshold, so the planner would otherwise
+    // broadcast the CORPUS-sized index (measured 5× slower at ×10 corpus —
+    // a driver-side hash build of millions of banded rows). A daily ingest
+    // batch is the bounded side by contract; the index streams through the
+    // join, the scalable direction at any corpus size.
+    val hits = idx
+      .select(col("band"), col("bkey"), col("lang"), col("doc_id").as("old_id"))
+      .join(broadcast(bandRows(batchDocs)
+        .select(col("band"), col("bkey"), col("lang"), col("doc_id").as("new_id"))),
         Seq("band", "bkey", "lang"))
-      .select(col("old_id"), col("new_id"), col("lang"))
-      .distinct()
-    // exact verification over candidate PAIRS only
-    val toks = DocSimilarity.distinctTokens(s, dir)
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    if (collisions)
+      hits.groupBy(col("old_id"), col("new_id"), col("lang"))
+        .agg(count(lit(1)).as("nb"))
+    else hits.select(col("old_id"), col("new_id"), col("lang")).distinct()
+  }
+
+  def minhashCrossGate(s: SparkSession, corpusDocs: DataFrame, batchDocs: DataFrame,
+                       toks: DataFrame, corpusKey: Option[String],
+                       k: Int = 16, bands: Int = 8,
+                       maxVerifyPerDoc: Int = 16): DataFrame = {
+    val candAll = minhashCrossCandidates(s, corpusDocs, batchDocs, corpusKey,
+      k, bands, collisions = true)
+    // Bound EXACT VERIFICATION per arriving doc: one verified hit rejects
+    // a doc, so verifying its every candidate is pure waste on dup-heavy
+    // corpora (measured: the ×10 fixture yields 14M TRUE-pair candidates
+    // for 2 270 rejections — verification fan-out, not candidate
+    // generation, was the whole probe cost). Candidates rank by
+    // band-collision count (a monotone estimate of Jaccard: more matching
+    // bands ⇒ higher signature agreement), old_id as the determinism
+    // tie-break; only the top maxVerifyPerDoc per new doc fan out their
+    // tokens — per-doc verification cost is CONSTANT in the corpus. The
+    // recall trade: a doc whose capped-in candidates all fail verification
+    // while a capped-out one would have passed is a missed rejection —
+    // ranked capping makes that the unlikeliest ordering (the capped-in
+    // ones have the highest estimated overlap); the ≥0.95 doc-recall
+    // bound is measured with the default cap in SketchesTest.
+    // Int.MaxValue restores exhaustive verification.
+    val cand =
+      if (maxVerifyPerDoc == Int.MaxValue) candAll.drop("nb")
+      else Rank.topKPerGroup(candAll, Seq(col("new_id")),
+        Seq(col("nb").desc, col("old_id").asc), maxVerifyPerDoc, col("old_id"))
+        .select(col("old_id"), col("new_id"), col("lang"))
+    // exact verification over candidate PAIRS only. Token work is
+    // semi-restricted to CANDIDATE docs first — the semi joins push below
+    // the caller's token `distinct()` (PushDownLeftSemiAntiJoin: doc_id is
+    // a grouping column), so the per-probe token shuffle and the size
+    // aggregation track the candidate set, never the corpus (measured:
+    // this took the ×10-corpus probe from ~corpus-linear to candidate-
+    // bound in ScaleSmoke's mh mode)
+    val oldIds = cand.select(col("old_id").as("doc_id")).distinct()
+    val newIds = cand.select(col("new_id").as("doc_id")).distinct()
+    val oldToks = toks.join(oldIds, Seq("doc_id"), "left_semi")
+    val newToks = toks.join(newIds, Seq("doc_id"), "left_semi")
     cand
-      .join(toks.select(col("doc_id").as("old_id"), col("lang"), col("tok")),
+      .join(oldToks.select(col("doc_id").as("old_id"), col("lang"), col("tok")),
         Seq("old_id", "lang"))
-      .join(toks.select(col("doc_id").as("new_id"), col("lang"), col("tok")),
+      .join(newToks.select(col("doc_id").as("new_id"), col("lang"), col("tok")),
         Seq("new_id", "lang", "tok"))
       .groupBy(col("old_id"), col("new_id")).agg(count(lit(1)).as("i"))
-      .join(sizes.select(col("doc_id").as("old_id"), col("c").as("c1")), "old_id")
-      .join(sizes.select(col("doc_id").as("new_id"), col("c").as("c2")), "new_id")
+      .join(oldToks.groupBy(col("doc_id")).agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("doc_id", "old_id"), "old_id")
+      .join(newToks.groupBy(col("doc_id")).agg(count(lit(1)).as("c2"))
+        .withColumnRenamed("doc_id", "new_id"), "new_id")
       .filter(col("i") * 5 >= (col("c1") + col("c2") - col("i")) * 3)
       .select(col("new_id")).distinct()
   }

@@ -394,11 +394,23 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     // every emitted rejection is exact-verified in-row
     assert(emitted.forall(_.getDouble(3) >= 0.6 - 1e-9))
     val got = emitted.map(_.getLong(1)).toSet
-    val want = Sketches.minhashIngestGate(spark, TestSpark.sf0001, oldSrcs)
+    // the stream twin verifies IN-ROW (no fan-out to cap), so its
+    // semantics are the UNCAPPED gate; the declared capped gate is a
+    // subset of it by construction
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val uncapped = Sketches.minhashCrossGate(spark,
+        docs.filter($"source".isin(oldSrcs: _*)),
+        docs.filter(!$"source".isin(oldSrcs: _*)),
+        graft.operators.DocSimilarity.distinctTokens(spark, TestSpark.sf0001),
+        corpusKey = None, maxVerifyPerDoc = Int.MaxValue)
       .as[Long].collect().toSet
-    assert(got == want,
-      s"stream gate must equal batch gate: missing ${want.diff(got).take(5)}, " +
-        s"extra ${got.diff(want).take(5)}")
+    assert(got == uncapped,
+      s"stream gate must equal the uncapped batch gate: " +
+        s"missing ${uncapped.diff(got).take(5)}, extra ${got.diff(uncapped).take(5)}")
+    val capped = Sketches.minhashIngestGate(spark, TestSpark.sf0001, oldSrcs)
+      .as[Long].collect().toSet
+    assert(capped.subsetOf(got),
+      s"capped rejections must be a subset of the stream's: ${capped.diff(got).take(5)}")
     assert(got.nonEmpty)
   }
 
