@@ -414,4 +414,22 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("d18 candidates: BATCH side broadcast (index streams through the join), no cartesian") {
+    // round-9 measurement: the persisted index's parquet compresses under
+    // the auto-broadcast threshold, so an unhinted plan broadcast the
+    // CORPUS-sized side (5× slower at ×10 corpus). The batch is the
+    // bounded side by contract — the hint must survive planning.
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val docs = Tables.table(spark, TestSpark.sf0001, "documents")
+    val olds = (0 to 9).map(i => s"src$i")
+    val p = graft.operators.Sketches.minhashCrossCandidates(spark,
+        docs.filter(col("source").isin(olds: _*)),
+        docs.filter(!col("source").isin(olds: _*)), corpusKey = None)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildRight"), p) // the batch side as written
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
