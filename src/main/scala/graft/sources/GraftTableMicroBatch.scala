@@ -43,20 +43,36 @@ class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsR
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = options.getInt("startingVersion", 0)
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    // `filterEq` = "col=value": the micro-batch engine applies no pushdown
+    // to streaming scans, so the equality-predicate seam is explicit (the
+    // readColumns precedent). Manifest stats drop whole non-matching
+    // arrival files before they are planned; the partition readers apply
+    // the exact row filter — a gate tailing one source's arrivals of a
+    // clustered 100 TB table plans only that source's files.
+    val filterEq = Option(options.get("filterEq")).map { s =>
+      val i = s.indexOf('=')
+      require(i > 0, s"filterEq must be 'col=value', got '$s'")
+      (s.substring(0, i).trim, s.substring(i + 1))
+    }
+    filterEq.foreach { case (c, _) => require(pinned.fieldNames.contains(c),
+      s"filterEq column '$c' is not in the read schema " +
+        s"${pinned.fieldNames.mkString(",")} (add it to readColumns)") }
     new ScanBuilder {
       override def build(): Scan =
-        new GraftTableScan(dir, pinned, startingVersion, maxFiles)
+        new GraftTableScan(dir, pinned, startingVersion, maxFiles, filterEq)
     }
   }
 }
 
 class GraftTableScan(dir: String, required: StructType, startingVersion: Int,
-                     maxFilesPerTrigger: Option[Int])
+                     maxFilesPerTrigger: Option[Int],
+                     filterEq: Option[(String, String)] = None)
   extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft-table $dir from v$startingVersion"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTableMicroBatchStream(dir, required, startingVersion, maxFilesPerTrigger)
+    new GraftTableMicroBatchStream(dir, required, startingVersion,
+      maxFilesPerTrigger, filterEq)
 }
 
 /** Stream offset in one of three shapes (json kept back-compatible with
@@ -88,9 +104,18 @@ object GraftStreamOffset {
   }
 }
 
+object GraftTableMicroBatchStream {
+  /** (files planned, files in range pre-filter) of the latest
+    * planInputPartitions — the test hook proving filterEq's manifest-stats
+    * skipping (the [[GraftTableRelation.lastScan]] precedent). */
+  private[graft] val lastPlanned =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+}
+
 class GraftTableMicroBatchStream(dir: String, pinned: StructType,
                                  startingVersion: Int,
-                                 maxFilesPerTrigger: Option[Int] = None)
+                                 maxFilesPerTrigger: Option[Int] = None,
+                                 filterEq: Option[(String, String)] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -204,8 +229,25 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
             GraftTable.addedFiles(dir, s.v + 1, e.v) ++      // commits s.v+2 .. e.v
             (if (ePart > 0) arrivals(e.v).take(ePart) else Seq.empty)
       }
-    files.map(f =>
-      GraftFilePartition(s"$dir/${f.path}", pinned.toDDL): InputPartition).toArray
+    // filterEq file skipping: a file whose manifest stats range PROVES the
+    // equality can't match is never planned (conservative: no stats for
+    // the column ⇒ keep). The budget/offset arithmetic above stays on the
+    // PRE-filter changelog, so offsets remain stable if the filter changes
+    // across restarts.
+    val kept = filterEq match {
+      case None => files
+      case Some((c, v)) => files.filter { f =>
+        val longOk = scala.util.Try(v.toLong).toOption.forall(n =>
+          f.stats.get(c).forall { case (mn, mx) => n >= mn && n <= mx })
+        val strOk = f.strStats.get(c).forall { case (mn, mx) =>
+          GraftTable.strCmp(v, mn) >= 0 && GraftTable.strCmp(v, mx) <= 0 }
+        longOk && strOk
+      }
+    }
+    GraftTableMicroBatchStream.lastPlanned.set((kept.size, files.size))
+    kept.map(f =>
+      GraftFilePartition(s"$dir/${f.path}", pinned.toDDL,
+        filterEq.map(fe => s"${fe._1}=${fe._2}")): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -216,12 +258,16 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
 
 /** One manifest data file; the pinned schema rides as DDL (StructType is
   * serializable too, but DDL keeps the task payload small and versionable). */
-case class GraftFilePartition(path: String, schemaDdl: String) extends InputPartition
+case class GraftFilePartition(path: String, schemaDdl: String,
+                              filterEq: Option[String] = None) extends InputPartition
 
 class GraftParquetReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftFilePartition]
-    new GraftParquetPartitionReader(gp.path, StructType.fromDDL(gp.schemaDdl))
+    new GraftParquetPartitionReader(gp.path, StructType.fromDDL(gp.schemaDdl),
+      gp.filterEq.map { s =>
+        val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1))
+      })
   }
 }
 
@@ -232,7 +278,8 @@ class GraftParquetReaderFactory extends PartitionReaderFactory {
   * 3-level list encoding) and nested structs are covered — the types a
   * manifest schema can carry (DECIMAL/MAP never appear in graft tables).
   */
-class GraftParquetPartitionReader(path: String, schema: StructType)
+class GraftParquetPartitionReader(path: String, schema: StructType,
+                                  filterEq: Option[(String, String)] = None)
   extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.example.data.Group
@@ -266,8 +313,33 @@ class GraftParquetPartitionReader(path: String, schema: StructType)
     .build()
   private var current: Group = _
 
+  // filterEq row predicate, resolved once: (field index in the read
+  // schema, expected decoded value) — string or integral equality only
+  private val eqCheck: Option[(Int, Any)] = filterEq.map { case (c, v) =>
+    val i = schema.fieldIndex(c)
+    val target: Any = schema(i).dataType match {
+      case StringType => UTF8String.fromString(v)
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case other => throw new IllegalArgumentException(
+        s"filterEq supports string/integral columns, '$c' is ${other.simpleString}")
+    }
+    (i, target)
+  }
+
+  private def rowMatches(g: Group): Boolean = eqCheck.forall { case (i, want) =>
+    val f = schema(i)
+    g.getType.containsField(f.name) && {
+      val idx = g.getType.getFieldIndex(f.name)
+      g.getFieldRepetitionCount(idx) > 0 && convertValue(g, idx, f.dataType) == want
+    }
+  }
+
   override def next(): Boolean = {
     current = reader.read()
+    while (current != null && !rowMatches(current)) current = reader.read()
     current != null
   }
 

@@ -125,6 +125,33 @@ class GraftTableTest extends AnyFunSuite {
       s"manifest stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
   }
 
+  test("stream filterEq: non-matching arrival files are never planned, rows filter exactly") {
+    val tdir = freshDir("filtereq")
+    val all = docs(TestSpark.sf0001)
+    // source-clustered layout → per-file string stats separate the sources
+    GraftTable.create(spark, tdir,
+      all.repartitionByRange(6, col("source")).sortWithinPartitions("source"),
+      Seq("source"))
+    val probe = all.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0)).apply(3)
+    val want = all.filter(col("source") === probe)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val q = spark.readStream.format("graft-table").option("path", tdir)
+      .option("readColumns", "doc_id,source").option("filterEq", s"source=$probe")
+      .load()
+      .writeStream.format("memory").queryName("s_filtereq")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_filtereq").collect()
+    assert(got.forall(_.getString(1) == probe), "row filter must be exact")
+    assert(got.map(_.getLong(0)).sorted.toSeq == want)
+    val (kept, total) = graft.sources.GraftTableMicroBatchStream.lastPlanned.get()
+    assert(kept < total && kept >= 1,
+      s"string stats must skip non-matching files: planned $kept of $total")
+  }
+
   test("clustered compact: range-clustering the rewrite turns a no-skip layout into a 1-file scan") {
     val tdir = freshDir("cluster")
     val all = docs(TestSpark.sf0001)
@@ -593,42 +620,52 @@ class GraftTableTest extends AnyFunSuite {
     // head snapshot = 10 files; with maxFilesPerTrigger=2 the backfill is
     // 5 bounded micro-batches instead of one giant one
     val ckpt = freshDir("maxfiles-ckpt")
-    val batches = scala.collection.mutable.ListBuffer.empty[Long]
-    val seen = scala.collection.mutable.ListBuffer.empty[Long]
+    // IDEMPOTENT collector keyed by batchId: foreachBatch is at-least-once
+    // (a batch can land in the sink, then the stop() race loses the commit
+    // log write → replay on restart). The SOURCE's guarantee is that a
+    // replayed batchId carries byte-identical files — asserted below —
+    // which is exactly what makes batchId-keyed sinks exactly-once.
+    val byBatch = new scala.collection.concurrent.TrieMap[Long, Array[Long]]()
     def start(): org.apache.spark.sql.streaming.StreamingQuery =
       spark.readStream.format("graft-table").option("path", tdir)
         .option("maxFilesPerTrigger", 2).load()
         .writeStream.option("checkpointLocation", ckpt).outputMode("append")
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          val ids = df.collect().map(_.getLong(0))
-          seen.synchronized { seen ++= ids; batches += ids.length.toLong }; ()
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val ids = df.collect().map(_.getLong(0)).sorted
+          byBatch.put(bid, ids).foreach(prev => assert(prev.toSeq == ids.toSeq,
+            s"replayed batch $bid must be byte-identical: ${prev.toSeq} vs ${ids.toSeq}"))
+          ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     // stop the first run as soon as a bounded batch lands: the checkpoint
     // then holds a composite mid-backfill offset ({"backfill":B,"idx":…})
     val q1 = start()
     val deadline = System.currentTimeMillis() + 60000
-    while (batches.synchronized(batches.isEmpty) && System.currentTimeMillis() < deadline)
+    while (byBatch.isEmpty && System.currentTimeMillis() < deadline)
       Thread.sleep(50)
     q1.stop(); q1.awaitTermination()
-    val afterStop = seen.size
+    val afterStop = byBatch.values.map(_.length).sum
     assert(afterStop % 20 == 0 && afterStop >= 20,
       s"bounded batches carry 2 files = 20 rows each, got $afterStop rows")
     // resume from the (possibly composite) checkpointed offset and drain
     val q2 = start(); q2.awaitTermination()
+    val seen = byBatch.values.toSeq.flatten
     assert(seen.size == 100 && seen.toSet.size == 100,
-      s"restart mid-backfill must be exactly-once: ${seen.size} rows")
-    assert(batches.size == 5 && batches.forall(_ == 20), s"5 x 2-file batches: $batches")
+      s"restart mid-backfill must be exactly-once through the batchId-keyed " +
+        s"sink: ${seen.size} rows")
+    assert(byBatch.size == 5 && byBatch.values.forall(_.length == 20),
+      s"5 x 2-file batches: ${byBatch.view.mapValues(_.length).toMap}")
 
     // a large commit splits across micro-batches in the tail too
-    batches.clear(); seen.clear()
+    val before = byBatch.keySet.toSet
     GraftTable.append(spark, tdir,
       (200L until 250L).map(i => (i, s"c$i")).toDF("id", "value")
         .repartitionByRange(5, col("id")), Seq("id"))
     val q3 = start(); q3.awaitTermination()
-    assert(seen.size == 50 && seen.toSet == (200L until 250L).toSet)
-    assert(batches.size == 3 && batches.sorted.toSeq == Seq(10L, 20L, 20L),
-      s"5 files under a 2-file budget = 2+2+1 batches: $batches")
+    val tail = byBatch.filter(kv => !before.contains(kv._1)).values.toSeq
+    assert(tail.flatten.size == 50 && tail.flatten.toSet == (200L until 250L).toSet)
+    assert(tail.size == 3 && tail.map(_.length.toLong).sorted == Seq(10L, 20L, 20L),
+      s"5 files under a 2-file budget = 2+2+1 batches: ${tail.map(_.length)}")
   }
 
   test("upsert: one atomic MERGE commit — matched keys replace, new keys insert, changelog carries the batch once") {
