@@ -237,6 +237,30 @@ object GraftTable {
     commit(s, dir, laid, statsCols, head + 1, "compact", prev = Nil)
   }
 
+  /** Roll the table HEAD back to snapshot `toVersion` as a NEW commit
+    * (the Delta RESTORE shape): the target's file list re-publishes BY
+    * REFERENCE under version head+1 — zero data movement, and the undone
+    * versions stay time-travelable until vacuumed. op=restore commits are
+    * invisible to the changelog: a restore is history surgery, not an
+    * ingest — rows it resurfaces were already streamed when they first
+    * arrived, so a tailing gate never double-sees them. Throws (before
+    * publishing anything) if any target data file was already vacuumed —
+    * a restore past the vacuum horizon is unrecoverable by construction.
+    * On a lost optimistic race throws [[CommitConflict]]; retry. */
+  def restore(s: SparkSession, dir: String, toVersion: Int): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    require(toVersion >= 0 && toVersion <= head,
+      s"no snapshot v$toVersion to restore (head is v$head)")
+    val target = manifest(dir, toVersion)
+    val missing = target.files.filterNot(f => Files.exists(Paths.get(s"$dir/${f.path}")))
+    require(missing.isEmpty,
+      s"cannot restore v$toVersion: ${missing.size} of its data files were " +
+        s"vacuumed (first: ${missing.headOption.map(_.path).getOrElse("-")})")
+    publish(dir, Manifest(head + 1, "restore", target.schemaDdl, target.files, None))
+    head + 1
+  }
+
   /** Files younger than this survive [[vacuum]] even when unreferenced:
     * a commit lands its data files BEFORE publishing the manifest, so an
     * in-flight writer's files are "unreferenced" for that window — the
@@ -529,7 +553,7 @@ object GraftTable {
     (0 to head).map { v =>
       val m = manifest(dir, v)
       val freshN =
-        if (m.op == "compact" || m.op == "delete") 0
+        if (m.op == "compact" || m.op == "delete" || m.op == "restore") 0
         else m.files.count(f => f.arrival && !prevPaths(f.path))
       prevPaths = m.files.map(_.path).toSet
       (v, m.op, m.files.size, m.files.map(_.records).sum, freshN,
@@ -557,10 +581,12 @@ object GraftTable {
       // compact and delete REWRITE existing rows into new files — neither
       // contributes arrivals (the changelog carries appends; a full CDC
       // would add retraction records, out of scope for append-mode ingest).
+      // restore re-LISTS old files by reference — history surgery, not an
+      // ingest: rows it resurfaces were already streamed on first arrival.
       // Within an upsert commit the per-file `arrival` marker separates the
       // batch's new rows (arrivals) from the rewrite half (not arrivals);
       // the op-level skip stays for pre-marker manifests.
-      if (m.op != "compact" && m.op != "delete")
+      if (m.op != "compact" && m.op != "delete" && m.op != "restore")
         out ++= m.files.filter(f => f.arrival && !prevPaths(f.path))
       prevPaths = m.files.map(_.path).toSet
     }

@@ -95,4 +95,33 @@ object IndexStore {
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
+
+  /** Reclaim STALE artifact key-directories: validity keys roll forward as
+    * corpora change (content fingerprints, snapshot versions), so the dead
+    * keys' artifacts accumulate forever without a sweep. A key dir whose
+    * newest file is older than `maxAgeMs` is deleted; returns the count.
+    *
+    * Safety model: GC can only cost a REBUILD, never correctness — the
+    * `_SUCCESS` completeness check means a reclaimed (or half-reclaimed)
+    * artifact is rebuilt on next access, and validity keys guarantee the
+    * rebuild equals what was deleted. A query actively READING an artifact
+    * while GC deletes it fails loudly (file-not-found) rather than giving
+    * wrong results; run GC with an age comfortably above query lifetime
+    * (the vacuum retention-window reasoning). */
+  def gc(s: SparkSession, maxAgeMs: Long): Int = {
+    val rootDir = new java.io.File(root(s))
+    val kids = Option(rootDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    val horizon = System.currentTimeMillis() - maxAgeMs
+    def newest(f: java.io.File): Long =
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .map(c => if (c.isDirectory) newest(c) else c.lastModified())
+        .foldLeft(f.lastModified())(math.max)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val stale = kids.filter(newest(_) < horizon)
+    stale.foreach(rm)
+    stale.length
+  }
 }

@@ -125,6 +125,49 @@ class GraftTableTest extends AnyFunSuite {
       s"manifest stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
   }
 
+  test("restore: head rolls back by reference, changelog stays silent, vacuumed targets refuse") {
+    val tdir = freshDir("restore")
+    import spark.implicits._
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    GraftTable.create(spark, tdir,
+      (0L until 20L).map(i => (i, s"a$i")).toDF("id", "value"), Seq("id"))
+    GraftTable.append(spark, tdir,
+      (100L until 110L).map(i => (i, s"b$i")).toDF("id", "value"), Seq("id"))
+    GraftTable.deleteKeys(spark, tdir, "id",
+      (0L until 5L).toDF("id"), Seq("id"))                       // v2: drop 0..4
+    assert(ids(GraftTable.read(spark, tdir)).size == 25)
+
+    // restore to v1 resurrects the deleted rows with ZERO data movement
+    assert(GraftTable.restore(spark, tdir, 1) == 3)
+    assert(ids(GraftTable.read(spark, tdir))
+      == ((0L until 20L) ++ (100L until 110L)).toSet)
+    // ...by reference: the restore commit wrote no data files of its own
+    assert(GraftTable.manifest(tdir, 3).files.map(_.path).toSet
+      == GraftTable.manifest(tdir, 1).files.map(_.path).toSet)
+    // history surgery, not ingest: nothing arrives in the changelog,
+    // and a from-scratch changelog still counts each row ONCE
+    assert(GraftTable.addedFiles(tdir, 2, 3).isEmpty)
+    assert(GraftTable.readChanges(spark, tdir, 0, 3).count() == 10)
+    // the undone version is still time-travelable
+    assert(ids(GraftTable.read(spark, tdir, Some(2))).size == 25)
+    // normal life continues after a restore
+    GraftTable.append(spark, tdir,
+      (200L until 205L).map(i => (i, s"c$i")).toDF("id", "value"), Seq("id"))
+    assert(ids(GraftTable.read(spark, tdir)).size == 35)
+
+    // a restore target whose files were vacuumed refuses up front:
+    // compact (v5) supersedes everything, vacuum with no retention
+    // reclaims the pre-compact files, so v4 is unrecoverable
+    GraftTable.compact(spark, tdir, targetFiles = 1, statsCols = Seq("id"))
+    assert(GraftTable.vacuum(tdir, retainVersions = 0, retainAgeMs = 0) > 0)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.restore(spark, tdir, 4)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    assert(ids(GraftTable.read(spark, tdir)).size == 35, "refusal publishes nothing")
+  }
+
   test("stream filterEq: non-matching arrival files are never planned, rows filter exactly") {
     val tdir = freshDir("filtereq")
     val all = docs(TestSpark.sf0001)

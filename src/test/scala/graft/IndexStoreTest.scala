@@ -263,4 +263,36 @@ class IndexStoreTest extends AnyFunSuite {
     val p2 = IndexStore.artifactPath(spark, data, "art")
     assert(p1 != p2, "fingerprint must change when source files change")
   }
+
+  test("gc: dead-key artifacts reclaim past the age horizon, live ones keep serving loads") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val tmpIdx = Files.createTempDirectory("graft-idx-gc").toString
+    spark.conf.set("graft.index.dir", tmpIdx)
+    try {
+      import spark.implicits._
+      val frame = (0L until 100L).toDF("x")
+      IndexStore.materializeKeyed(spark, "dead-v1", "a") { frame }
+      IndexStore.materializeKeyed(spark, "live-v2", "a") { frame }
+      // backdate every file under the dead key (the key rolled forward —
+      // nothing will ever touch it again)
+      val old = FileTime.fromMillis(System.currentTimeMillis() - 10L * 86400 * 1000)
+      def backdate(p: java.nio.file.Path): Unit = {
+        Files.setLastModifiedTime(p, old)
+        if (Files.isDirectory(p)) Files.list(p).forEach(backdate)
+      }
+      backdate(Paths.get(s"$tmpIdx/k_dead-v1"))
+      assert(IndexStore.gc(spark, maxAgeMs = 86400L * 1000) == 1)
+      assert(!Files.exists(Paths.get(s"$tmpIdx/k_dead-v1")), "dead key reclaimed")
+      // the live artifact still LOADS (no rebuild), the dead one rebuilds
+      val (_, loaded) = IndexStore.materializeKeyed(spark, "live-v2", "a") {
+        fail("live artifact must load, not rebuild") }
+      assert(loaded)
+      var rebuilt = false
+      IndexStore.materializeKeyed(spark, "dead-v1", "a") { rebuilt = true; frame }
+      assert(rebuilt, "reclaimed artifact rebuilds on next access — cost, not correctness")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+    }
+  }
 }
