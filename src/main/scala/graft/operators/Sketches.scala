@@ -442,6 +442,7 @@ object Sketches {
   def resetCaches(): Unit = {
     ivfMemo.clear(); mhMemo.clear(); lshCandMemo.clear()
     pqMemo.clear(); hamMemo.clear(); ivfOverMemo.clear(); mhGateMemo.clear()
+    sqMemo.clear()
   }
 
   /** Build (or load) the IVF index: if the (centers, assigned) parquet
@@ -963,6 +964,110 @@ object Sketches {
       .orderBy(col("adc"), col("vec_id"))
       .limit(shortlist)
     short
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
+          (sqrt(VectorOps.norm2Col("embedding")) *
+            sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Scalar-quantization (SQ8) index: per-dimension [lo, hi] bounds
+    * trained on the UNIT-NORMALIZED corpus + the uint8 codes table
+    * (vec_id, codes, embedding) — the remaining faiss index-family member
+    * beside Flat/LSH/IVF/PQ/IVFPQ/Hamming (v1/v4/p9/v5/v9/v8). Unlike PQ
+    * there is no codebook training: the "fit" is one min/max aggregation,
+    * fully deterministic. Memory per vector = dim bytes (4× under
+    * float32); finer than PQ's m·log₂k bits, coarser than raw. */
+  final case class SqIndex(lo: Array[Double], hi: Array[Double],
+                           codes: DataFrame, fromArtifact: Boolean)
+  private val sqMemo = new graft.util.Memo[(SparkSession, String), SqIndex]()(
+    ix => ix.codes.unpersist())
+
+  def buildSqIndex(s: SparkSession, dir: String): SqIndex =
+    sqMemo.getOrElseUpdate((s, dir)) {
+      import graft.sources.IndexStore
+      val dim = 64
+      val bPath = IndexStore.artifactPath(s, dir, "sq8_bounds")
+      val cPath = IndexStore.artifactPath(s, dir, "sq8_codes")
+      val canLoad = IndexStore.persistEnabled(s) &&
+        IndexStore.exists(s, bPath) && IndexStore.exists(s, cPath)
+      if (canLoad) {
+        val lo = new Array[Double](dim); val hi = new Array[Double](dim)
+        s.read.parquet(bPath).collect().foreach { r =>
+          lo(r.getInt(0)) = r.getDouble(1); hi(r.getInt(0)) = r.getDouble(2)
+        }
+        val codes = s.read.parquet(cPath).persist(StorageLevel.MEMORY_AND_DISK)
+        SqIndex(lo, hi, codes, fromArtifact = true)
+      } else {
+        val toUnit = udf { (emb: Seq[Float]) =>
+          val a = emb.map(_.toDouble).toArray
+          val n = math.sqrt(a.map(x => x * x).sum)
+          if (n == 0) a else a.map(_ / n)
+        }
+        val unit = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), toUnit(col("embedding")).as("u"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // the whole "training": per-dim bounds in ONE shuffle of dim groups
+        val bRows = unit.select(posexplode(col("u")).as(Seq("d", "x")))
+          .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+          .collect() // bounded: dim rows
+        val lo = new Array[Double](dim); val hi = new Array[Double](dim)
+        bRows.foreach { r => lo(r.getInt(0)) = r.getDouble(1); hi(r.getInt(0)) = r.getDouble(2) }
+        val bLo = s.sparkContext.broadcast(lo)
+        val bHi = s.sparkContext.broadcast(hi)
+        val encode = udf { (u: Seq[Double]) =>
+          val l = bLo.value; val h = bHi.value
+          Array.tabulate(u.length) { i =>
+            val span = h(i) - l(i)
+            if (span <= 0) 0
+            else math.min(255, math.max(0, math.round((u(i) - l(i)) / span * 255).toInt))
+          }.toSeq
+        }
+        var codes = unit.select(col("vec_id"), col("embedding"),
+          encode(col("u")).as("codes"))
+        if (IndexStore.persistEnabled(s)) {
+          import s.implicits._
+          (0 until dim).map(i => (i, lo(i), hi(i))).toDF("d", "lo", "hi")
+            .write.mode("overwrite").parquet(bPath)
+          codes.write.mode("overwrite").parquet(cPath)
+          codes = s.read.parquet(cPath)
+        }
+        unit.unpersist()
+        SqIndex(lo, hi, codes.persist(StorageLevel.MEMORY_AND_DISK),
+          fromArtifact = false)
+      }
+    }
+
+  /** v12: SQ8 ANN — asymmetric distance (exact unit query against the
+    * DEQUANTIZED corpus grid) ranks a bounded shortlist, exact cosine
+    * re-ranks it, so every emitted similarity is exact. Deterministic
+    * (no seeds anywhere), but the quantization grid is engine-side float
+    * arithmetic no SQL oracle reproduces — declared exempt with recall /
+    * determinism / rerank-parity tests like v5. */
+  def annSqKnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+               shortlist: Int = 128): DataFrame = {
+    graft.functions.FloatDotProduct.register(s)
+    val index = buildSqIndex(s, dir)
+    val qEmb = queryEmbedding(s, dir, queryId)
+    val qa = qEmb.map(_.toDouble).toArray
+    val qn = math.sqrt(qa.map(x => x * x).sum)
+    val qu = if (qn == 0) qa else qa.map(_ / qn)
+    val bQ = s.sparkContext.broadcast(qu)
+    val bLo = s.sparkContext.broadcast(index.lo)
+    val bSpan = s.sparkContext.broadcast(
+      index.lo.indices.map(i => (index.hi(i) - index.lo(i)) / 255.0).toArray)
+    // both sides unit-normalized ⇒ the dequantized dot IS approximate cosine
+    val approx = udf { (codes: Seq[Int]) =>
+      val q = bQ.value; val l = bLo.value; val sp = bSpan.value
+      var d = 0.0; var i = 0
+      while (i < q.length) { d += q(i) * (l(i) + codes(i) * sp(i)); i += 1 }
+      d
+    }
+    index.codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), approx(col("codes")).as("sq"))
+      .orderBy(col("sq").desc, col("vec_id"))
+      .limit(shortlist)
       .select(col("vec_id"),
         round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
           (sqrt(VectorOps.norm2Col("embedding")) *

@@ -430,6 +430,20 @@ object JsonDocs {
         graft.operators.Sketches.annPqKnn(s, dir, queryId = 0L, k = 10)
     },
 
+    // SQ8 scalar-quantized ANN — the remaining faiss index-family member
+    // (Flat/LSH/IVF/PQ/IVFPQ/Hamming are v1/v4/p9/v5/v9/v8): per-dim
+    // uint8 quantization against corpus-trained [lo,hi] bounds (the "fit"
+    // is ONE min/max aggregation — no k-means, no seeds, deterministic),
+    // asymmetric dequantized-dot shortlist, exact cosine re-rank. 1 byte
+    // per dim = 4x compression under float32, finer than PQ's codes.
+    // Oracle-exempt: deterministic but the quantization grid is engine-
+    // side float arithmetic no SQL oracle reproduces; recall >= 0.8 vs
+    // exact v1, determinism, and exact-rerank parity in SketchesTest.
+    DeclaredQuery.noOracle("v12_sq_ann") {
+      (s, dir) =>
+        graft.operators.Sketches.annSqKnn(s, dir, queryId = 0L, k = 10)
+    },
+
     // Centroid similarity MATRIX — pairwise cosine between the per-label
     // mean vectors (cluster-overlap / class-confusion signal). Centroids
     // are kept as EXACT integer micro-sums: cosine is scale-invariant, so

@@ -344,6 +344,41 @@ class SketchesTest extends AnyFunSuite {
     }
   }
 
+  test("v12 SQ8 ann: recall >= 0.8 of exact top-10, bit-identical re-runs, rerank parity, artifact round-trip") {
+    val exact = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = Sketches.annSqKnn(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall $recall")
+    // deterministic (no seeds anywhere): re-runs are bit-identical
+    val a = Sketches.annSqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    val b = Sketches.annSqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    assert(a == b)
+    // every emitted similarity is exact (rerank parity with brute force)
+    val bf = SparkEntry.queries("v1_vector_knn")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Sketches.annSqKnn(spark, TestSpark.sf0001).collect().foreach { r =>
+      bf.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(1)))
+    }
+    // bounds + codes persist: a cache-cleared session LOADS and answers identically
+    val tmpIdx = java.nio.file.Files.createTempDirectory("graft-idx-sq").toString
+    spark.conf.set("graft.index.dir", tmpIdx)
+    try {
+      Sketches.resetCaches()
+      val built = Sketches.annSqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      assert(!Sketches.buildSqIndex(spark, TestSpark.sf0001).fromArtifact)
+      Sketches.resetCaches()
+      val loaded = Sketches.annSqKnn(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      assert(Sketches.buildSqIndex(spark, TestSpark.sf0001).fromArtifact,
+        "second session must load the artifact, not rebuild")
+      assert(built == loaded)
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   /** d18's declared verification (SURVEY §2.8): no oracle, so the contract
     * is (a) rejections ⊆ the exact gate's (verification kills false
     * positives), (b) recall ≥ 0.95 vs exact, (c) planted twins caught,
