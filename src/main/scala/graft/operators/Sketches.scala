@@ -200,6 +200,31 @@ object Sketches {
     * fixes the batch while growing the corpus through this seam). `toks`
     * must cover both sides' doc ids — it is pair-restricted by the
     * candidate semi-structure before any quadratic space could form. */
+  /** [[minhashCrossGate]] over a versioned [[graft.sources.GraftTable]]:
+    * corpus = snapshot `corpusVersion`, batch = the manifest changelog
+    * (corpusVersion, batchVersion] — the appended files only, the corpus
+    * never rescanned. The banded corpus index keys by `table@version` +
+    * sketch params: immutable snapshots make the version the content
+    * fingerprint, so validity costs ZERO scans (d16's keying pattern on
+    * the d18 index — the lexical-sketch gate now has the same
+    * batch-probes-snapshot production shape as the exact and semantic
+    * gates). Contract-tested in `GraftTableTest`: equal to the
+    * roster-split gate, index reused under appends, rebuilt on a corpus
+    * snapshot roll. */
+  def minhashGateTable(s: SparkSession, tableDir: String,
+                       corpusVersion: Int, batchVersion: Int,
+                       k: Int = 16, bands: Int = 8): DataFrame = {
+    val corpus = graft.sources.GraftTable.read(s, tableDir, Some(corpusVersion))
+    val batch = graft.sources.GraftTable
+      .readChanges(s, tableDir, corpusVersion, batchVersion)
+    val toksOf = (df: DataFrame) => df
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val key = DocSimilarity.tableSnapshotKey(tableDir, corpusVersion) + s"-mh$k-$bands"
+    minhashCrossGate(s, corpus, batch,
+      toksOf(corpus.unionByName(batch)), Some(key), k, bands)
+  }
+
   /** The candidate stage of [[minhashCrossGate]]: banded corpus index
     * (built or loaded under `corpusKey`) bucket-joined with the batch's
     * banded rows — one (old_id, new_id, lang) row per candidate cross

@@ -543,6 +543,47 @@ class GraftTableTest extends AnyFunSuite {
     }
   }
 
+  test("minhash gate over the table == roster form; banded index keys by snapshot, survives appends") {
+    import graft.operators.Sketches
+    val tmp = Files.createTempDirectory("graft-table-mh").toString
+    spark.conf.set("graft.index.dir", tmp)
+    val tdir = freshDir("mhincr")
+    try {
+      Sketches.resetCaches()
+      val oldS = (0 to 9).map(i => s"src$i")
+      val all = docs(TestSpark.sf0001)
+      GraftTable.create(spark, tdir,
+        all.filter(col("source").isin(oldS: _*)), Seq("doc_id"))
+      GraftTable.append(spark, tdir,
+        all.filter(!col("source").isin(oldS: _*)), Seq("doc_id"))
+
+      val ids = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("new_id").collect().map(_.getLong(0)).toSet
+      val viaTable = ids(Sketches.minhashGateTable(spark, tdir, 0, 1))
+      val viaRoster = ids(Sketches.minhashIngestGate(spark, TestSpark.sf0001, oldS))
+      assert(viaTable == viaRoster,
+        "table changelog probe must equal the roster-split gate (same data, same hashes)")
+
+      // day N+1: another batch appends as v2 — the snapshot-keyed banded
+      // index must be reused, zero new builds
+      val builds0 = Sketches.mhIndexBuilds.get()
+      GraftTable.append(spark, tdir, all.filter(!col("source").isin(oldS: _*))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)), Seq("doc_id"))
+      val v2 = ids(Sketches.minhashGateTable(spark, tdir, 0, 2))
+      assert(v2.exists(_ >= 1000000L), "v2 batch rows probed")
+      assert(Sketches.mhIndexBuilds.get() == builds0,
+        "append must NOT rebuild the snapshot-keyed banded index")
+
+      // corpus rolls forward → new validity key → exactly one rebuild
+      Sketches.minhashGateTable(spark, tdir, 1, 2).count()
+      assert(Sketches.mhIndexBuilds.get() == builds0 + 1,
+        "a corpus snapshot roll must key (and build) a fresh index")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   test("d16 declared query: plan has no cartesian product and matches the d14 gate on the fixture") {
     val tmp = Files.createTempDirectory("graft-table-d16").toString
     spark.conf.set("graft.index.dir", tmp)
