@@ -824,6 +824,46 @@ object TextPipeline {
             "stack(5, '1_all', `1_all`, '2_lang', `2_lang`, '3_quality', `3_quality`, " +
             "'4_dedup', `4_dedup`, '5_decontam', `5_decontam`) AS (stage, n_docs)"))
           .orderBy(col("stage"))
+    },
+
+    // Deterministic STRATIFIED train/val/test split — the last step before
+    // a training-data export: every doc lands in exactly one split by a
+    // pure function of its id (60-bit md5 prefix mod 100 → <90 train,
+    // <95 val, else test), so the assignment is reproducible across
+    // engines, runs, partitionings, and corpus growth (a doc never
+    // migrates when new docs arrive — the property row_number-based
+    // splitting lacks). Report is per (source, split): doc/token counts
+    // plus the p27-style order-independent xor membership checksum, so the
+    // oracle verifies the exact member SET, not just sizes. One scan, one
+    // groupBy; no window, no join — embarrassingly parallel at 100 TB.
+    DeclaredQuery("p28_stratified_split",
+      """WITH d AS (SELECT doc_id, source,
+        |                  len(list_filter(string_split(text,' '), x -> x <> '')) AS ws,
+        |                  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+        |           FROM documents),
+        |s AS (SELECT doc_id, source, ws, h,
+        |             CASE WHEN h % 100 < 90 THEN 'train'
+        |                  WHEN h % 100 < 95 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |      FROM d)
+        |SELECT source, split, COUNT(*) AS n_docs,
+        |       CAST(SUM(ws) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(BIT_XOR(h), 0) AS BIGINT) AS member_ck
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin) {
+      (s, dir) =>
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("ws"),
+            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .withColumn("split",
+            when(col("h") % 100 < 90, "train")
+              .when(col("h") % 100 < 95, "val")
+              .otherwise("test"))
+        d.groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws")).as("n_tokens"),
+            coalesce(expr("bit_xor(h)"), lit(0L)).as("member_ck"))
+          .orderBy(col("source"), col("split"))
     }
   )
 }

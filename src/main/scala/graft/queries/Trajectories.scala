@@ -752,6 +752,51 @@ object Trajectories {
                 + (col("n").cast(dec) * col("qy") - col("sy") * col("sy")).cast("double") / lit(1e4))
                 / (col("n") * col("n")).cast("double")), 6).as("rg"))
           .orderBy(col("user_id"))
+    },
+
+    // t4's box-range query served FROM A VERSIONED TABLE with spatial
+    // manifest pruning: the point corpus lives in a GraftTable clustered by
+    // integer tile (tx=floor(x), ty=floor(y)) with per-file tile min/max
+    // stats, and the scan opens ONLY files whose tile ranges overlap the
+    // query box (scanWhereAll conjunction) before the exact row predicate
+    // runs. The 100 TB story: a petabyte trajectory corpus range-clustered
+    // at ingest answers a box query by reading the overlapping files — the
+    // table-layer analog of the reference's global STR index pruning (O10),
+    // with the manifest as the driver-side index. Same oracle as t4: the
+    // pruned table scan must land exactly the raw-parquet answer.
+    DeclaredQuery("t26_box_range_table",
+      s"""WITH pts AS ${ptsViewS("purchase")}
+         |SELECT user_id, COUNT(*) AS n_in_box FROM pts
+         |WHERE x BETWEEN 5.0 AND 15.0 AND y BETWEEN 50.0 AND 150.0
+         |GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val tdir = ptsTable(s, dir)
+        graft.sources.GraftTable
+          .scanWhereAll(s, tdir, None, Seq(("tx", 5L, 15L), ("ty", 50L, 150L)))
+          .filter(col("x").between(5.0, 15.0) && col("y").between(50.0, 150.0))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_in_box"))
+          .orderBy(col("user_id"))
     }
   )
+
+  /** Build-once tile-clustered point table for t26 (the docsTable pattern):
+    * v0 = the purchase-event points with integer tile columns, range-
+    * clustered on (tx, ty) so per-file manifest tile stats are tight — a
+    * box query then skips non-overlapping files entirely. Guarded like
+    * d16's docsTable: a warm session finds v0 and reads it. */
+  private def ptsTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val gt = graft.sources.GraftTable
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "pts_table")
+    gt.synchronized {
+      if (gt.currentVersion(tdir).isEmpty)
+        gt.create(s, tdir,
+          Tables.pts(s, dir, "purchase")
+            .withColumn("tx", floor(col("x")).cast("long"))
+            .withColumn("ty", floor(col("y")).cast("long"))
+            .repartitionByRange(8, col("tx"), col("ty")),
+          statsCols = Seq("tx", "ty"))
+    }
+    tdir
+  }
 }

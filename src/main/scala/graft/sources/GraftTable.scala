@@ -98,18 +98,42 @@ object GraftTable {
     logDir(dir).resolve(f"v$v%05d.manifest")
 
   /** Latest committed snapshot version, None for a non-table directory. */
+  /** Head resolution. A `_log/_head` hint (written best-effort on every
+    * publish) makes the common path O(1) + a short forward probe instead of
+    * a full directory LIST — on an object store with 10⁵ commits the LIST
+    * is ~100 paged calls per query planning; the hint is one GET. The hint
+    * is only ever a LOWER bound (versions are monotone; a stale or lost
+    * hint just lengthens the probe), so a torn write can never serve a
+    * wrong head — any unreadable hint falls back to the listing. */
   def currentVersion(dir: String): Option[Int] = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) return None
-    val st = Files.list(ld)
-    try {
-      val vs = st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-          s.stripPrefix("v").stripSuffix(".manifest").toInt }
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    } finally st.close()
+    val hinted =
+      try {
+        val p = ld.resolve("_head")
+        if (!Files.exists(p)) None
+        else {
+          val v = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+          if (Files.exists(manifestPath(dir, v))) Some(v) else None
+        }
+      } catch { case _: Exception => None }
+    hinted match {
+      case Some(v0) =>
+        // races only ever leave the hint BEHIND — probe forward to the tip
+        var v = v0
+        while (Files.exists(manifestPath(dir, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val st = Files.list(ld)
+        try {
+          val vs = st.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+              s.stripPrefix("v").stripSuffix(".manifest").toInt }
+            .toSeq
+          if (vs.isEmpty) None else Some(vs.max)
+        } finally st.close()
+    }
   }
 
   def manifest(dir: String, v: Int): Manifest = {
@@ -218,23 +242,66 @@ object GraftTable {
     * high-frequency ingest needs; superseded files stay on disk for
     * in-flight snapshot/changelog readers until [[vacuum]]. */
   def compact(s: SparkSession, dir: String, targetFiles: Int = 1,
-              statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Int = {
+              statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil): Int = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "pick ONE layout: clusterBy (linear range) or zorderBy (interleaved)")
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
     val snap = read(s, dir, Some(head))
-    // clusterBy range-clusters the rewrite (the local analog of Delta's
-    // OPTIMIZE ZORDER for the linear case): each output file owns a
+    // clusterBy range-clusters the rewrite: each output file owns a
     // DISJOINT clusterBy range, so per-file manifest stats become tight
     // and post-compact point/range scans (scanWhere / the relation's
     // pushed filters) open one file instead of every file an arrival-
     // ordered layout smears the key across. sortWithinPartitions
     // additionally tightens parquet row-group stats for the engine's own
     // pushdown below the manifest level.
+    //
+    // zorderBy is the MULTI-dimension form (the Delta OPTIMIZE ZORDER
+    // analog): lexicographic range clustering makes the FIRST column's
+    // bounds tight and leaves every later column spanning its full range
+    // in every file, so a predicate on the second dimension alone skips
+    // nothing. Range-clustering on the Morton interleave of the (integral)
+    // columns instead gives every file a LOCALIZED hyper-rectangle, so
+    // per-file min/max stats stay tight in ALL the named dimensions — a
+    // t26-shape box query and a single-dimension band query both prune.
     val laid =
-      if (clusterBy.isEmpty) snap.repartition(targetFiles)
+      if (zorderBy.nonEmpty) {
+        // normalize to non-negative once (mins: one k-value driver agg —
+        // bounded by construction), then range-partition on the interleave;
+        // the code column is layout-only and dropped before the write
+        val mins = snap.agg(zorderBy.map(c => min(col(c).cast("long")).as(c)).head,
+            zorderBy.map(c => min(col(c).cast("long")).as(c)).tail: _*)
+          .collect()(0)
+        val minMap = zorderBy.zipWithIndex
+          .map { case (c, i) => c -> (if (mins.isNullAt(i)) 0L else mins.getLong(i)) }.toMap
+        snap.withColumn("__z", mortonCode(zorderBy, minMap))
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
+      else if (clusterBy.isEmpty) snap.repartition(targetFiles)
       else snap.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     commit(s, dir, laid, statsCols, head + 1, "compact", prev = Nil)
+  }
+
+  /** Morton (z-curve) interleave of the named integral columns, normalized
+    * by per-column min: bit i of each column lands at position i·k+j of the
+    * code, so z-adjacent rows are close in EVERY dimension. Uses the low
+    * ⌊63/k⌋ bits per column — values past that range share high-order
+    * prefixes (layout degrades gracefully; correctness is unaffected, the
+    * code is never read back). Pure column arithmetic — codegen'd, no UDF. */
+  private def mortonCode(cols: Seq[String], mins: Map[String, Long])
+      : org.apache.spark.sql.Column = {
+    val k = cols.size
+    val bits = 63 / k
+    cols.zipWithIndex.map { case (c, j) =>
+      val norm = (col(c).cast("long") - lit(mins(c)))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(norm, i).bitwiseAND(lit(1L)), i * k + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
   }
 
   /** Roll the table HEAD back to snapshot `toVersion` as a NEW commit
@@ -537,6 +604,15 @@ object GraftTable {
     catch { case _: FileAlreadyExistsException =>
       throw new CommitConflict(m.version)
     } finally Files.deleteIfExists(tmp)
+    // best-effort head hint (see currentVersion): losing it, tearing it, or
+    // racing another writer's hint is all safe — it is only a lower bound
+    try {
+      val ht = logDir(dir).resolve(
+        s".tmp_h_${java.util.UUID.randomUUID().toString.take(12)}")
+      Files.write(ht, m.version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(ht, logDir(dir).resolve("_head"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () }
   }
 
   /** Commit history as a DataFrame (the DESCRIBE HISTORY analog): one row
@@ -611,6 +687,22 @@ object GraftTable {
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     readFiles(s, dir, m.copy(files = kept))
       .filter(col(colName).between(lo, hi))
+  }
+
+  /** Conjunctive [[scanWhere]]: read only files whose stats ranges overlap
+    * EVERY `[lo,hi]` band — the box-predicate form (a spatial range query
+    * over a tile-clustered trajectory table prunes on tx AND ty). Files
+    * missing stats for a column are conservatively kept for that conjunct. */
+  def scanWhereAll(s: SparkSession, dir: String, version: Option[Int],
+                   preds: Seq[(String, Long, Long)]): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, v)
+    val kept = m.files.filter(f => preds.forall { case (c, lo, hi) =>
+      f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } })
+    preds.foldLeft(readFiles(s, dir, m.copy(files = kept))) {
+      case (df, (c, lo, hi)) => df.filter(col(c).between(lo, hi))
+    }
   }
 
   /** [[scanWhere]] for STRING equality (the d16-shape predicates: `source`,

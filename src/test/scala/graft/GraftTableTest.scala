@@ -125,6 +125,67 @@ class GraftTableTest extends AnyFunSuite {
       s"manifest stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
   }
 
+  test("scanWhereAll: conjunctive tile pruning skips files and matches the unpruned box answer") {
+    val tdir = freshDir("box")
+    // tile-clustered point table (the t26 layout): tx/ty integral stats
+    val pts = Tables.pts(spark, TestSpark.sf0001, "purchase")
+      .withColumn("tx", floor(col("x")).cast("long"))
+      .withColumn("ty", floor(col("y")).cast("long"))
+    GraftTable.create(spark, tdir, pts.repartitionByRange(6, col("tx"), col("ty")),
+      Seq("tx", "ty"))
+    val m = GraftTable.manifest(tdir, 0)
+    assert(m.files.size >= 4, s"fixture should split into several files, got ${m.files.size}")
+    assert(m.files.forall(f => f.stats.contains("tx") && f.stats.contains("ty")))
+    // a box in the low-x band: range clustering on (tx, ty) makes tx
+    // bounds tight, so high-x files must be skipped outright
+    val preds = Seq(("tx", 5L, 15L), ("ty", 50L, 150L))
+    val pruned = GraftTable.scanWhereAll(spark, tdir, Some(0), preds)
+    val full = GraftTable.read(spark, tdir, Some(0))
+      .filter(col("tx").between(5, 15) && col("ty").between(50, 150))
+    assert(pruned.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == full.select("event_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "pruned scan must return exactly the unpruned rows")
+    assert(pruned.inputFiles.length < m.files.size,
+      s"conjunctive stats should skip files: read ${pruned.inputFiles.length} of ${m.files.size}")
+    // conjunction must prune strictly more than either single band alone
+    // when the bands are individually loose (sanity: never reads MORE files)
+    val txOnly = GraftTable.scanWhere(spark, tdir, Some(0), "tx", 5L, 15L)
+    assert(pruned.inputFiles.length <= txOnly.inputFiles.length)
+  }
+
+  test("compact(zorderBy): second-dimension bands prune under z-order; lex layout reads everything") {
+    import spark.implicits._
+    // 32×32 tile grid, one row per cell, arrival layout smears both dims
+    val grid = for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong * 32 + y, x.toLong, y.toLong)
+    val df = grid.toDF("id", "tx", "ty").repartition(8)
+    val lexDir = freshDir("lex"); val zDir = freshDir("zord")
+    GraftTable.create(spark, lexDir, df, Seq("tx", "ty"))
+    GraftTable.create(spark, zDir, df, Seq("tx", "ty"))
+    GraftTable.compact(spark, lexDir, 8, Seq("tx", "ty"), clusterBy = Seq("tx", "ty"))
+    GraftTable.compact(spark, zDir, 8, Seq("tx", "ty"), zorderBy = Seq("tx", "ty"))
+    assert(GraftTable.read(spark, zDir).count() == 1024, "z-order rewrite must keep every row")
+
+    // a ty-only band: lex clustering on (tx, ty) leaves ty spanning its
+    // full range in every file (stats [0,31] everywhere — zero skipping);
+    // z-order gives each file a localized block, so ty bounds stay tight
+    val zBand = GraftTable.scanWhere(spark, zDir, None, "ty", 0L, 3L)
+    val lexBand = GraftTable.scanWhere(spark, lexDir, None, "ty", 0L, 3L)
+    assert(zBand.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == lexBand.select("id").collect().map(_.getLong(0)).sorted.toSeq,
+      "both layouts must return identical rows")
+    assert(zBand.inputFiles.length < lexBand.inputFiles.length,
+      s"z-order should skip files on the SECOND dimension: z read ${zBand.inputFiles.length}, " +
+        s"lex read ${lexBand.inputFiles.length}")
+
+    // a box query localizes to one z-block
+    val zBox = GraftTable.scanWhereAll(spark, zDir, None,
+      Seq(("tx", 0L, 7L), ("ty", 0L, 7L)))
+    assert(zBox.count() == 64)
+    assert(zBox.inputFiles.length <= 2,
+      s"an aligned 8×8 box should live in ~one z-block file, read ${zBox.inputFiles.length}")
+  }
+
   test("restore: head rolls back by reference, changelog stays silent, vacuumed targets refuse") {
     val tdir = freshDir("restore")
     import spark.implicits._
