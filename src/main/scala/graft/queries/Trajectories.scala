@@ -777,6 +777,61 @@ object Trajectories {
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_in_box"))
           .orderBy(col("user_id"))
+    },
+
+    // t5's point kNN served FROM THE TABLE by a certified expanding-box
+    // manifest search — the reference's index-seeded kNN (O9 leaf descent +
+    // O11 bound seeding) re-expressed against manifest tile stats: scan the
+    // box of half-width r around the query point (files pruned by
+    // scanWhereAll), take the top-k, and STOP once the kth exact distance
+    // certifies that no point outside the box can enter the result
+    // (max exact ≤ r − 1e-6: any outside point is > r away, so after 6dp
+    // rounding it still ranks strictly behind every returned candidate);
+    // otherwise double r. Driver work per step is one ≤k-row collect
+    // (bounded by construction); steps are O(log domain). At 100 TB the
+    // certified search reads a few tiles' files — never the corpus — and
+    // the answer is EXACT, proven by t5's own oracle.
+    DeclaredQuery("t27_point_knn_table",
+      s"""WITH pts AS ${ptsViewS("purchase")}
+         |SELECT user_id, event_id,
+         |       ROUND(SQRT((x-15.0)*(x-15.0)+(y-100.0)*(y-100.0)),6) AS d
+         |FROM pts
+         |ORDER BY ROUND(SQRT((x-15.0)*(x-15.0)+(y-100.0)*(y-100.0)),6), user_id, event_id
+         |LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val tdir = ptsTable(s, dir)
+        val gt = graft.sources.GraftTable
+        val (qx, qy, k) = (15.0, 100.0, 10)
+        val v = gt.currentVersion(tdir)
+          .getOrElse(throw new IllegalStateException(s"no table at $tdir"))
+        val files = gt.manifest(tdir, v).files
+        def bound(c: String) = (files.flatMap(_.stats.get(c).map(_._1)).min,
+          files.flatMap(_.stats.get(c).map(_._2)).max)
+        val (txLo, txHi) = bound("tx"); val (tyLo, tyHi) = bound("ty")
+        val dist2 = (col("x") - qx) * (col("x") - qx) + (col("y") - qy) * (col("y") - qy)
+        def candidates(r: Double) =
+          gt.scanWhereAll(s, tdir, Some(v), Seq(
+              ("tx", math.floor(qx - r).toLong, math.floor(qx + r).toLong),
+              ("ty", math.floor(qy - r).toLong, math.floor(qy + r).toLong)))
+            .filter(col("x").between(qx - r, qx + r) && col("y").between(qy - r, qy + r))
+            .select(col("user_id"), col("event_id"),
+              round(sqrt(dist2), 6).as("d"), sqrt(dist2).as("dx"))
+            .orderBy(col("d"), col("user_id"), col("event_id"))
+            .limit(k)
+        var r = 2.0
+        var out: org.apache.spark.sql.DataFrame = null
+        while (out == null) {
+          // once the box covers the table's whole tile domain the scan IS
+          // the full corpus — terminate unconditionally
+          val full = math.floor(qx - r).toLong <= txLo && math.floor(qx + r).toLong >= txHi &&
+            math.floor(qy - r).toLong <= tyLo && math.floor(qy + r).toLong >= tyHi
+          val got = candidates(r).collect() // ≤ k rows — bounded by construction
+          val certified = got.length >= k &&
+            got.map(_.getAs[Double]("dx")).max <= r - 1e-6
+          if (full || certified) out = candidates(r).drop("dx")
+          else r *= 2
+        }
+        out
     }
   )
 
