@@ -466,6 +466,50 @@ object TrajectorySearch {
   def allPairsSurvivorCount(ta0: DataFrame, r: Double): Long =
     allPairsLb(ta0).filter(col("lb") <= r).count()
 
+  /** Spatial INGEST GATE (t28): admit each BATCH trajectory iff no CORPUS
+    * trajectory lies within `tau` under `metric` — the trajectory-space
+    * member of the incremental-admission family (d14 gates lexical
+    * near-dups, v11 semantic ones; this gates route duplicates — the
+    * same path re-recorded — that token/embedding hashing cannot see).
+    *
+    * CROSS pairs only: corpus×corpus and batch×batch never enumerate, so
+    * probe cost tracks one corpus bound-scan per arriving batch. The
+    * bound scan is slim (boxes only — 4·slices doubles a side — with the
+    * codegen'd sliced-box LB in the join projection; the bounded batch
+    * side broadcasts, the corpus streams across all cores); only bound
+    * survivors get the early-abandoning exact kernel (exact at/below
+    * tau+1e-5, certificate above — so the 6-dp-rounded compare against
+    * tau can never misclassify an abandoned pair). Report is one row per
+    * batch trajectory: close-corpus count and the admit flag. */
+  def epsilonGate(corpus0: DataFrame, batch0: DataFrame, tau: Double,
+                  metric: String = "hausdorff"): DataFrame = {
+    val s = corpus0.sparkSession
+    graft.functions.SlicedBoxLb.register(s)
+    val corpus = ensureBoxes(corpus0)
+    val batch = ensureBoxes(batch0)
+    val sc = corpus.select(col("user_id").as("cu"), col("boxes").as("cboxes"))
+      .repartition(s.sparkContext.defaultParallelism, col("cu"))
+    val sb = batch.select(col("user_id").as("bu"), col("boxes").as("bboxes"))
+    val cand = sc.crossJoin(broadcast(sb))
+      .select(col("cu"), col("bu"), slicedBoxLb("cboxes", "bboxes").as("lb"))
+      .filter(col("lb") <= tau)
+      .select(col("cu"), col("bu"))
+    val fatC = corpus.select(col("user_id").as("cu"), col("xs").as("cxs"), col("ys").as("cys"))
+    val fatB = batch.select(col("user_id").as("bu"), col("xs").as("bxs"), col("ys").as("bys"))
+    val refine = round(boundedMetricCol(metric, s)(
+      col("cxs"), col("cys"), col("bxs"), col("bys"), lit(tau + 1e-5)), 6)
+    val close = cand
+      .join(broadcast(fatB), "bu").join(fatC, "cu")
+      .filter(refine <= tau)
+      .groupBy(col("bu")).agg(count(lit(1)).as("n_close"))
+    batch.select(col("user_id"))
+      .join(close, col("user_id") === col("bu"), "left_outer")
+      .select(col("user_id"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        when(coalesce(col("n_close"), lit(0L)) === 0L, 1L).otherwise(0L).as("admitted"))
+      .orderBy(col("user_id"))
+  }
+
   /** Frames built by Tables.trajArrays carry `boxes`; synthetic xs/ys
     * frames get them derived on the fly. */
   private[operators] def ensureBoxes(ta: DataFrame): DataFrame =

@@ -832,6 +832,43 @@ object Trajectories {
           else r *= 2
         }
         out
+    },
+
+    // Spatial INGEST GATE — the trajectory-space member of the incremental
+    // admission family (d14 gates lexical near-dups, v11 semantic ones;
+    // this gates ROUTE duplicates, the same path re-recorded, which
+    // token/embedding hashing cannot see): admit each batch trajectory
+    // (user_id % 5 = 0) iff no corpus trajectory (the rest) lies within
+    // Hausdorff 11.0. Cross pairs only — corpus×corpus / batch×batch never
+    // enumerate; slim sliced-box bound scan, early-abandoning exact kernel
+    // on survivors only (TrajectorySearch.epsilonGate). The DuckDB oracle
+    // computes the full cross Hausdorff relationally — the gate must land
+    // the exact admit/reject partition.
+    DeclaredQuery("t28_traj_ingest_gate",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |d AS (SELECT a.user_id cu, b.user_id bu, a.event_id ea, b.event_id eb,
+         |             SQRT((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist
+         |      FROM pts a JOIN pts b
+         |        ON (a.user_id % 5 <> 0) AND (b.user_id % 5 = 0)),
+         |hab AS (SELECT cu,bu, MAX(md) AS h FROM
+         |        (SELECT cu,bu,ea, MIN(dist) AS md FROM d GROUP BY cu,bu,ea) q1 GROUP BY cu,bu),
+         |hba AS (SELECT cu,bu, MAX(md) AS h FROM
+         |        (SELECT cu,bu,eb, MIN(dist) AS md FROM d GROUP BY cu,bu,eb) q2 GROUP BY cu,bu),
+         |hh AS (SELECT hab.cu, hab.bu, GREATEST(hab.h, hba.h) AS h
+         |       FROM hab JOIN hba ON hab.cu=hba.cu AND hab.bu=hba.bu),
+         |cl AS (SELECT bu, COUNT(*) AS n_close FROM hh
+         |       WHERE ROUND(h,6) <= 11.0 GROUP BY bu),
+         |b AS (SELECT DISTINCT user_id FROM pts WHERE user_id % 5 = 0)
+         |SELECT b.user_id, CAST(COALESCE(n_close, 0) AS BIGINT) AS n_close,
+         |       CAST(CASE WHEN COALESCE(n_close, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM b LEFT JOIN cl ON b.user_id = cl.bu
+         |ORDER BY b.user_id""".stripMargin) {
+      (s, dir) =>
+        val ta = Tables.trajArrays(s, dir, "purchase")
+        graft.operators.TrajectorySearch.epsilonGate(
+          ta.filter(col("user_id") % 5 =!= 0),
+          ta.filter(col("user_id") % 5 === 0),
+          tau = 11.0)
     }
   )
 

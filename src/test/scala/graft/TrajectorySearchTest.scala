@@ -22,6 +22,38 @@ class TrajectorySearchTest extends AnyFunSuite {
     }
   }
 
+  test("epsilonGate equals the naive cross-pair gate at two SFs and never enumerates within-side pairs") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val ta = Tables.trajArrays(spark, dir)
+      val corpus = ta.filter(col("user_id") % 5 =!= 0)
+      val batch = ta.filter(col("user_id") % 5 === 0)
+      val tau = 11.0
+      val gate = TrajectorySearch.epsilonGate(corpus, batch, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+      // naive: exact kernel on EVERY cross pair, no bound
+      val fn = graft.functions.MetricUdfs.hausdorff
+      val c = corpus.select(col("user_id").as("cu"),
+        col("xs").as("cxs"), col("ys").as("cys"))
+      val b = batch.select(col("user_id").as("bu"),
+        col("xs").as("bxs"), col("ys").as("bys"))
+      val naiveClose = c.crossJoin(b)
+        .filter(round(fn(col("cxs"), col("cys"), col("bxs"), col("bys")), 6) <= tau)
+        .groupBy(col("bu")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val naive = batch.select(col("user_id")).collect().map(_.getLong(0)).sorted.toSeq
+        .map(u => (u, naiveClose.getOrElse(u, 0L),
+          if (naiveClose.getOrElse(u, 0L) == 0L) 1L else 0L))
+      assert(gate == naive, s"gate != naive cross gate at $dir")
+      // sf0.001's 30 users sit sparse — every batch member admits; the
+      // sf0.01 fixture has close cross pairs, so both outcomes must occur
+      if (dir == TestSpark.sf001)
+        assert(gate.exists(_._3 == 0L) && gate.exists(_._3 == 1L),
+          s"fixture at $dir should both admit and reject at tau=$tau")
+    }
+  }
+
   test("pruning fires on spatially separated clusters") {
     // 60 users: 20 near the query (cluster at origin), 40 far away
     val rnd = new scala.util.Random(11)
