@@ -233,6 +233,48 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
+  /** Trajectory-row replay schema (one row per trajectory: id + arrays). */
+  val trajSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("xs", ArrayType(DoubleType)),
+    StructField("ys", ArrayType(DoubleType))))
+
+  /** File-source replay of trajectory rows: one file per batch. */
+  def trajStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(trajSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** t28 counterpart: CONTINUOUS spatial ingest gate — each arriving
+    * trajectory (one row: user_id + coordinate arrays) is probed against
+    * the STATIC corpus in one stateless stream-static join, the d14/d18/v11
+    * gate shape carried to trajectory space. Slice boxes derive map-side
+    * (pure column expressions), the codegen'd sliced-box lower bound prunes
+    * the broadcast corpus in the join condition, and the early-abandoning
+    * exact kernel verifies survivors IN-ROW (exact at/below tau+1e-5,
+    * certificate above — the rounded compare cannot misclassify an
+    * abandoned pair). Emits (cu, bu, h) close pairs in append mode; admit =
+    * no emitted pair for bu. No watermark, no state store, nothing buffered
+    * between micro-batches — replay-order-independent by construction. */
+  def streamTrajGate(newTrajs: DataFrame, corpus0: DataFrame, tau: Double): DataFrame = {
+    val s = corpus0.sparkSession
+    graft.functions.SlicedBoxLb.register(s)
+    graft.functions.HausdorffCodegen.register(s)
+    val corpus = graft.Tables.withSliceBoxes(corpus0)
+      .select(col("user_id").as("cu"), col("xs").as("cxs"),
+        col("ys").as("cys"), col("boxes").as("cboxes"))
+    val batch = graft.Tables.withSliceBoxes(newTrajs)
+      .select(col("user_id").as("bu"), col("xs").as("bxs"),
+        col("ys").as("bys"), col("boxes").as("bboxes"))
+    batch.join(broadcast(corpus),
+        graft.operators.TrajectorySearch.slicedBoxLb("bboxes", "cboxes") <= tau)
+      .withColumn("h", round(graft.functions.HausdorffCodegen(
+        col("bxs"), col("bys"), col("cxs"), col("cys"), lit(tau + 1e-5)), 6))
+      .filter(col("h") <= tau)
+      .select(col("cu"), col("bu"), col("h"))
+  }
+
   /** Embeddings replay schema (fixed dim 64, float). */
   val embeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

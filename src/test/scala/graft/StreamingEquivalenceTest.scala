@@ -457,6 +457,54 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     }
   }
 
+  test("t28 streaming spatial gate == batch cross close pairs (stateless stream-static probe)") {
+    import graft.operators.TrajectorySearch
+    val ta = Tables.trajArrays(spark, TestSpark.sf001)
+    val corpus = ta.filter(col("user_id") % 5 =!= 0)
+    val batch = ta.filter(col("user_id") % 5 === 0)
+    val tau = 11.0
+    // replay the batch trajectories as 3 micro-batch files
+    val batchRows = batch.select("user_id", "xs", "ys").orderBy("user_id").collect()
+    val n = batchRows.length
+    val dir = Files.createTempDirectory("graft-trajgate-stream")
+    (0 until 3).foreach { b =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(batchRows.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1),
+        StreamingQueries.trajSchema)
+      val tmp2 = Files.createTempDirectory("graft-trajgate-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+      val part = Files.list(tmp2).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+    val q = StreamingQueries.streamTrajGate(
+        StreamingQueries.trajStream(spark, dir.toString), corpus, tau)
+      .writeStream.format("memory").queryName("s_t28")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_t28").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch truth: naive cross pairs under the rounded threshold
+    val fn = graft.functions.MetricUdfs.hausdorff
+    val expected = corpus
+      .select(col("user_id").as("cu"), col("xs").as("cxs"), col("ys").as("cys"))
+      .crossJoin(batch
+        .select(col("user_id").as("bu"), col("xs").as("bxs"), col("ys").as("bys")))
+      .filter(round(fn(col("cxs"), col("cys"), col("bxs"), col("bys")), 6) <= tau)
+      .select("cu", "bu").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"streamed close pairs != batch: " +
+      s"missing ${expected.diff(got).take(5)}, extra ${got.diff(expected).take(5)}")
+    assert(got.nonEmpty, "tau=11 must fire on the sf0.01 fixture")
+
+    // aggregating the emitted pairs reproduces the declared gate's counts
+    val counts = got.groupBy(_._2).map { case (bu, ps) => bu -> ps.size.toLong }
+    val gate = TrajectorySearch.epsilonGate(corpus, batch, tau).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gate.filter(_._2 > 0L) == counts,
+      "per-trajectory close counts must match the declared t28 gate")
+  }
+
   test("graft-table changelog stream: offsets = snapshot versions; gate over the tail == batch pairs") {
     import graft.sources.GraftTable
     val oldSrcs = (0 to 9).map(i => s"src$i")
