@@ -153,6 +153,29 @@ object ScaleSmoke {
       } finally spark.conf.unset("graft.index.dir")
     }
 
+    // t28 spatial ingest gate at growing corpus (round-9): the arriving
+    // batch stays FIXED (the base copy's user_id % 5 == 0 trajectories)
+    // while the corpus grows ×k. The probe is one slim corpus bound-scan
+    // per batch (cross-only) — cost should track the corpus LINEARLY
+    // (bound rows ×k, kernel survivors ×k since copies clone close pairs),
+    // never a pair-space blowup. trajArrays is pre-warmed so the timing is
+    // the probe, not the per-dir array-artifact build.
+    if (mode == "all" || mode == "traj") {
+      val baseUserMax = spark.read.parquet(s"$Base/events.parquet")
+        .agg(max(col("user_id"))).head().getLong(0)
+      for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        val ta = Tables.trajArrays(spark, dir)
+        ta.count() // warm the per-dir trajectory-array artifact
+        val corpus = ta.filter(col("user_id") % 5 =!= 0)
+        val batch = ta.filter(col("user_id") % 5 === 0
+          && col("user_id") <= baseUserMax)
+        val (sec, rows) = time(
+          TrajectorySearch.epsilonGate(corpus, batch, 11.0).count())
+        report("traj_gate_probe", s"x$f", sec, rows)
+      }
+    }
+
     // stage-level timing of the d18 probe at one factor (diagnosis tool):
     // candidates alone vs full gate, plus the token-distinct cost
     if (mode == "mhdebug") {
