@@ -62,6 +62,30 @@ object PipelineExtras {
           .orderBy(col("kind"))
     },
 
+    // Media INGEST over the versioned table — the multimodal member of the
+    // incremental family (docs d16/d18, vectors v10/v11, trajectories t28):
+    // the media corpus lives in a GraftTable with a BINARY blob column;
+    // a batch of new media arrives as ONE atomic append commit, and
+    // feature extraction runs ONLY over the manifest changelog (v0→v1) —
+    // corpus blobs are never re-read or re-decoded, so ingest cost tracks
+    // the arriving batch at 100 TB, not the archive. Per-kind report over
+    // the newly featurized batch. No oracle (per-byte decode is not
+    // SQL-expressible cross-engine); the changelog ≡ direct-batch feature
+    // contract and corpus-untouched property are tested in MultimodalTest.
+    DeclaredQuery.noOracle("m4_media_ingest") {
+      (s, dir) =>
+        val tdir = mediaIngestTable(s, dir)
+        Multimodal.extractFeatures(
+            graft.sources.GraftTable.readChanges(s, tdir, 0, 1))
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("n_new"),
+            sum(col("n_bytes")).as("sum_bytes"),
+            sum(col("checksum") % 10007).as("checksum_sum"),
+            round(sum(expr("feature[0]")), 4).as("f0_sum"))
+          .orderBy(col("kind"))
+    },
+
     DeclaredQuery.noOracle("p5_simhash_neardups") {
       (s, dir) => Sketches.simhashNearDups(s, dir)
     },
@@ -323,4 +347,24 @@ object PipelineExtras {
           .orderBy(col("label"), col("pos"))
     }
   )
+
+  /** Build-once media table for m4 (the docsTable pattern): v0 = the
+    * mixed-modality corpus rows (media_id % 10 != 0), v1 = one atomic
+    * append of the arriving batch (media_id % 10 == 0). Guarded: a warm
+    * session finds v1 and reads only the changelog. */
+  private def mediaIngestTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val gt = graft.sources.GraftTable
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "media_table")
+    gt.synchronized {
+      if (gt.currentVersion(tdir).isEmpty)
+        gt.create(s, tdir,
+          Multimodal.mediaTableMultiKind(s, dir).filter(col("media_id") % 10 =!= 0),
+          statsCols = Seq("media_id"))
+      if (gt.currentVersion(tdir).contains(0))
+        gt.append(s, tdir,
+          Multimodal.mediaTableMultiKind(s, dir).filter(col("media_id") % 10 === 0),
+          statsCols = Seq("media_id"))
+    }
+    tdir
+  }
 }

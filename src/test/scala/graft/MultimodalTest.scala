@@ -119,6 +119,32 @@ class MultimodalTest extends AnyFunSuite {
     }
   }
 
+  test("m4 contract: changelog features == direct batch features; corpus files never re-read") {
+    import graft.sources.GraftTable
+    val tdir = java.nio.file.Files.createTempDirectory("graft-media-table")
+      .resolve("t").toString
+    val all = Multimodal.mediaTableMultiKind(spark, TestSpark.sf0001)
+    GraftTable.create(spark, tdir,
+      all.filter(col("media_id") % 10 =!= 0), Seq("media_id"))
+    GraftTable.append(spark, tdir,
+      all.filter(col("media_id") % 10 === 0), Seq("media_id"))
+
+    val changes = GraftTable.readChanges(spark, tdir, 0, 1)
+    // ingest cost tracks the batch: the changelog plans only v1's files
+    val v0Files = GraftTable.manifest(tdir, 0).files.map(_.path).toSet
+    assert(changes.inputFiles.nonEmpty &&
+      changes.inputFiles.forall(f => !v0Files.exists(f.endsWith(_))),
+      "changelog read must not touch corpus (v0) files")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.extractFeatures(df).collect()
+        .map(f => (f.media_id, f.kind, f.n_bytes, f.checksum, f.feature.toSeq))
+        .sortBy(_._1).toSeq
+    assert(canon(changes) == canon(all.filter(col("media_id") % 10 === 0)),
+      "features decoded from the blob column through the table must be " +
+        "byte-identical to direct extraction")
+  }
+
   test("format surface: parquet/csv/json/orc round-trip (SURVEY §2.8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     val src = Tables.table(spark, TestSpark.sf0001, "customer")
