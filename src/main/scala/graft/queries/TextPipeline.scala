@@ -864,6 +864,62 @@ object TextPipeline {
             sum(col("ws")).as("n_tokens"),
             coalesce(expr("bit_xor(h)"), lit(0L)).as("member_ck"))
           .orderBy(col("source"), col("split"))
+    },
+
+    // Per-document OVERLAPPING CHUNKER — the retrieval/context-window
+    // op p14's cross-doc packing deliberately is not: each doc's token
+    // stream is sliced into windows of W=64 tokens at stride S=48
+    // (16-token overlap), chunk ids stable per doc (chunking one doc
+    // never depends on any other doc — embarrassingly parallel at
+    // 100 TB, and a corpus append never re-chunks old docs). Per-lang
+    // report: doc/chunk/token totals, deepest doc, and an exact integer
+    // checksum over every (doc, chunk index, chunk length) triple — the
+    // oracle verifies the full chunk STRUCTURE, not just counts.
+    DeclaredQuery("p29_doc_chunks",
+      """WITH d AS (SELECT doc_id, lang,
+        |             len(list_filter(string_split(text,' '), x -> x <> '')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n, (n + 47) // 48 AS nc FROM d WHERE n > 0),
+        |ch AS (SELECT doc_id, lang, n, nc,
+        |              unnest(generate_series(0, nc - 1)) AS idx FROM c),
+        |l AS (SELECT lang, doc_id, nc, idx,
+        |             LEAST(64, n - idx * 48) AS clen FROM ch),
+        |agg AS (SELECT lang, COUNT(*) AS n_chunks,
+        |               CAST(SUM(clen) AS BIGINT) AS sum_chunk_tokens,
+        |               CAST(MAX(nc) AS BIGINT) AS max_chunks_per_doc,
+        |               CAST(BIT_XOR(doc_id * 1000003 + idx * 31 + clen) AS BIGINT)
+        |                 AS chunk_ck
+        |        FROM l GROUP BY lang),
+        |docs AS (SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY lang)
+        |SELECT docs.lang, n_docs, COALESCE(n_chunks, 0) AS n_chunks,
+        |       COALESCE(sum_chunk_tokens, 0) AS sum_chunk_tokens,
+        |       COALESCE(max_chunks_per_doc, 0) AS max_chunks_per_doc,
+        |       COALESCE(chunk_ck, 0) AS chunk_ck
+        |FROM docs LEFT JOIN agg ON docs.lang = agg.lang
+        |ORDER BY docs.lang""".stripMargin) {
+      (s, dir) =>
+        val (w, st) = (64, 48)
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n"))
+        val chunks = d.filter(col("n") > 0)
+          .withColumn("nc", expr(s"(n + ${st - 1}) DIV $st"))
+          .select(col("doc_id"), col("lang"), col("n"), col("nc"),
+            explode(expr("sequence(0L, nc - 1)")).as("idx"))
+          .withColumn("clen", least(lit(w.toLong), col("n") - col("idx") * st))
+        val agg = chunks.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("clen")).as("sum_chunk_tokens"),
+            max(col("nc")).as("max_chunks_per_doc"),
+            expr("bit_xor(doc_id * 1000003 + idx * 31 + clen)").as("chunk_ck"))
+        d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .join(agg, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("sum_chunk_tokens"), lit(0L)).as("sum_chunk_tokens"),
+            coalesce(col("max_chunks_per_doc"), lit(0L)).as("max_chunks_per_doc"),
+            coalesce(col("chunk_ck"), lit(0L)).as("chunk_ck"))
+          .orderBy(col("lang"))
     }
   )
 }
