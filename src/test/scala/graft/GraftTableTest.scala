@@ -153,6 +153,34 @@ class GraftTableTest extends AnyFunSuite {
     assert(pruned.inputFiles.length <= txOnly.inputFiles.length)
   }
 
+  test("head hint: stale hint probes forward, corrupt hint falls back to listing — never a wrong head") {
+    import spark.implicits._
+    val tdir = freshDir("hint")
+    GraftTable.create(spark, tdir, Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    GraftTable.append(spark, tdir, Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    GraftTable.append(spark, tdir, Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(GraftTable.currentVersion(tdir).contains(2))
+    val hint = java.nio.file.Paths.get(tdir, "_log", "_head")
+    assert(java.nio.file.Files.exists(hint), "publish must refresh the hint")
+
+    // STALE hint (a writer crashed before refreshing it): lower bound only —
+    // the forward probe must still find the true head
+    java.nio.file.Files.write(hint, "0".getBytes)
+    assert(GraftTable.currentVersion(tdir).contains(2), "stale hint must probe forward")
+
+    // CORRUPT hint: unreadable → full-listing fallback, still the true head
+    java.nio.file.Files.write(hint, "not-a-number".getBytes)
+    assert(GraftTable.currentVersion(tdir).contains(2), "corrupt hint must fall back")
+
+    // MISSING hint (pre-hint table layouts): listing fallback
+    java.nio.file.Files.delete(hint)
+    assert(GraftTable.currentVersion(tdir).contains(2), "missing hint must fall back")
+    // and the next publish restores it
+    GraftTable.append(spark, tdir, Seq((4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(java.nio.file.Files.exists(hint)
+      && GraftTable.currentVersion(tdir).contains(3))
+  }
+
   test("compact(zorderBy): second-dimension bands prune under z-order; lex layout reads everything") {
     import spark.implicits._
     // 32×32 tile grid, one row per cell, arrival layout smears both dims
