@@ -35,9 +35,18 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsRead {
   override def name(): String = s"graft-table `$dir`"
   override def schema(): StructType = pinned
-  /** MICRO_BATCH_READ only: batch reads intentionally fall back to the V1
-    * [[GraftTableRelation]], which carries the manifest-stats file
-    * skipping ([[org.apache.spark.sql.sources.PrunedFilteredScan]]). */
+  /** MICRO_BATCH_READ only — a deliberate split, not a migration gap:
+    * batch reads fall back to the V1 [[GraftTableRelation]]
+    * ([[org.apache.spark.sql.sources.PrunedFilteredScan]]), which does
+    * manifest-stats file skipping and then DELEGATES to Spark's own
+    * parquet source — vectorized columnar decode, whole-stage codegen,
+    * row-group pushdown. Advertising BATCH_READ here would route batch
+    * scans through [[GraftParquetPartitionReader]]'s row-at-a-time Group
+    * decoder instead: correct for ingest-delta micro-batches (small by
+    * construction), a regression for corpus-sized batch scans. The only
+    * public-API way to get vectorized batch V2 reads is to reimplement
+    * Spark's ParquetScan (internal), so V1-for-batch is the
+    * faster-and-public choice. */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
