@@ -490,9 +490,12 @@ object TrajectorySearch {
     val sc = corpus.select(col("user_id").as("cu"), col("boxes").as("cboxes"))
       .repartition(s.sparkContext.defaultParallelism, col("cu"))
     val sb = batch.select(col("user_id").as("bu"), col("boxes").as("bboxes"))
+    // bound slack 1e-6 ≫ the 6-dp rounding granularity (the allPairsTopK
+    // convention): a pair whose EXACT h lands in (tau, tau+5e-7] still
+    // rounds to ≤ tau — its lb ≤ h < tau+1e-6 must survive to the kernel
     val cand = sc.crossJoin(broadcast(sb))
       .select(col("cu"), col("bu"), slicedBoxLb("cboxes", "bboxes").as("lb"))
-      .filter(col("lb") <= tau)
+      .filter(col("lb") <= tau + 1e-6)
       .select(col("cu"), col("bu"))
     val fatC = corpus.select(col("user_id").as("cu"), col("xs").as("cxs"), col("ys").as("cys"))
     val fatB = batch.select(col("user_id").as("bu"), col("xs").as("bxs"), col("ys").as("bys"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -821,14 +823,30 @@ object Trajectories {
         var r = 2.0
         var out: org.apache.spark.sql.DataFrame = null
         while (out == null) {
-          // once the box covers the table's whole tile domain the scan IS
-          // the full corpus — terminate unconditionally
-          val full = math.floor(qx - r).toLong <= txLo && math.floor(qx + r).toLong >= txHi &&
-            math.floor(qy - r).toLong <= tyLo && math.floor(qy + r).toLong >= tyHi
+          // once the box covers the table's whole COORDINATE domain the
+          // scan is the full corpus — terminate unconditionally. Tiles
+          // span [t, t+1), so coverage needs the box past txHi+1, not
+          // merely touching tile txHi (a point of that tile can sit at
+          // x up to txHi+0.999…, outside a box that only reaches the tile)
+          val full = qx - r <= txLo && qx + r >= txHi + 1 &&
+            qy - r <= tyLo && qy + r >= tyHi + 1
           val got = candidates(r).collect() // ≤ k rows — bounded by construction
           val certified = got.length >= k &&
             got.map(_.getAs[Double]("dx")).max <= r - 1e-6
-          if (full || certified) out = candidates(r).drop("dx")
+          if (full || certified) {
+            // the ≤k collected rows ARE the answer, already ordered —
+            // rebuild the frame locally instead of re-running the pruned
+            // scan + sort a second time when the result is consumed
+            import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+            val sch = StructType(Seq(StructField("user_id", LongType),
+              StructField("event_id", LongType), StructField("d", DoubleType)))
+            val rows = got.toSeq.map(g => org.apache.spark.sql.Row(
+              g.getLong(g.fieldIndex("user_id")),
+              g.getLong(g.fieldIndex("event_id")),
+              g.getDouble(g.fieldIndex("d"))))
+            out = s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), sch)
+          }
           else r *= 2
         }
         out

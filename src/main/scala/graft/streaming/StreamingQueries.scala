@@ -267,8 +267,11 @@ object StreamingQueries {
     val batch = graft.Tables.withSliceBoxes(newTrajs)
       .select(col("user_id").as("bu"), col("xs").as("bxs"),
         col("ys").as("bys"), col("boxes").as("bboxes"))
+    // bound slack 1e-6 ≫ the 6-dp rounding granularity (epsilonGate's
+    // convention): pairs whose exact h rounds into ≤ tau must reach the
+    // in-row kernel even when the box bound sits between tau and h
     batch.join(broadcast(corpus),
-        graft.operators.TrajectorySearch.slicedBoxLb("bboxes", "cboxes") <= tau)
+        graft.operators.TrajectorySearch.slicedBoxLb("bboxes", "cboxes") <= tau + 1e-6)
       .withColumn("h", round(graft.functions.HausdorffCodegen(
         col("bxs"), col("bys"), col("cxs"), col("cys"), lit(tau + 1e-5)), 6))
       .filter(col("h") <= tau)
