@@ -37,14 +37,14 @@ object JsonDocs {
   private def docsTable(s: org.apache.spark.sql.SparkSession, dir: String,
                         oldSources: Seq[String]): String = {
     val gt = graft.sources.GraftTable
-    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_table")
+    val tdir = gt.getOrCreate(s,
+      graft.sources.IndexStore.artifactPath(s, dir, "docs_table"),
+      statsCols = Seq("doc_id")) {
+      Tables.table(s, dir, "documents")
+        .filter(col("source").isin(oldSources: _*))
+        .repartitionByRange(4, col("doc_id"))
+    }
     gt.synchronized {
-      if (gt.currentVersion(tdir).isEmpty)
-        gt.create(s, tdir,
-          Tables.table(s, dir, "documents")
-            .filter(col("source").isin(oldSources: _*))
-            .repartitionByRange(4, col("doc_id")),
-          statsCols = Seq("doc_id"))
       if (gt.currentVersion(tdir).contains(0))
         gt.append(s, tdir,
           Tables.table(s, dir, "documents")
@@ -60,12 +60,12 @@ object JsonDocs {
     * Guarded like [[docsTable]]: a warm session finds v1 and reads it. */
   private def dedupedTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val gt = graft.sources.GraftTable
-    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_dedup_table")
+    val tdir = gt.getOrCreate(s,
+      graft.sources.IndexStore.artifactPath(s, dir, "docs_dedup_table"),
+      statsCols = Seq("doc_id")) {
+      Tables.table(s, dir, "documents").repartitionByRange(4, col("doc_id"))
+    }
     gt.synchronized {
-      if (gt.currentVersion(tdir).isEmpty)
-        gt.create(s, tdir,
-          Tables.table(s, dir, "documents").repartitionByRange(4, col("doc_id")),
-          statsCols = Seq("doc_id"))
       if (gt.currentVersion(tdir).contains(0)) {
         val labels = graft.operators.Components.connectedComponentsCached(
           graft.operators.DocSimilarity.nearDupPairs(s, dir)

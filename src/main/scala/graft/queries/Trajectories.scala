@@ -895,18 +895,13 @@ object Trajectories {
     * clustered on (tx, ty) so per-file manifest tile stats are tight — a
     * box query then skips non-overlapping files entirely. Guarded like
     * d16's docsTable: a warm session finds v0 and reads it. */
-  private def ptsTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val gt = graft.sources.GraftTable
-    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "pts_table")
-    gt.synchronized {
-      if (gt.currentVersion(tdir).isEmpty)
-        gt.create(s, tdir,
-          Tables.pts(s, dir, "purchase")
-            .withColumn("tx", floor(col("x")).cast("long"))
-            .withColumn("ty", floor(col("y")).cast("long"))
-            .repartitionByRange(8, col("tx"), col("ty")),
-          statsCols = Seq("tx", "ty"))
+  private def ptsTable(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.sources.GraftTable.getOrCreate(s,
+      graft.sources.IndexStore.artifactPath(s, dir, "pts_table"),
+      statsCols = Seq("tx", "ty")) {
+      Tables.pts(s, dir, "purchase")
+        .withColumn("tx", floor(col("x")).cast("long"))
+        .withColumn("ty", floor(col("y")).cast("long"))
+        .repartitionByRange(8, col("tx"), col("ty"))
     }
-    tdir
-  }
 }

@@ -97,8 +97,9 @@ object GraftTable {
   private def manifestPath(dir: String, v: Int): JPath =
     logDir(dir).resolve(f"v$v%05d.manifest")
 
-  /** Latest committed snapshot version, None for a non-table directory. */
-  /** Head resolution. A `_log/_head` hint (written best-effort on every
+  /** Latest committed snapshot version, None for a non-table directory.
+    *
+    * A `_log/_head` hint (written best-effort on every
     * publish) makes the common path O(1) + a short forward probe instead of
     * a full directory LIST — on an object store with 10⁵ commits the LIST
     * is ~100 paged calls per query planning; the hint is one GET. The hint
@@ -172,6 +173,20 @@ object GraftTable {
              statsCols: Seq[String] = Nil): Int = {
     require(currentVersion(dir).isEmpty, s"table already exists at $dir")
     commit(s, dir, df, statsCols, version = 0, op = "create", prev = Nil)
+  }
+
+  /** Guarded build-once create (the query-side shared-table pattern,
+    * centralized): create snapshot v0 from `build` iff the table does not
+    * exist yet; `build` is never evaluated on the warm path. In-process
+    * races serialize on the GraftTable lock; a CROSS-process race loses
+    * the optimistic v0 publish and falls through to read the winner's
+    * table (both writers built the same frame by contract). */
+  def getOrCreate(s: SparkSession, dir: String, statsCols: Seq[String])
+                 (build: => DataFrame): String = this.synchronized {
+    if (currentVersion(dir).isEmpty)
+      try create(s, dir, build, statsCols)
+      catch { case _: CommitConflict => () } // a concurrent process won
+    dir
   }
 
   /** Append one batch as snapshot current+1. Throws [[CommitConflict]] if a
@@ -267,15 +282,30 @@ object GraftTable {
     // t26-shape box query and a single-dimension band query both prune.
     val laid =
       if (zorderBy.nonEmpty) {
-        // normalize to non-negative once (mins: one k-value driver agg —
-        // bounded by construction), then range-partition on the interleave;
-        // the code column is layout-only and dropped before the write
-        val mins = snap.agg(zorderBy.map(c => min(col(c).cast("long")).as(c)).head,
-            zorderBy.map(c => min(col(c).cast("long")).as(c)).tail: _*)
-          .collect()(0)
-        val minMap = zorderBy.zipWithIndex
-          .map { case (c, i) => c -> (if (mins.isNullAt(i)) 0L else mins.getLong(i)) }.toMap
-        snap.withColumn("__z", mortonCode(zorderBy, minMap))
+        require(!snap.columns.contains("__z"),
+          "zorderBy needs the reserved layout column name __z; rename the table's __z column")
+        // normalize to non-negative: per-column mins come FREE from the
+        // head manifest's per-file stats when the column carries them (the
+        // documented usage — zorderBy ⊆ statsCols); only non-stats columns
+        // pay a one-row aggregation scan. The code column is layout-only
+        // and dropped before the write.
+        val m = manifest(dir, head)
+        val statMins: Map[String, Long] = zorderBy.flatMap { c =>
+          val per = m.files.flatMap(_.stats.get(c).map(_._1))
+          if (per.nonEmpty && m.files.forall(_.stats.contains(c))) Some(c -> per.min)
+          else None
+        }.toMap
+        val scanned = zorderBy.filterNot(statMins.contains)
+        val scannedMins: Map[String, Long] =
+          if (scanned.isEmpty) Map.empty
+          else {
+            val aggs = scanned.map(c => min(col(c).cast("long")).as(c))
+            val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+            scanned.zipWithIndex
+              .map { case (c, i) => c -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+              .toMap
+          }
+        snap.withColumn("__z", mortonCode(zorderBy, statMins ++ scannedMins))
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
@@ -679,15 +709,8 @@ object GraftTable {
     * range for `colName` overlaps [lo,hi], then apply the row predicate.
     * Files without stats for the column are conservatively kept. */
   def scanWhere(s: SparkSession, dir: String, version: Option[Int],
-                colName: String, lo: Long, hi: Long): DataFrame = {
-    val v = version.orElse(currentVersion(dir))
-      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
-    val m = manifest(dir, v)
-    val kept = m.files.filter(_.stats.get(colName)
-      .forall { case (mn, mx) => mx >= lo && mn <= hi })
-    readFiles(s, dir, m.copy(files = kept))
-      .filter(col(colName).between(lo, hi))
-  }
+                colName: String, lo: Long, hi: Long): DataFrame =
+    scanWhereAll(s, dir, version, Seq((colName, lo, hi)))
 
   /** Conjunctive [[scanWhere]]: read only files whose stats ranges overlap
     * EVERY `[lo,hi]` band — the box-predicate form (a spatial range query
