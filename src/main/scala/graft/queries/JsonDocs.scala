@@ -37,21 +37,17 @@ object JsonDocs {
   private def docsTable(s: org.apache.spark.sql.SparkSession, dir: String,
                         oldSources: Seq[String]): String = {
     val gt = graft.sources.GraftTable
-    val tdir = gt.getOrCreate(s,
-      graft.sources.IndexStore.artifactPath(s, dir, "docs_table"),
-      statsCols = Seq("doc_id")) {
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_table")
+    gt.getOrCreateUpgraded(s, tdir, statsCols = Seq("doc_id")) {
       Tables.table(s, dir, "documents")
         .filter(col("source").isin(oldSources: _*))
         .repartitionByRange(4, col("doc_id"))
+    } {
+      gt.append(s, tdir,
+        Tables.table(s, dir, "documents")
+          .filter(!col("source").isin(oldSources: _*)),
+        statsCols = Seq("doc_id"))
     }
-    gt.synchronized {
-      if (gt.currentVersion(tdir).contains(0))
-        gt.append(s, tdir,
-          Tables.table(s, dir, "documents")
-            .filter(!col("source").isin(oldSources: _*)),
-          statsCols = Seq("doc_id"))
-    }
-    tdir
   }
 
   /** Build-once DEDUPED table for d17: snapshot v0 = the full corpus,
@@ -60,23 +56,18 @@ object JsonDocs {
     * Guarded like [[docsTable]]: a warm session finds v1 and reads it. */
   private def dedupedTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val gt = graft.sources.GraftTable
-    val tdir = gt.getOrCreate(s,
-      graft.sources.IndexStore.artifactPath(s, dir, "docs_dedup_table"),
-      statsCols = Seq("doc_id")) {
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_dedup_table")
+    gt.getOrCreateUpgraded(s, tdir, statsCols = Seq("doc_id")) {
       Tables.table(s, dir, "documents").repartitionByRange(4, col("doc_id"))
+    } {
+      val labels = graft.operators.Components.connectedComponentsCached(
+        graft.operators.DocSimilarity.nearDupPairs(s, dir)
+          .select(col("d1").as("a"), col("d2").as("b")),
+        cacheKey = s"$dir#neardup", assumeCanonical = true)
+      gt.deleteKeys(s, tdir, "doc_id",
+        labels.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
+        statsCols = Seq("doc_id"))
     }
-    gt.synchronized {
-      if (gt.currentVersion(tdir).contains(0)) {
-        val labels = graft.operators.Components.connectedComponentsCached(
-          graft.operators.DocSimilarity.nearDupPairs(s, dir)
-            .select(col("d1").as("a"), col("d2").as("b")),
-          cacheKey = s"$dir#neardup", assumeCanonical = true)
-        gt.deleteKeys(s, tdir, "doc_id",
-          labels.filter(col("id") =!= col("comp")).select(col("id").as("doc_id")),
-          statsCols = Seq("doc_id"))
-      }
-    }
-    tdir
   }
 
   val queries: Seq[DeclaredQuery] = Seq(

@@ -354,17 +354,13 @@ object PipelineExtras {
     * session finds v1 and reads only the changelog. */
   private def mediaIngestTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val gt = graft.sources.GraftTable
-    val tdir = gt.getOrCreate(s,
-      graft.sources.IndexStore.artifactPath(s, dir, "media_table"),
-      statsCols = Seq("media_id")) {
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "media_table")
+    gt.getOrCreateUpgraded(s, tdir, statsCols = Seq("media_id")) {
       Multimodal.mediaTableMultiKind(s, dir).filter(col("media_id") % 10 =!= 0)
+    } {
+      gt.append(s, tdir,
+        Multimodal.mediaTableMultiKind(s, dir).filter(col("media_id") % 10 === 0),
+        statsCols = Seq("media_id"))
     }
-    gt.synchronized {
-      if (gt.currentVersion(tdir).contains(0))
-        gt.append(s, tdir,
-          Multimodal.mediaTableMultiKind(s, dir).filter(col("media_id") % 10 === 0),
-          statsCols = Seq("media_id"))
-    }
-    tdir
   }
 }

@@ -840,12 +840,11 @@ object Trajectories {
             import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
             val sch = StructType(Seq(StructField("user_id", LongType),
               StructField("event_id", LongType), StructField("d", DoubleType)))
-            val rows = got.toSeq.map(g => org.apache.spark.sql.Row(
-              g.getLong(g.fieldIndex("user_id")),
-              g.getLong(g.fieldIndex("event_id")),
-              g.getDouble(g.fieldIndex("d"))))
             out = s.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), sch)
+              got.toSeq.map(g => org.apache.spark.sql.Row(
+                g.getLong(g.fieldIndex("user_id")),
+                g.getLong(g.fieldIndex("event_id")),
+                g.getDouble(g.fieldIndex("d")))).asJava, sch)
           }
           else r *= 2
         }

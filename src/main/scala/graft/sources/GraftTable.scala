@@ -185,9 +185,31 @@ object GraftTable {
                  (build: => DataFrame): String = this.synchronized {
     if (currentVersion(dir).isEmpty)
       try create(s, dir, build, statsCols)
-      catch { case _: CommitConflict => () } // a concurrent process won
+      catch {
+        // a concurrent PROCESS won the v0 slot (create's own existence
+        // re-check throws IllegalArgumentException when it loses the race
+        // before the publish; the publish itself throws CommitConflict)
+        case _: CommitConflict => ()
+        case _: IllegalArgumentException if currentVersion(dir).nonEmpty => ()
+      }
     dir
   }
+
+  /** [[getOrCreate]] plus a one-shot v0→v1 UPGRADE commit (append /
+    * delete / merge) applied iff the table is still at v0 — the shared
+    * shape of the d16/d17/m4-style two-snapshot fixtures. A cross-process
+    * race on the upgrade loses the optimistic publish and falls through
+    * iff the winner already moved the head past v0 (both processes build
+    * the same upgrade by contract). */
+  def getOrCreateUpgraded(s: SparkSession, dir: String, statsCols: Seq[String])
+                         (build: => DataFrame)(upgrade: => Unit): String =
+    this.synchronized {
+      getOrCreate(s, dir, statsCols)(build)
+      if (currentVersion(dir).contains(0))
+        try upgrade
+        catch { case _: CommitConflict if currentVersion(dir).exists(_ > 0) => () }
+      dir
+    }
 
   /** Append one batch as snapshot current+1. Throws [[CommitConflict]] if a
     * concurrent writer takes the slot first (data files are never clobbered
@@ -263,7 +285,8 @@ object GraftTable {
       "pick ONE layout: clusterBy (linear range) or zorderBy (interleaved)")
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
-    val snap = read(s, dir, Some(head))
+    val headManifest = manifest(dir, head) // read ONCE: snap + z-order mins
+    val snap = readFiles(s, dir, headManifest)
     // clusterBy range-clusters the rewrite: each output file owns a
     // DISJOINT clusterBy range, so per-file manifest stats become tight
     // and post-compact point/range scans (scanWhere / the relation's
@@ -289,10 +312,10 @@ object GraftTable {
         // documented usage — zorderBy ⊆ statsCols); only non-stats columns
         // pay a one-row aggregation scan. The code column is layout-only
         // and dropped before the write.
-        val m = manifest(dir, head)
         val statMins: Map[String, Long] = zorderBy.flatMap { c =>
-          val per = m.files.flatMap(_.stats.get(c).map(_._1))
-          if (per.nonEmpty && m.files.forall(_.stats.contains(c))) Some(c -> per.min)
+          val per = headManifest.files.flatMap(_.stats.get(c).map(_._1))
+          if (per.nonEmpty && headManifest.files.forall(_.stats.contains(c)))
+            Some(c -> per.min)
           else None
         }.toMap
         val scanned = zorderBy.filterNot(statMins.contains)
