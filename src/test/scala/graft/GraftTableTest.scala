@@ -153,6 +153,29 @@ class GraftTableTest extends AnyFunSuite {
     assert(pruned.inputFiles.length <= txOnly.inputFiles.length)
   }
 
+  test("getOrCreate/getOrCreateUpgraded: warm paths never rebuild; upgrade fires only at v0") {
+    import spark.implicits._
+    val tdir = freshDir("guard")
+    var builds = 0; var upgrades = 0
+    def run(): String = GraftTable.getOrCreateUpgraded(spark, tdir, Seq("id")) {
+      builds += 1; Seq((1L, "a")).toDF("id", "v")
+    } { upgrades += 1; GraftTable.append(spark, tdir, Seq((2L, "b")).toDF("id", "v"), Seq("id")) }
+
+    run()
+    assert(builds == 1 && upgrades == 1 && GraftTable.currentVersion(tdir).contains(1))
+    // warm call: build is never evaluated, upgrade guarded out by head > 0
+    run()
+    assert(builds == 1 && upgrades == 1, "warm path must not rebuild or re-upgrade")
+    assert(GraftTable.read(spark, tdir).count() == 2)
+
+    // a table that already exists (built by "another process") short-circuits
+    val t2 = freshDir("guard2")
+    GraftTable.create(spark, t2, Seq((9L, "x")).toDF("id", "v"), Seq("id"))
+    var built2 = false
+    GraftTable.getOrCreate(spark, t2, Seq("id")) { built2 = true; Seq((1L, "y")).toDF("id", "v") }
+    assert(!built2 && GraftTable.read(spark, t2).count() == 1)
+  }
+
   test("head hint: stale hint probes forward, corrupt hint falls back to listing — never a wrong head") {
     import spark.implicits._
     val tdir = freshDir("hint")
