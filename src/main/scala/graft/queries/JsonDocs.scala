@@ -164,6 +164,35 @@ object JsonDocs {
           .limit(10)
     },
 
+    // FILTERED vector search — the production ANN problem v1 deliberately
+    // is not: top-k under a metadata predicate (here label = 3). The right
+    // Spark shape is PRE-filtering: the predicate sits before the distance
+    // projection, reaches the parquet scan as a pushed filter (plan-guarded
+    // in ExplainPlanTest), and the top-k runs over exactly the matching
+    // rows — never the post-filter-a-global-top-k shape that under-fills
+    // when the filter is selective. At 100 TB the same predicate composes
+    // with the IVF route (filter inside each probed list's scan); the
+    // exact form here is the recall-1.0 baseline that path is judged by.
+    DeclaredQuery("v13_filtered_knn",
+      s"""SELECT a.vec_id, ROUND(${duckDot("a.embedding", "q.q_emb")} /
+         |       (SQRT(${duckSq("q.q_emb")}) * SQRT(${duckSq("a.embedding")})), 6) AS cos_sim
+         |FROM embeddings a,
+         |     (SELECT embedding AS q_emb FROM embeddings WHERE vec_id=0) q
+         |WHERE a.vec_id <> 0 AND a.label = 3
+         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        graft.functions.FloatDotProduct.register(s)
+        val em = Tables.table(s, dir, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        em.filter(col("vec_id") =!= 0 && col("label") === 3)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(expr("graft_dot(q_emb, embedding)") /
+              (sqrt(expr(sq.format("q_emb"))) * sqrt(expr(sq.format("embedding")))), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+    },
+
     DeclaredQuery("v2_near_dup_vectors",
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
          |       ROUND(${duckDot("a.embedding", "b.embedding")} /

@@ -20,6 +20,15 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
   }
 
+  test("v13: the metadata predicate of filtered ANN reaches the parquet scan") {
+    val p = plan("v13_filtered_knn")
+    // PRE-filter shape: label=3 is pushed to the embeddings scan, so the
+    // distance projection and top-k only ever see matching rows (the
+    // post-filter-a-global-top-k shape would show no pushed label filter)
+    assert(p.contains("EqualTo(label,3)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("s1/s2: EXISTS forms plan as semi/anti hash joins") {
     assert(plan("s1_cust_with_orders").contains("LeftSemi"))
     assert(plan("s2_cust_without_orders").contains("LeftAnti"))
