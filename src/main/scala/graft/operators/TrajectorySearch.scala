@@ -466,6 +466,67 @@ object TrajectorySearch {
   def allPairsSurvivorCount(ta0: DataFrame, r: Double): Long =
     allPairsLb(ta0).filter(col("lb") <= r).count()
 
+  /** Certified expanding-box point kNN over a tile-clustered
+    * [[graft.sources.GraftTable]] (t27): scan the half-width-r box around
+    * the query point with conjunctive manifest pruning, take the top-k by
+    * 6-dp-rounded distance, and STOP once the kth exact distance proves no
+    * point outside the box can enter the rounded ranking (max exact ≤
+    * r − 1e-6: outside points are > r away, so they rank strictly behind);
+    * otherwise double r. Driver work per step is one ≤k-row collect
+    * (bounded by construction), steps are O(log domain), and at 100 TB a
+    * probe reads a few tiles' files — the reference's index-seeded kNN
+    * (O9 leaf descent + O11 bound seeding) with the manifest as the index.
+    * The point table must carry integral tile columns `txCol`/`tyCol`
+    * (= ⌊x⌋/⌊y⌋) declared as stats columns. Result: (user_id, event_id, d)
+    * ordered by (d, user_id, event_id) — EXACT (t27 proves it against the
+    * raw-parquet oracle). */
+  def pointKnnOverTable(s: SparkSession, tdir: String, qx: Double, qy: Double,
+                        k: Int, txCol: String = "tx", tyCol: String = "ty"): DataFrame = {
+    val gt = graft.sources.GraftTable
+    val v = gt.currentVersion(tdir)
+      .getOrElse(throw new IllegalStateException(s"no table at $tdir"))
+    val files = gt.manifest(tdir, v).files
+    def bound(c: String) = (files.flatMap(_.stats.get(c).map(_._1)).min,
+      files.flatMap(_.stats.get(c).map(_._2)).max)
+    val (txLo, txHi) = bound(txCol); val (tyLo, tyHi) = bound(tyCol)
+    val dist2 = (col("x") - qx) * (col("x") - qx) + (col("y") - qy) * (col("y") - qy)
+    def candidates(r: Double) =
+      gt.scanWhereAll(s, tdir, Some(v), Seq(
+          (txCol, math.floor(qx - r).toLong, math.floor(qx + r).toLong),
+          (tyCol, math.floor(qy - r).toLong, math.floor(qy + r).toLong)))
+        .filter(col("x").between(qx - r, qx + r) && col("y").between(qy - r, qy + r))
+        .select(col("user_id"), col("event_id"),
+          round(sqrt(dist2), 6).as("d"), sqrt(dist2).as("dx"))
+        .orderBy(col("d"), col("user_id"), col("event_id"))
+        .limit(k)
+    var r = 2.0
+    var out: DataFrame = null
+    while (out == null) {
+      // tiles span [t, t+1): full coverage needs the box past txHi+1, not
+      // merely touching tile txHi — then terminate unconditionally
+      val full = qx - r <= txLo && qx + r >= txHi + 1 &&
+        qy - r <= tyLo && qy + r >= tyHi + 1
+      val got = candidates(r).collect() // ≤ k rows — bounded by construction
+      val certified = got.length >= k &&
+        got.map(_.getAs[Double]("dx")).max <= r - 1e-6
+      if (full || certified) {
+        // the ≤k collected rows ARE the answer, already ordered — rebuild
+        // locally instead of re-running the pruned scan + sort on consume
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        val sch = StructType(Seq(StructField("user_id", LongType),
+          StructField("event_id", LongType), StructField("d", DoubleType)))
+        out = s.createDataFrame(
+          got.toSeq.map(g => org.apache.spark.sql.Row(
+            g.getLong(g.fieldIndex("user_id")),
+            g.getLong(g.fieldIndex("event_id")),
+            g.getDouble(g.fieldIndex("d")))).asJava, sch)
+      }
+      else r *= 2
+    }
+    out
+  }
+
   /** Spatial INGEST GATE (t28): admit each BATCH trajectory iff no CORPUS
     * trajectory lies within `tau` under `metric` — the trajectory-space
     * member of the incremental-admission family (d14 gates lexical

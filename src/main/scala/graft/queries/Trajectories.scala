@@ -1,6 +1,5 @@
 package graft.queries
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -801,54 +800,8 @@ object Trajectories {
          |ORDER BY ROUND(SQRT((x-15.0)*(x-15.0)+(y-100.0)*(y-100.0)),6), user_id, event_id
          |LIMIT 10""".stripMargin) {
       (s, dir) =>
-        val tdir = ptsTable(s, dir)
-        val gt = graft.sources.GraftTable
-        val (qx, qy, k) = (15.0, 100.0, 10)
-        val v = gt.currentVersion(tdir)
-          .getOrElse(throw new IllegalStateException(s"no table at $tdir"))
-        val files = gt.manifest(tdir, v).files
-        def bound(c: String) = (files.flatMap(_.stats.get(c).map(_._1)).min,
-          files.flatMap(_.stats.get(c).map(_._2)).max)
-        val (txLo, txHi) = bound("tx"); val (tyLo, tyHi) = bound("ty")
-        val dist2 = (col("x") - qx) * (col("x") - qx) + (col("y") - qy) * (col("y") - qy)
-        def candidates(r: Double) =
-          gt.scanWhereAll(s, tdir, Some(v), Seq(
-              ("tx", math.floor(qx - r).toLong, math.floor(qx + r).toLong),
-              ("ty", math.floor(qy - r).toLong, math.floor(qy + r).toLong)))
-            .filter(col("x").between(qx - r, qx + r) && col("y").between(qy - r, qy + r))
-            .select(col("user_id"), col("event_id"),
-              round(sqrt(dist2), 6).as("d"), sqrt(dist2).as("dx"))
-            .orderBy(col("d"), col("user_id"), col("event_id"))
-            .limit(k)
-        var r = 2.0
-        var out: org.apache.spark.sql.DataFrame = null
-        while (out == null) {
-          // once the box covers the table's whole COORDINATE domain the
-          // scan is the full corpus — terminate unconditionally. Tiles
-          // span [t, t+1), so coverage needs the box past txHi+1, not
-          // merely touching tile txHi (a point of that tile can sit at
-          // x up to txHi+0.999…, outside a box that only reaches the tile)
-          val full = qx - r <= txLo && qx + r >= txHi + 1 &&
-            qy - r <= tyLo && qy + r >= tyHi + 1
-          val got = candidates(r).collect() // ≤ k rows — bounded by construction
-          val certified = got.length >= k &&
-            got.map(_.getAs[Double]("dx")).max <= r - 1e-6
-          if (full || certified) {
-            // the ≤k collected rows ARE the answer, already ordered —
-            // rebuild the frame locally instead of re-running the pruned
-            // scan + sort a second time when the result is consumed
-            import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-            val sch = StructType(Seq(StructField("user_id", LongType),
-              StructField("event_id", LongType), StructField("d", DoubleType)))
-            out = s.createDataFrame(
-              got.toSeq.map(g => org.apache.spark.sql.Row(
-                g.getLong(g.fieldIndex("user_id")),
-                g.getLong(g.fieldIndex("event_id")),
-                g.getDouble(g.fieldIndex("d")))).asJava, sch)
-          }
-          else r *= 2
-        }
-        out
+        graft.operators.TrajectorySearch.pointKnnOverTable(
+          s, ptsTable(s, dir), qx = 15.0, qy = 100.0, k = 10)
     },
 
     // Spatial INGEST GATE — the trajectory-space member of the incremental
