@@ -789,6 +789,40 @@ object Sketches {
       .limit(k)
   }
 
+  /** FILTERED IVF ANN (v14): v13's metadata predicate composed into the
+    * IVF route — the approximate path for filtered search at 100 TB. The
+    * query routes to its `nprobe` nearest lists exactly like [[annIvfKnn]];
+    * WITHIN the probed lists, candidates are restricted to the predicate by
+    * a slim id semi-join BEFORE the exact cosine re-rank, so the shortlist
+    * fills with matching rows — post-filtering a global unfiltered
+    * shortlist under-fills whenever the filter is selective. At production
+    * scale the predicate columns live IN the assigned table (partitioned by
+    * list_id) and the semi-join becomes a pushed scan filter; here the slim
+    * (vec_id) frame stands in (AQE broadcasts it at this size). */
+  def annIvfKnnFiltered(s: SparkSession, dir: String, queryId: Long = 0L,
+                        k: Int = 10, nlist: Int = 16, nprobe: Int = 8,
+                        label: Int = 3): DataFrame = {
+    val index = buildIvfIndex(s, dir, nlist)
+    val qEmb = queryEmbedding(s, dir, queryId)
+    val qArr = qEmb.map(_.toDouble).toArray
+    val probeLists = index.centers.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qArr).map { case (x, y) => val t = x - y; t * t }.sum
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+    val keep = Tables.table(s, dir, "embeddings")
+      .filter(col("label") === label).select(col("vec_id"))
+    index.assigned
+      .filter(col("vec_id") =!= queryId && col("list_id").isInCollection(probeLists))
+      .join(keep, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("embedding"), typedLit(qEmb)) /
+          (sqrt(VectorOps.norm2Col("embedding")) * sqrt(typedLit(qEmb.map(x => x.toDouble * x.toDouble).sum))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch IVF ANN — top-k per query for a query-id SET, one job, with the
     * probe-list selection fully relational: queries × centroids is a
     * bounded (|q|·nlist) broadcast cross join ranked per query; candidates

@@ -112,6 +112,19 @@ object PipelineExtras {
       (s, dir) => Sketches.annIvfKnn(s, dir)
     },
 
+    // FILTERED ANN through the IVF route — v13's metadata predicate
+    // composed into p9's approximate path (the production filtered-search
+    // layout): route to nprobe lists, restrict candidates to the predicate
+    // INSIDE the probed lists (slim id semi-join before the exact re-rank
+    // — a post-filtered global shortlist under-fills under selective
+    // filters), exact cosine top-k of the survivors. Reuses the SAME
+    // build-once IVF artifact as p9/v9/d15. No oracle (seeded k-means);
+    // recall vs the exact v13 baseline, all-rows-match-predicate, and
+    // determinism tested in SketchesTest.
+    DeclaredQuery.noOracle("v14_filtered_ivf") {
+      (s, dir) => Sketches.annIvfKnnFiltered(s, dir)
+    },
+
     // IVF-PQ composite ANN (the faiss `IVFx,PQy` production layout): coarse
     // quantizer routes to nprobe lists, ADC scans only those lists' PQ
     // codes, exact cosine re-ranks the bounded shortlist. Reuses the SAME

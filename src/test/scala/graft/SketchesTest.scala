@@ -23,6 +23,24 @@ class SketchesTest extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("v14 filtered IVF: every row matches the predicate, recall >= 0.6 vs exact v13, deterministic") {
+    val dir = TestSpark.sf001
+    def run() = Sketches.annIvfKnnFiltered(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = run()
+    val label3 = Tables.table(spark, dir, "embeddings")
+      .filter($"label" === 3).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 10, "the filtered shortlist must FILL to k")
+    assert(got.forall(g => label3(g._1)),
+      "every returned candidate must satisfy the metadata predicate")
+    // recall vs the exact filtered baseline (v13's oracle-checked answer)
+    val exact = SparkEntry.queries("v13_filtered_knn")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.map(_._1).toSet).toDouble / exact.size
+    assert(recall >= 0.6, s"filtered-IVF recall $recall vs exact v13")
+    assert(run() == got, "filtered probe must be deterministic")
+  }
+
   test("v4 LSH all-pairs: planted near-dups found, precision 1, recall >= 0.8") {
     // fixture embeddings have no cos >= 0.9 pairs (max ~0.6), so plant them:
     // 20 base vectors each with a tiny-perturbation twin (cos ~ 1.0)
