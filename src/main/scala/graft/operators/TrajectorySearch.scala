@@ -70,17 +70,32 @@ object TrajectorySearch {
     * join projection and the streamed side repartitioned so the scan
     * parallelizes across all cores. Exposed for the plan-shape test. */
   def allPairsLb(ta0: DataFrame): DataFrame = {
-    graft.functions.SlicedBoxLb.register(ta0.sparkSession)
     val ta = ensureBoxes(ta0)
+    allPairsLbOf(ta, trajStats(ta))
+  }
+
+  private def allPairsLbOf(ta: DataFrame, st: TrajStats): DataFrame = {
+    graft.functions.SlicedBoxLb.register(ta.sparkSession)
     // explicit partition count: AQE would coalesce this ~50 KB shuffle to
     // ONE partition and serialize the whole quadratic scan; the join OUTPUT
     // is |users|² rows, so fan the streamed side to every core
     val sa = ta.select(col("user_id").as("u1"), col("boxes").as("boxes1"))
       .repartition(ta.sparkSession.sparkContext.defaultParallelism, col("u1"))
     val sb = ta.select(col("user_id").as("u2"), col("boxes").as("boxes2"))
-    sa.join(broadcast(sb), col("u1") < col("u2"))
+    // size-guarded hint: past the cap the slim frame no longer ships to
+    // every task — the non-equi scan plans as a partitioned cartesian
+    // instead of a forced driver-OOM broadcast (the SCALE route for big
+    // tables is allPairsTopKAuto's STR dispatch, not this flat scan)
+    sa.join(hinted(sb, st.estSlimBytes <= broadcastCap(ta.sparkSession)),
+        col("u1") < col("u2"))
       .select(col("u1"), col("u2"), slicedBoxLb("boxes1", "boxes2").as("lb"))
   }
+
+  /** `broadcast(df)` only while the size estimate fits [[broadcastCap]] —
+    * a hint overrides autoBroadcastJoinThreshold, so past the cap it is a
+    * driver OOM, not a plan (same guard as StrPartition.hinted). */
+  private def hinted(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
 
   /** The k smallest-distance pairs over ALL trajectory pairs (t2 surface),
     * bound-then-refine:
@@ -100,17 +115,22 @@ object TrajectorySearch {
   def allPairsTopK(ta0: DataFrame, k: Int, metric: String = "hausdorff",
                    seedFactor: Int = 3): DataFrame = {
     val ta = ensureBoxes(ta0)
+    val st = trajStats(ta)
+    val hintFat = st.estArrayBytes <= broadcastCap(ta.sparkSession)
     val fn = metricCol(metric, ta.sparkSession)
     val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
     val fat2 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
     val exact = round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6)
+    // fat coordinate arrays ride equi-joins on u1/u2: hinted while they
+    // fit the cap, plain shuffle equi-joins past it (the bounded pair list
+    // is the small side the planner then broadcasts on its own)
     def withArrays(pairs: DataFrame): DataFrame =
-      pairs.join(broadcast(fat1), "u1").join(broadcast(fat2), "u2")
+      pairs.join(hinted(fat1, hintFat), "u1").join(hinted(fat2, hintFat), "u2")
 
     // ONE pair scan: the 24-byte (u1, u2, lb) rows are materialized via
     // localCheckpoint and serve both the seed TakeOrdered and the refine
     // filter (the executor-storage copy is GC-cleaned with the plan).
-    val lbs = allPairsLb(ta).localCheckpoint()
+    val lbs = allPairsLbOf(ta, st).localCheckpoint()
 
     val seeds = withArrays(
       lbs.orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k))
@@ -135,6 +155,32 @@ object TrajectorySearch {
       .select(col("u1"), col("u2"), refine.as(metric))
       .orderBy(col(metric), col("u1"), col("u2"))
       .limit(k)
+  }
+
+  /** All-pairs regime predicate, mirror of [[chooseAutoPath]] for the t2
+    * surface: the flat bound scan ([[allPairsTopK]]) is right only while
+    * the pair space is small AND the slim boxes frame broadcasts — past
+    * [[TiledFlatKnee]] users (measured: tiled 5–6× ahead at ×10) or past
+    * the cap (the flat scan would degrade to a partitioned cartesian of
+    * the FULL pair space) the STR tile enumeration replaces the pair scan
+    * itself. */
+  private[graft] def allPairsUseTiled(st: TrajStats, cap: Long): Boolean =
+    st.users >= TiledFlatKnee || st.estSlimBytes > cap
+
+  /** Auto-dispatched all-pairs top-k (the t2 surface at any scale): flat
+    * bound-then-refine below the tiled knee, STR tile enumeration
+    * ([[StrPartition.allPairsTopKStr]], the t11 machinery) past it or
+    * whenever the slim bound frame outgrows [[broadcastCap]]. Identical
+    * results on both paths (asserted in StrPartitionTest). */
+  def allPairsTopKAuto(ta0: DataFrame, k: Int, metric: String = "hausdorff",
+                       seedFactor: Int = 3,
+                       cacheKey: Option[String] = None): DataFrame = {
+    val ta = ensureBoxes(ta0)
+    val st = trajStats(ta)
+    if (allPairsUseTiled(st, broadcastCap(ta.sparkSession)))
+      StrPartition.allPairsTopKStr(ta, k, metric, seedFactor = seedFactor,
+        cacheKey = cacheKey)
+    else allPairsTopK(ta, k, metric, seedFactor)
   }
 
   /** Reference-workload batch form of O15: top-k most similar trajectories
@@ -414,11 +460,30 @@ object TrajectorySearch {
       .orderBy(col("q_user"), col("dist"), col("user_id"))
   }
 
+  /** Conservative per-row bytes of the one-row-per-query r_q threshold
+    * frame (q_user + r + row overhead) for its broadcast-hint gate. */
+  private[graft] val RqRowBytes = 128L
+
   private def batchPrunedOf(ta: DataFrame, q0: DataFrame, k: Int,
                             metric: String, seedFactor: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.SlicedBoxLb.register(ta.sparkSession)
     val fn = metricCol(metric, ta.sparkSession)
+
+    // size-guard EVERY data-sized hint (the StrPartition.hinted pattern):
+    // in the knnJoin-Seeded self-join q0 IS the corpus, so `fat`/`qFat`/
+    // `qSlim` are corpus-sized — an unconditional hint would OOM every
+    // executor at 10⁸ trajectories. Past the cap the equi-joins on
+    // user_id/q_user plan as shuffle joins (the bounded seeds/survivor
+    // frames become the small sides the planner broadcasts on its own),
+    // and the non-equi bound pass runs partitioned instead of shipped.
+    val cap = broadcastCap(ta.sparkSession)
+    val taSt = trajStats(ta)
+    val qSt = if (q0 eq ta) taSt else trajStats(q0)
+    val hintFat = taSt.estArrayBytes <= cap
+    val hintQFat = qSt.estArrayBytes <= cap
+    val hintQSlim = qSt.estSlimBytes <= cap
+    val hintRq = qSt.users * RqRowBytes <= cap
 
     val qSlim = q0.select(col("user_id").as("q_user"), col("boxes").as("qboxes"))
     val qFat = q0.select(col("user_id").as("q_user"), col("xs").as("qxs"), col("ys").as("qys"))
@@ -427,7 +492,7 @@ object TrajectorySearch {
 
     // slim bound pass: (q_user, user_id, lb)
     val lbs = ta.select(col("user_id"), col("boxes"))
-      .join(broadcast(qSlim), col("user_id") =!= col("q_user"))
+      .join(hinted(qSlim, hintQSlim), col("user_id") =!= col("q_user"))
       .select(col("q_user"), col("user_id"), slicedBoxLb("boxes", "qboxes").as("lb"))
 
     // two-stage seed selection — the pre-pruning candidate set per query is
@@ -441,7 +506,7 @@ object TrajectorySearch {
     // max seed distance when a query has fewer than k candidates)
     val wSeed = Window.partitionBy(col("q_user")).orderBy(col("dist"), col("user_id"))
     val rq = seeds
-      .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+      .join(hinted(fat, hintFat), "user_id").join(hinted(qFat, hintQFat), "q_user")
       .select(col("q_user"), col("user_id"), exact.as("dist"))
       .withColumn("srn", row_number().over(wSeed))
       .filter(col("srn") <= k)
@@ -449,9 +514,9 @@ object TrajectorySearch {
 
     val refine = round(boundedMetricCol(metric, ta.sparkSession)(
       col("xs"), col("ys"), col("qxs"), col("qys"), col("r") + 1e-5), 6)
-    val refined = lbs.join(broadcast(rq), "q_user")
+    val refined = lbs.join(hinted(rq, hintRq), "q_user")
       .filter(col("lb") <= col("r") + 1e-6)
-      .join(broadcast(fat), "user_id").join(broadcast(qFat), "q_user")
+      .join(hinted(fat, hintFat), "user_id").join(hinted(qFat, hintQFat), "q_user")
       .select(col("q_user"), col("user_id"), refine.as("dist"))
     // survivors per query are bound-pruned but can still be large at scale —
     // final top-k is the same two-stage selection

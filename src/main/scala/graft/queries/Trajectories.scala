@@ -68,8 +68,11 @@ object Trajectories {
         // Bound-then-refine all-pairs search: the time-sliced MBR lower
         // bound sits in the join condition; the exact Hausdorff kernel runs
         // only on surviving pairs (~1/3 of the pair space on this fixture).
-        graft.operators.TrajectorySearch.allPairsTopK(
-          Tables.trajArrays(s, dir, "purchase"), 20, "hausdorff")
+        // Auto dispatch: past the tiled knee (or past the broadcast cap on
+        // the slim frame) the STR tile enumeration replaces the pair scan.
+        graft.operators.TrajectorySearch.allPairsTopKAuto(
+          Tables.trajArrays(s, dir, "purchase"), 20, "hausdorff",
+          cacheKey = Some(s"$dir#purchase"))
     },
 
     // Discrete Fréchet DP is not practically expressible in SQL — oracle-

@@ -283,4 +283,68 @@ class TrajectorySearchTest extends AnyFunSuite {
     val res = TrajectorySearch.allPairsTopK(ta, 5, "hausdorff").collect()
     assert(res.length == 5)
   }
+
+  /** Round-9 directive 1: the seeded batch search's corpus-sized frames
+    * (qSlim/fat/qFat — in the knnJoin-Seeded self-join they ARE the
+    * corpus) must not carry an unconditional broadcast hint. With the cap
+    * set tiny EVERY data-sized hint drops (zero ResolvedHints in the
+    * analyzed plan — the equi-joins on user_id/q_user fall to shuffle
+    * joins) and the answer is unchanged at both partitionings. */
+  test("seeded batch search drops ALL data-sized broadcast hints past the cap — result unchanged") {
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val ta = Tables.trajArrays(spark, TestSpark.sf0001)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val hintedQ = TrajectorySearch.topKBatchPruned(ta, qs, 10, "hausdorff")
+    assert(hintCount(hintedQ) > 0, "under the cap the hints apply")
+    val base = hintedQ.collect().map(_.toString).toSeq
+    val seededBase = TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+        path = TrajectorySearch.KnnPath.Seeded).collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.broadcastCapBytes", "0")
+    try {
+      val unhinted = TrajectorySearch.topKBatchPruned(ta, qs, 10, "hausdorff")
+      assert(hintCount(unhinted) == 0,
+        s"expected zero data-sized hints under a tiny cap, got ${hintCount(unhinted)}")
+      assert(unhinted.collect().map(_.toString).toSeq == base,
+        "guarded t9 plan must produce identical results")
+      val seeded = TrajectorySearch.knnJoin(ta, 3, "hausdorff",
+          path = TrajectorySearch.KnnPath.Seeded)
+      assert(hintCount(seeded) == 0, "knnJoin-Seeded must be guarded too")
+      assert(seeded.collect().map(_.toString).toSeq == seededBase)
+      // a different input partitioning must not change the guarded answer
+      val repart = TrajectorySearch
+        .topKBatchPruned(ta.repartition(7), qs, 10, "hausdorff")
+        .collect().map(_.toString).toSeq
+      assert(repart == base)
+    } finally spark.conf.unset("spark.graft.broadcastCapBytes")
+  }
+
+  /** Round-9 directive 3: t2's all-pairs search gains the same measured
+    * dispatch as knnJoin — flat bound scan only while the table is below
+    * the tiled knee AND the slim frame broadcasts; else the STR tile
+    * enumeration replaces the pair scan itself. */
+  test("allPairsTopKAuto dispatches flat below the knee, tiled past it or past the cap — same answer") {
+    val ta = Tables.trajArrays(spark, TestSpark.sf001)
+    val st = TrajectorySearch.trajStats(ta)
+    val cap = TrajectorySearch.BruteBroadcastMaxBytes
+    assert(!TrajectorySearch.allPairsUseTiled(st, cap),
+      "the sf0.01 fixture stays on the flat path")
+    assert(TrajectorySearch.allPairsUseTiled(
+      TrajectorySearch.TrajStats(TrajectorySearch.TiledFlatKnee, 13.0), cap),
+      "knee-sized table → tiled regardless of broadcastability")
+    assert(TrajectorySearch.allPairsUseTiled(st, 0L),
+      "slim frame past the cap → tiled (never a forced broadcast)")
+    val flat = TrajectorySearch.allPairsTopK(ta, 10, "hausdorff")
+      .collect().map(_.toString).toSeq
+    assert(TrajectorySearch.allPairsTopKAuto(ta, 10, "hausdorff")
+      .collect().map(_.toString).toSeq == flat, "auto flat route")
+    spark.conf.set("spark.graft.broadcastCapBytes", "0")
+    try
+      assert(TrajectorySearch.allPairsTopKAuto(ta, 10, "hausdorff")
+        .collect().map(_.toString).toSeq == flat,
+        "auto tiled route under a tiny cap must return the flat answer")
+    finally spark.conf.unset("spark.graft.broadcastCapBytes")
+  }
 }
