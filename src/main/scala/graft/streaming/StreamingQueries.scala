@@ -580,183 +580,315 @@ object StreamingQueries {
       }
   }
 
-  final case class AsofRow(user_id: Long, n_after_err: Long, sum_us: Long)
+  final case class AsofRow(user_id: Long, n_after_err: Long, sum_us: Long,
+                           buf_rows: Long)
 
-  /** Buffered per-user event log for [[asofLastErrorCustom]]. The as-of
-    * running MAX is order-sensitive: a late-arriving error re-assigns
-    * `last_err` for every later event, so events stay buffered and the
-    * snapshot recomputes from the sorted log. Production bounds this with a
-    * watermark: once no event older than t can arrive, the prefix ≤ t
-    * collapses into (last_err, count, sum) scalars and the buffer drops. */
-  final case class AsofState(events: List[(Long, Long, Boolean)])
+  /** Watermark-bounded per-user state for [[asofLastErrorCustom]]. The
+    * as-of running MAX is order-sensitive — a late-arriving error
+    * re-assigns `last_err` for every later event — so only the suffix the
+    * watermark has NOT passed stays buffered (`buf`, kept SORTED by the
+    * tie-free (ts_us, event_id); each batch merges its sorted delta in
+    * linearly — never a full re-sort). Once no event older than the
+    * watermark can arrive, the finalized prefix collapses into the
+    * (lastErr, n, sum) scalars and its rows drop: state is O(events inside
+    * the watermark delay), not O(stream life). Events below the collapsed
+    * boundary (beyond the lateness guarantee) are dropped, the standard
+    * watermark contract. */
+  final case class AsofState(upToUs: Long, lastErr: Long, n: Long, sum: Long,
+                             buf: List[(Long, Long, Boolean)])
 
   /** w6 counterpart: as-of "time since last error" enrichment as explicit
     * per-user state (flatMapGroupsWithState, Update mode). Each micro-batch
-    * appends, re-sorts by the tie-free (ts_us, event_id), and emits the
-    * user's current (count, Σ ts−last_err) snapshot in EXACT integer µs;
-    * the LAST snapshot per user equals batch w6, any arrival order. */
-  def asofLastErrorCustom(events: DataFrame): Dataset[AsofRow] = {
+    * merges its sorted delta into the buffered suffix, collapses the
+    * watermark-finalized prefix into scalars, and emits the user's current
+    * (count, Σ ts−last_err) snapshot in EXACT integer µs (scalars + one
+    * pass over the bounded suffix); the LAST snapshot per user equals
+    * batch w6 for any arrival order within `delay`. */
+  def asofLastErrorCustom(events: DataFrame,
+                          delay: String = "24 hours"): Dataset[AsofRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ev_time", delay)
+      // ev_time must survive the projection so the watermark reaches the
+      // stateful operator (getCurrentWatermarkMs requires it)
       .select(col("user_id"), col("ts_us"), col("event_id"),
-        (col("event_type") === "error").as("is_err"))
-      .as[(Long, Long, Long, Boolean)]
+        (col("event_type") === "error").as("is_err"), col("ev_time"))
+      .as[(Long, Long, Long, Boolean, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AsofState, AsofRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long, Long, Boolean)], state: GroupState[AsofState]) =>
-          var evs = state.getOption.map(_.events).getOrElse(Nil)
-          it.foreach { case (_, ts, eid, err) => evs = (ts, eid, err) :: evs }
-          state.update(AsofState(evs))
-          var lastErr = Long.MinValue
-          var n = 0L
-          var sum = 0L
-          evs.sortBy(e => (e._1, e._2)).foreach { case (ts, _, err) =>
+        (user: Long, it: Iterator[(Long, Long, Long, Boolean, java.sql.Timestamp)],
+         state: GroupState[AsofState]) =>
+          val s0 = state.getOption.getOrElse(
+            AsofState(Long.MinValue, Long.MinValue, 0L, 0L, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // sorted delta (tie-free), dropping rows beyond the guarantee
+          val delta = it.map(e => (e._2, e._3, e._4)).toArray
+            .filter(e => s0.upToUs == Long.MinValue || e._1 >= s0.upToUs)
+            .sortBy(e => (e._1, e._2))
+          // linear merge of two sorted runs
+          val merged = {
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Boolean)]
+            var (a, b) = (s0.buf, delta.toList)
+            while (a.nonEmpty && b.nonEmpty) {
+              val (ha, hb) = (a.head, b.head)
+              if (ha._1 < hb._1 || (ha._1 == hb._1 && ha._2 <= hb._2)) {
+                out += ha; a = a.tail
+              } else { out += hb; b = b.tail }
+            }
+            out ++= a; out ++= b
+            out.toList
+          }
+          // collapse the watermark-finalized prefix (strictly below wm —
+          // rows AT the watermark may still legally arrive) into scalars
+          val (fin, keep) = merged.span(_._1 < wmUs)
+          var (lastErr, n, sum) = (s0.lastErr, s0.n, s0.sum)
+          fin.foreach { case (ts, _, err) =>
             if (err) lastErr = ts
             if (lastErr != Long.MinValue) { n += 1; sum += ts - lastErr }
           }
-          if (n == 0) Iterator.empty
-          else Iterator.single(AsofRow(user, n, sum))
+          state.update(AsofState(math.max(s0.upToUs, wmUs), lastErr, n, sum, keep))
+          // snapshot = collapsed scalars + one pass over the bounded suffix
+          var (le, nn, ss) = (lastErr, n, sum)
+          keep.foreach { case (ts, _, err) =>
+            if (err) le = ts
+            if (le != Long.MinValue) { nn += 1; ss += ts - le }
+          }
+          if (nn == 0) Iterator.empty
+          else Iterator.single(AsofRow(user, nn, ss, keep.length.toLong))
       }
   }
 
   final case class AnomalyRow(event_type: String, hr: Long, n: Long, trail_sum: Long)
 
-  /** Per-type hourly count buffer for [[rateAnomalyCustom]]. Hour counts
-    * must stay buffered (not just a trailing deque): a late-arriving event
-    * for an old hour changes that hour's count and can flip anomaly
-    * verdicts downstream of it. State is one entry per OBSERVED (type,
-    * hour) — production would evict hours the watermark has passed beyond
-    * the 24-hour lookback, capping state at ~25 entries per type. */
-  final case class RateState(counts: Map[Long, Long])
+  /** Watermark-bounded per-type state for [[rateAnomalyCustom]]: hourly
+    * counts retained ONLY for (a) hours the watermark has not yet
+    * finalized (they can still change — a late event within the delay
+    * flips verdicts downstream of it) and (b) the trailing 24 OBSERVED
+    * hours below `finalHr`, the lookback context every not-yet-final hour
+    * needs. Everything older is evicted after its FINAL verdict is
+    * emitted: state is ≤ 24 + O(delay-window hours) entries per type, not
+    * O(stream life). */
+  final case class RateState(finalHr: Long, counts: Map[Long, Long])
 
   /** e11 counterpart: trailing-24-observed-hours 3σ rate anomaly as
-    * explicit per-type state (flatMapGroupsWithState, Update mode). Each
-    * micro-batch merges the batch's (hour → count) deltas and re-emits the
-    * type's CURRENT anomaly snapshot (plus an hr = −1 sentinel so every
-    * batch produces a snapshot even when it is empty); the LAST snapshot
-    * per type equals batch e11 exactly — same all-integer
-    * (24n−S)² > 9(24Q−S²) test, any arrival order. */
-  def rateAnomalyCustom(events: DataFrame): Dataset[AnomalyRow] = {
+    * explicit per-type state (flatMapGroupsWithState), redesigned round 10
+    * from an unbounded re-emit-everything snapshot to the production
+    * FINALIZE-ON-WATERMARK contract: a verdict row is emitted exactly once,
+    * when the watermark passes its hour (same all-integer
+    * (24n−S)² > 9(24Q−S²) test over the 24 preceding OBSERVED hours);
+    * downstream appends. An event-time timeout re-arms each batch so types
+    * silent in a micro-batch still finalize as the watermark advances. The
+    * hr = −1 sentinel per invocation carries (retained-entry count,
+    * finalHr) for state-bound observability. Union of emitted verdicts
+    * equals batch e11 for any arrival order within `delay` once the
+    * watermark passes the data (StreamingEquivalenceTest flushes with a
+    * far-future sentinel event). */
+  def rateAnomalyCustom(events: DataFrame,
+                        delay: String = "24 hours"): Dataset[AnomalyRow] = {
     val spark = events.sparkSession
     import spark.implicits._
+
+    def finalize(typ: String, state: GroupState[RateState],
+                 deltas: Iterator[Long]): Iterator[AnomalyRow] = {
+      val s0 = state.getOption.getOrElse(RateState(Long.MinValue, Map.empty))
+      val wmHour = state.getCurrentWatermarkMs() * 1000L / 3600000000L
+      var counts = s0.counts
+      deltas.foreach { hr =>
+        // rows below finalHr are beyond the lateness guarantee — dropped
+        if (s0.finalHr == Long.MinValue || hr >= s0.finalHr)
+          counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L)
+      }
+      val hours = counts.toArray.sortBy(_._1)
+      val from = if (s0.finalHr == Long.MinValue) wmHour else s0.finalHr
+      val out = scala.collection.mutable.ListBuffer.empty[AnomalyRow]
+      var i = 24
+      while (i < hours.length) {
+        val (hr, n) = hours(i)
+        // emit each verdict exactly once: in the batch whose watermark
+        // finalizes its hour (hours < wmHour can receive no more events)
+        if (hr >= from && hr < wmHour) {
+          var s = 0L; var q = BigInt(0)
+          var j = i - 24
+          // accumulate the squares in BigInt — c*c in Long wraps once a
+          // per-hour count passes ~3·10⁹; the batch form computes these
+          // in decimal(38,0) for the same reason
+          while (j < i) { val c = hours(j)._2; s += c; q += BigInt(c) * BigInt(c); j += 1 }
+          val d = BigInt(24L * n - s)
+          if (d > 0 && d * d > BigInt(9) * (BigInt(24) * q - BigInt(s) * BigInt(s)))
+            out += AnomalyRow(typ, hr, n, s)
+        }
+        i += 1
+      }
+      // evict: keep unfinalized hours (≥ wmHour... they sort above) plus
+      // the trailing 24 OBSERVED hours below the new finalization frontier
+      val newFinal = math.max(wmHour, if (s0.finalHr == Long.MinValue) wmHour else s0.finalHr)
+      val (below, above) = hours.partition(_._1 < newFinal)
+      val kept = (below.takeRight(24) ++ above).toMap
+      state.update(RateState(newFinal, kept))
+      // re-arm: fire again once the watermark moves, even with no new data
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      // sentinel: observability row carrying the retained-entry count
+      out.prepend(AnomalyRow(typ, -1L, kept.size.toLong, newFinal))
+      out.iterator
+    }
+
     events
-      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
-      .as[(String, Long)]
+      .withWatermark("ev_time", delay)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"), col("ev_time"))
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RateState, AnomalyRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (typ: String, it: Iterator[(String, Long)], state: GroupState[RateState]) =>
-          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
-          it.foreach { case (_, hr) => counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L) }
-          state.update(RateState(counts))
-          val hours = counts.toArray.sortBy(_._1)
-          val out = scala.collection.mutable.ListBuffer(AnomalyRow(typ, -1L, 0L, 0L))
-          var i = 24
-          while (i < hours.length) {
-            val (hr, n) = hours(i)
-            var s = 0L; var q = BigInt(0)
-            var j = i - 24
-            // accumulate the squares in BigInt — c*c in Long wraps once a
-            // per-hour count passes ~3·10⁹; the batch form computes these
-            // in decimal(38,0) for the same reason
-            while (j < i) { val c = hours(j)._2; s += c; q += BigInt(c) * BigInt(c); j += 1 }
-            val d = BigInt(24L * n - s)
-            if (d > 0 && d * d > BigInt(9) * (BigInt(24) * q - BigInt(s) * BigInt(s)))
-              out += AnomalyRow(typ, hr, n, s)
-            i += 1
-          }
-          out.iterator
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[RateState]) =>
+          if (state.hasTimedOut) finalize(typ, state, Iterator.empty)
+          else finalize(typ, state, it.map(_._2))
       }
   }
 
   final case class GapFillRow(event_type: String, n_hours: Long, n_events: Long,
-                              silent_hours: Long, longest_silence: Long)
+                              silent_hours: Long, longest_silence: Long,
+                              state_hours: Long)
   final case class LocfRow(event_type: String, n_hours: Long, carried_hours: Long,
-                           locf_checksum: Long)
+                           locf_checksum: Long, state_hours: Long)
 
-  /** Per-type hourly count buffer shared by the resample twins
-    * ([[gapFillCustom]], [[locfCustom]]): one entry per OBSERVED (type,
-    * hour), exactly like [[RateState]] — a late event for an old hour can
-    * flip that hour from silent to active, so observed hours stay exact.
-    * Unlike e11's trailing window, the resample stats are LEFT FOLDS over
-    * the hour axis, so production state is bounded by watermark COLLAPSE
-    * rather than eviction: once no event older than hour w can arrive, the
-    * prefix ≤ w folds into scalars (first hour, last active hour + its
-    * count, events/silent/longest-streak so far) and the per-hour entries
-    * before w drop — state is then O(unflushed hours), not O(history). The
-    * test twin keeps the full buffer (fixtures span ~hundreds of hours). */
-  final case class HourState(counts: Map[Long, Long])
+  /** Watermark-collapsed per-type state shared by the resample twins
+    * ([[gapFillCustom]], [[locfCustom]]). The resample stats are LEFT
+    * FOLDS over the dense hour axis, so once no event older than the
+    * watermark hour can arrive, the finalized prefix [h0, upTo) folds into
+    * the `pre` scalars (first hour, events/silent/longest-streak/LOCF
+    * carry so far, plus the trailing silent-run / carry value at the
+    * boundary) and its per-hour entries DROP — `counts` holds only
+    * observed hours ≥ upTo: state and per-batch snapshot cost are
+    * O(delay-window hours), not O(stream life). The collapse never runs
+    * past the max OBSERVED hour: silent hours between the last event and
+    * the watermark enter the grid only if a later event extends the span,
+    * exactly like the batch min..max grid. Events below `upTo` (beyond
+    * the lateness guarantee) are dropped, the standard watermark
+    * contract. */
+  final case class HourState(h0: Long, upTo: Long,
+                             nEvents: Long, silent: Long, longest: Long,
+                             streak: Long, carried: Long, checksum: Long,
+                             locf: Long, counts: Map[Long, Long])
 
-  private def mergedHourCounts(it: Iterator[(String, Long)],
-                               state: GroupState[HourState]): Array[(Long, Long)] = {
-    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
-    it.foreach { case (_, hr) => counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L) }
-    state.update(HourState(counts))
-    counts.toArray.sortBy(_._1)
+  private val emptyHourState =
+    HourState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, Map.empty)
+
+  /** Merge the batch's hour deltas, collapse the watermark-finalized
+    * prefix into the fold scalars, and return the updated state — the
+    * shared engine of both resample twins. */
+  private def collapseHours(it: Iterator[(String, Long, java.sql.Timestamp)],
+                            state: GroupState[HourState]): HourState = {
+    val s0 = state.getOption.getOrElse(emptyHourState)
+    val wmHour = state.getCurrentWatermarkMs() * 1000L / 3600000000L
+    var counts = s0.counts
+    it.foreach { case (_, hr, _) =>
+      if (s0.upTo == Long.MinValue || hr >= s0.upTo)
+        counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L)
+    }
+    if (counts.isEmpty && s0.h0 == Long.MinValue) { state.update(s0); return s0 }
+    val h0 = if (s0.h0 == Long.MinValue) counts.keys.min else s0.h0
+    val maxObs = if (counts.isEmpty) s0.upTo - 1 else math.max(counts.keys.max, s0.upTo - 1)
+    // fold the dense grid from the old boundary up to (but excluding) the
+    // collapse target — capped at maxObs + 1 so unobserved tail hours stay
+    // out of the fold until an event proves they belong to the span
+    val target = math.min(wmHour, maxObs + 1)
+    var (nEvents, silent, longest, streak) = (s0.nEvents, s0.silent, s0.longest, s0.streak)
+    var (carried, checksum, locf) = (s0.carried, s0.checksum, s0.locf)
+    var hr = if (s0.upTo == Long.MinValue) h0 else s0.upTo
+    val upTo = math.max(hr, target)
+    while (hr < target) {
+      val n = counts.getOrElse(hr, 0L)
+      nEvents += n
+      if (n == 0) { silent += 1; streak += 1; if (streak > longest) longest = streak }
+      else streak = 0
+      if (n > 0) locf = n else if (locf > 0) carried += 1
+      checksum += locf
+      hr += 1
+    }
+    val s1 = HourState(h0, upTo, nEvents, silent, longest, streak, carried,
+      checksum, locf, counts.filter(_._1 >= upTo))
+    state.update(s1)
+    s1
   }
 
   /** e13 counterpart: dense-grid gap-fill/resample as explicit per-type
     * state (flatMapGroupsWithState, Update mode). Each micro-batch merges
-    * the hour-count deltas and re-emits the type's CURRENT full-span
-    * snapshot (hours, events, silent hours, longest silent streak over the
-    * zero-filled min..max grid); the LAST snapshot per type equals batch
-    * e13 exactly, any arrival order — a type's state only changes on its
-    * own events, so the last batch containing the type emits the complete
+    * the hour-count deltas, collapses the watermark-finalized prefix into
+    * scalars, and re-emits the type's CURRENT full-span snapshot (hours,
+    * events, silent hours, longest silent streak over the zero-filled
+    * min..max grid — computed as scalars + a walk over the bounded
+    * suffix); the LAST snapshot per type equals batch e13 exactly for any
+    * arrival order within `delay` — a type's state only changes on its own
+    * events, so the last batch containing the type emits the complete
     * answer. */
-  def gapFillCustom(events: DataFrame): Dataset[GapFillRow] = {
+  def gapFillCustom(events: DataFrame,
+                    delay: String = "24 hours"): Dataset[GapFillRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
-      .as[(String, Long)]
+      .withWatermark("ev_time", delay)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"), col("ev_time"))
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[HourState, GapFillRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (typ: String, it: Iterator[(String, Long)], state: GroupState[HourState]) =>
-          val hours = mergedHourCounts(it, state)
-          val byHr = hours.toMap
-          val (h0, h1) = (hours.head._1, hours.last._1)
-          var nEvents = 0L; var silent = 0L; var longest = 0L; var streak = 0L
-          var hr = h0
-          while (hr <= h1) {
-            val n = byHr.getOrElse(hr, 0L)
-            nEvents += n
-            if (n == 0) { silent += 1; streak += 1; if (streak > longest) longest = streak }
-            else streak = 0
-            hr += 1
+        (typ: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[HourState]) =>
+          val s = collapseHours(it, state)
+          if (s.h0 == Long.MinValue) Iterator.empty
+          else {
+            val h1 = if (s.counts.isEmpty) s.upTo - 1 else s.counts.keys.max
+            var (nEvents, silent, longest, streak) = (s.nEvents, s.silent, s.longest, s.streak)
+            var hr = s.upTo
+            while (hr <= h1) {
+              val n = s.counts.getOrElse(hr, 0L)
+              nEvents += n
+              if (n == 0) { silent += 1; streak += 1; if (streak > longest) longest = streak }
+              else streak = 0
+              hr += 1
+            }
+            Iterator.single(GapFillRow(typ, h1 - s.h0 + 1, nEvents, silent,
+              longest, s.counts.size.toLong))
           }
-          Iterator.single(GapFillRow(typ, h1 - h0 + 1, nEvents, silent, longest))
       }
   }
 
   /** w10 counterpart: LOCF resample as explicit per-type state — silent
     * grid hours inherit the last active hour's count; emits the running
-    * (hours, carried hours, exact integer LOCF checksum) snapshot. LAST
-    * snapshot per type equals batch w10, any arrival order. */
-  def locfCustom(events: DataFrame): Dataset[LocfRow] = {
+    * (hours, carried hours, exact integer LOCF checksum) snapshot from the
+    * collapsed scalars + the bounded suffix. LAST snapshot per type equals
+    * batch w10 for any arrival order within `delay`. */
+  def locfCustom(events: DataFrame,
+                 delay: String = "24 hours"): Dataset[LocfRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
-      .as[(String, Long)]
+      .withWatermark("ev_time", delay)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"), col("ev_time"))
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[HourState, LocfRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (typ: String, it: Iterator[(String, Long)], state: GroupState[HourState]) =>
-          val hours = mergedHourCounts(it, state)
-          val byHr = hours.toMap
-          val (h0, h1) = (hours.head._1, hours.last._1)
-          var carried = 0L; var checksum = 0L; var locf = 0L
-          var hr = h0
-          while (hr <= h1) {
-            val n = byHr.getOrElse(hr, 0L)
-            if (n > 0) locf = n else if (locf > 0) carried += 1
-            checksum += locf
-            hr += 1
+        (typ: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[HourState]) =>
+          val s = collapseHours(it, state)
+          if (s.h0 == Long.MinValue) Iterator.empty
+          else {
+            val h1 = if (s.counts.isEmpty) s.upTo - 1 else s.counts.keys.max
+            var (carried, checksum, locf) = (s.carried, s.checksum, s.locf)
+            var hr = s.upTo
+            while (hr <= h1) {
+              val n = s.counts.getOrElse(hr, 0L)
+              if (n > 0) locf = n else if (locf > 0) carried += 1
+              checksum += locf
+              hr += 1
+            }
+            Iterator.single(LocfRow(typ, h1 - s.h0 + 1, carried, checksum,
+              s.counts.size.toLong))
           }
-          Iterator.single(LocfRow(typ, h1 - h0 + 1, carried, checksum))
       }
   }
 }

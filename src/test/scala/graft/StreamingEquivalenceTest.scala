@@ -695,21 +695,40 @@ class StreamingEquivalenceTest extends AnyFunSuite {
   }
 
   test("e11 streaming rate anomaly (flatMapGroupsWithState) == batch") {
-    // Update mode: each micro-batch re-emits the type's full anomaly
-    // snapshot (hr = -1 sentinel keeps empty snapshots observable); the
-    // LAST snapshot per type must equal the batch query.
-    val acc = mutable.ArrayBuffer.empty[(Long, (String, Long, Long, Long))]
-    val q = StreamingQueries.rateAnomalyCustom(StreamingQueries.eventsStream(spark, replayDir))
+    // Round-10 finalize-on-watermark contract: each verdict row is emitted
+    // exactly ONCE, in the batch whose watermark passes its hour (state
+    // retains only the unfinalized window + 24-observed-hour lookback);
+    // downstream appends. Flush with a far-future sentinel event so every
+    // hour finalizes, then the union of emitted verdicts must equal batch.
+    val dir = Files.createTempDirectory("graft-stream-e11")
+    val srcs = Files.list(Paths.get(replayDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    srcs.zipWithIndex.foreach { case (p, i) =>
+      val dst = Files.copy(p, dir.resolve(p.getFileName))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val maxTs = Tables.table(spark, TestSpark.sf0001, "events")
+      .agg(max($"ts")).as[Long].head()
+    val sentinel = Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = Files.createTempDirectory("graft-sentinel-e11")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    Files.move(part, dir.resolve("batch99.parquet"))
+
+    val acc = mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    val q = StreamingQueries.rateAnomalyCustom(StreamingQueries.eventsStream(spark, dir.toString))
       .writeStream.outputMode("update")
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.AnomalyRow], bid: Long) =>
-        df.collect().foreach(r => acc += ((bid, (r.event_type, r.hr, r.n, r.trail_sum))))
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.AnomalyRow], _: Long) =>
+        df.collect().foreach(r => acc += ((r.event_type, r.hr, r.n, r.trail_sum)))
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val got = acc.groupBy(_._2._1).toSeq.flatMap { case (_, snaps) =>
-      val last = snaps.map(_._1).max
-      snaps.filter(s => s._1 == last && s._2._2 >= 0).map(_._2)
-    }.sortBy(r => (r._1, r._2))
+    val verdicts = acc.filter(r => r._2 >= 0 && r._1 != "sentinel")
+    // exactly-once emission: a (type, hr) verdict never repeats
+    assert(verdicts.map(r => (r._1, r._2)).distinct.size == verdicts.size,
+      "finalized verdicts must be emitted exactly once")
+    val got = verdicts.sortBy(r => (r._1, r._2)).toSeq
     val want = SparkEntry.queries("e11_rate_anomaly")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == want)
@@ -845,6 +864,158 @@ class StreamingEquivalenceTest extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
     assert(got == want)
+  }
+
+  /** Round-9 directive 2: the custom twins' state must be BOUNDED by the
+    * watermark, not linear in stream life. A 30-batch ordered replay (2 h
+    * of event time per batch, late rows inside the 2 h delay) must end
+    * with per-key state no bigger than the delay window — asserted via the
+    * state-size field each snapshot carries — while the answers stay EXACT
+    * (compared against a direct fold over the full history). */
+  test("custom twins bound their state under a long watermark replay — answers stay exact") {
+    val rnd = new scala.util.Random(41)
+    val t0 = 1700000000000000L // µs epoch base
+    val hourUs = 3600000000L
+    // 30 batches × 2 event-time hours; ~16 events per batch over 2 types,
+    // 3 users; from batch 1 on, 3 LATE rows reach back into the previous
+    // hour (inside the 2 h delay — the watermark contract holds)
+    val batches: Seq[Seq[(Long, Long, Long, String)]] = (0 until 30).map { b =>
+      val base = t0 + b.toLong * 2 * hourUs
+      val fresh = (0 until 16).map { i =>
+        val ts = base + rnd.nextInt(2 * 3600).toLong * 1000000L
+        (b.toLong * 100 + i, ts, (i % 3).toLong, if (i % 2 == 0) "view" else "error")
+      }
+      val late = if (b == 0) Seq.empty else (0 until 3).map { i =>
+        val ts = base - (1 + rnd.nextInt(3599)).toLong * 1000000L
+        (b.toLong * 100 + 90 + i, ts, (i % 3).toLong, "view")
+      }
+      fresh ++ late
+    }
+    val flushTs = t0 + 1000L * hourUs // far future: finalizes every hour
+    val dir = Files.createTempDirectory("graft-stream-bounded")
+    (batches.zipWithIndex :+ (Seq((99999L, flushTs, -1L, "sentinel")), 30))
+      .foreach { case (rows, b) =>
+        val df = rows.map { case (eid, tsUs, u, typ) =>
+          (eid, tsUs * 1000L, u, typ, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val tmp = Files.createTempDirectory("graft-bounded-slice")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+        Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+        Files.setLastModifiedTime(dir.resolve(f"batch$b%02d.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 120000 + b * 1000))
+      }
+    val all = batches.flatten
+    val delay = "2 hours"
+
+    // --- w6 twin: buffered suffix must collapse to the delay window
+    val asofAcc = mutable.ArrayBuffer.empty[(Long, (Long, Long, Long, Long))]
+    val q1 = StreamingQueries.asofLastErrorCustom(
+        StreamingQueries.eventsStream(spark, dir.toString), delay)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.AsofRow], bid: Long) =>
+        df.collect().foreach(r => asofAcc += ((bid, (r.user_id, r.n_after_err, r.sum_us, r.buf_rows))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val asofGot = asofAcc.groupBy(_._2._1).map { case (_, snaps) => snaps.maxBy(_._1)._2 }
+      .toSeq.sortBy(_._1)
+    val asofWant = all.groupBy(_._3).map { case (u, evs) =>
+      var lastErr = Long.MinValue; var n = 0L; var sum = 0L
+      evs.sortBy(e => (e._2, e._1)).foreach { case (_, ts, _, typ) =>
+        if (typ == "error") lastErr = ts
+        if (lastErr != Long.MinValue) { n += 1; sum += ts - lastErr }
+      }
+      (u, n, sum)
+    }.toSeq.sortBy(_._1)
+    assert(asofGot.map(r => (r._1, r._2, r._3)) == asofWant,
+      "collapsed as-of snapshots must equal the full-history fold")
+    val perUser = all.size / 3
+    asofGot.foreach { case (u, _, _, buf) =>
+      assert(buf <= 40,
+        s"user $u buffered $buf rows (history $perUser) — prefix-collapse did not fire")
+    }
+
+    // --- e11 twin: retained hours ≤ 24-lookback + delay window, verdicts exact
+    val rateAcc = mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    val q2 = StreamingQueries.rateAnomalyCustom(
+        StreamingQueries.eventsStream(spark, dir.toString), delay)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.AnomalyRow], _: Long) =>
+        df.collect().foreach(r => rateAcc += ((r.event_type, r.hr, r.n, r.trail_sum)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    rateAcc.filter(_._2 == -1L).foreach { case (typ, _, kept, _) =>
+      assert(kept <= 30, s"type $typ retained $kept hour entries (60h history) — eviction did not fire")
+    }
+    val rateGot = rateAcc.filter(r => r._2 >= 0 && r._1 != "sentinel").sortBy(r => (r._1, r._2)).toSeq
+    assert(rateGot.map(r => (r._1, r._2)).distinct.size == rateGot.size, "exactly-once verdicts")
+    val rateWant = all.groupBy(e => (e._4, e._2 / hourUs)).view.mapValues(_.size.toLong).toMap
+      .groupBy(_._1._1).toSeq.flatMap { case (typ, m) =>
+        val hours = m.map { case ((_, hr), n) => (hr, n) }.toArray.sortBy(_._1)
+        (24 until hours.length).flatMap { i =>
+          val (hr, n) = hours(i)
+          val win = hours.slice(i - 24, i)
+          val s = win.map(_._2).sum
+          val qq = win.map(c => BigInt(c._2) * BigInt(c._2)).sum
+          val d = BigInt(24L * n - s)
+          if (d > 0 && d * d > BigInt(9) * (BigInt(24) * qq - BigInt(s) * BigInt(s)))
+            Some((typ, hr, n, s))
+          else None
+        }
+      }.sortBy(r => (r._1, r._2))
+    assert(rateGot == rateWant, "finalized verdicts must equal the full-history e11 fold")
+
+    // --- e13/w10 twins: retained hour entries ≤ delay window, folds exact
+    val gapAcc = mutable.ArrayBuffer.empty[(Long, (String, Long, Long, Long, Long, Long))]
+    val q3 = StreamingQueries.gapFillCustom(
+        StreamingQueries.eventsStream(spark, dir.toString), delay)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.GapFillRow], bid: Long) =>
+        df.collect().foreach(r =>
+          gapAcc += ((bid, (r.event_type, r.n_hours, r.n_events, r.silent_hours,
+            r.longest_silence, r.state_hours))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val locfAcc = mutable.ArrayBuffer.empty[(Long, (String, Long, Long, Long, Long))]
+    val q4 = StreamingQueries.locfCustom(
+        StreamingQueries.eventsStream(spark, dir.toString), delay)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.LocfRow], bid: Long) =>
+        df.collect().foreach(r =>
+          locfAcc += ((bid, (r.event_type, r.n_hours, r.carried_hours, r.locf_checksum,
+            r.state_hours))))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    def denseFold(typ: String): (Long, Long, Long, Long, Long, Long) = {
+      val counts = all.filter(_._4 == typ).groupBy(_._2 / hourUs)
+        .view.mapValues(_.size.toLong).toMap
+      val (h0, h1) = (counts.keys.min, counts.keys.max)
+      var nEvents = 0L; var silent = 0L; var longest = 0L; var streak = 0L
+      var carried = 0L; var checksum = 0L; var locf = 0L
+      (h0 to h1).foreach { hr =>
+        val n = counts.getOrElse(hr, 0L)
+        nEvents += n
+        if (n == 0) { silent += 1; streak += 1; if (streak > longest) longest = streak }
+        else streak = 0
+        if (n > 0) locf = n else if (locf > 0) carried += 1
+        checksum += locf
+      }
+      (h1 - h0 + 1, nEvents, silent, longest, carried, checksum)
+    }
+    for (typ <- Seq("view", "error")) {
+      val g = gapAcc.filter(_._2._1 == typ).maxBy(_._1)._2
+      val l = locfAcc.filter(_._2._1 == typ).maxBy(_._1)._2
+      val (nh, ne, si, lo, ca, ck) = denseFold(typ)
+      assert((g._2, g._3, g._4, g._5) == ((nh, ne, si, lo)), s"gapFill $typ")
+      assert((l._2, l._3, l._4) == ((nh, ca, ck)), s"locf $typ")
+      assert(g._6 <= 8, s"gapFill $typ retained ${g._6} hour entries — collapse did not fire")
+      assert(l._5 <= 8, s"locf $typ retained ${l._5} hour entries — collapse did not fire")
+    }
   }
 
   test("w10 streaming LOCF resample (flatMapGroupsWithState) == batch") {
