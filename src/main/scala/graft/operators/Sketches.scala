@@ -526,17 +526,48 @@ object Sketches {
     * routing a batch and routing the full table against the same centers
     * agree vector-for-vector, the property incremental ingestion rests
     * on (append ≡ one-shot tests in SketchesTest). */
-  def ivfRoute(vecs: DataFrame, centers: Array[Array[Double]]): DataFrame = {
-    val cs = array(centers.map(c => array(c.map(lit(_)): _*)): _*)
-    vecs.select(col("vec_id"), col("embedding"), cs.as("cs"))
-      .withColumn("list_id", expr(
-        """aggregate(
-          |  transform(cs, (c, i) -> named_struct(
-          |    'd', aggregate(zip_with(embedding, c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v),
-          |    'id', i)),
-          |  named_struct('d', CAST('Infinity' AS DOUBLE), 'id', -1),
-          |  (best, cur) -> IF(cur.d < best.d, cur, best)).id""".stripMargin))
-      .select(col("vec_id"), col("embedding"), col("list_id"))
+  def ivfRoute(vecs: DataFrame, centers: Array[Array[Double]]): DataFrame =
+    if (centers.length.toLong *
+        (if (centers.isEmpty) 0L else centers(0).length.toLong) >
+        ivfRouteLiteralMaxCells(vecs.sparkSession))
+      ivfRouteBroadcast(vecs, centers)
+    else {
+      val cs = array(centers.map(c => array(c.map(lit(_)): _*)): _*)
+      vecs.select(col("vec_id"), col("embedding"), cs.as("cs"))
+        .withColumn("list_id", expr(
+          """aggregate(
+            |  transform(cs, (c, i) -> named_struct(
+            |    'd', aggregate(zip_with(embedding, c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v),
+            |    'id', i)),
+            |  named_struct('d', CAST('Infinity' AS DOUBLE), 'id', -1),
+            |  (best, cur) -> IF(cur.d < best.d, cur, best)).id""".stripMargin))
+        .select(col("vec_id"), col("embedding"), col("list_id").cast("int"))
+    }
+
+  /** Literal-fold cell budget for [[ivfRoute]] (centroid cells =
+    * nlist × dim): below it the centers inline as an expression literal
+    * (zero setup, constant-folded); above it the expression tree and its
+    * generated code blow up — production nlist ≥ 4096 × 64 dims is
+    * 256 k doubles of plan — so routing switches to the broadcast-variable
+    * static-invoke kernel ([[ivfRouteBroadcast]]). Overridable via
+    * `spark.graft.ivfRouteLiteralMaxCells` (tests pin it low to exercise
+    * both shapes on one fixture). */
+  private[graft] val IvfRouteLiteralMaxCells = 4096L
+
+  private[graft] def ivfRouteLiteralMaxCells(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.ivfRouteLiteralMaxCells").map(_.toLong)
+      .getOrElse(IvfRouteLiteralMaxCells)
+
+  /** Large-nlist form of [[ivfRoute]]: same map-side zero-shuffle argmin,
+    * centers carried by a broadcast variable read inside a codegen static
+    * call ([[graft.functions.IvfRouteKernel]]) — bit-identical routing to
+    * the literal fold (parity-tested), Exchange-free plan (plan-tested). */
+  def ivfRouteBroadcast(vecs: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    val s = vecs.sparkSession
+    val bc = s.sparkContext.broadcast(centers)
+    val fn = graft.functions.IvfRouteKernel.register(s, bc)
+    vecs.select(col("vec_id"), col("embedding"),
+      call_function(fn, col("embedding")).as("list_id"))
   }
 
   /** k-means fits run by [[buildIvfIndexOver]] (tests assert the warm /
@@ -657,6 +688,70 @@ object Sketches {
         .select(col("vec_id"), col("embedding")), idx.centers)
     }
     (idx, delta, idx.assigned.unionByName(delta))
+  }
+
+  /** Re-fit policy for the frozen IVF quantizer (round-9 directive 4):
+    * incremental ingest routes batches against FROZEN centers — correct
+    * and cheap, but under distribution drift the quantizer decays silently
+    * (a shifted batch piles into few lists, so within-list pair spaces and
+    * probe costs blow up and cluster-bounded quality drops). The policy
+    * encodes WHEN the frozen quantizer must re-key:
+    *  - `maxSkew`: max/median per-list occupancy of the SERVED
+    *    (corpus ∪ delta) assignment — a drifted batch concentrates into
+    *    the nearest few old lists and spikes this;
+    *  - `maxAppendFrac`: appended rows / corpus rows — past it the
+    *    quantizer has simply not seen most of the data it serves.
+    * Either trigger ⇒ re-fit into a NEW versioned artifact (the old
+    * snapshot's index is immutable — readers of the old version keep it). */
+  final case class IvfDriftPolicy(maxSkew: Double = 8.0, maxAppendFrac: Double = 0.5)
+
+  /** Occupancy/volume statistics of a served assignment: ONE slim
+    * aggregate over (list_id → count) — nlist bounded rows, never the
+    * vectors. */
+  final case class IvfDriftStats(corpusRows: Long, deltaRows: Long,
+                                 maxList: Long, medianList: Double) {
+    def appendFrac: Double = deltaRows.toDouble / math.max(corpusRows, 1L)
+    def skew: Double = maxList.toDouble / math.max(medianList, 1.0)
+  }
+
+  def ivfDriftStats(corpusAssigned: DataFrame, delta: DataFrame): IvfDriftStats = {
+    val occ = corpusAssigned.select(col("list_id"))
+      .unionByName(delta.select(col("list_id")))
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), expr("median(n)")).head()
+    IvfDriftStats(corpusAssigned.count(), delta.count(),
+      occ.getLong(0), occ.getDouble(1))
+  }
+
+  def ivfNeedsRefit(stats: IvfDriftStats, policy: IvfDriftPolicy): Boolean =
+    stats.skew > policy.maxSkew || stats.appendFrac > policy.maxAppendFrac
+
+  /** Drift-checked serving form of [[ivfIncrementalTable]]: route the
+    * batch against the frozen `corpusVersion` quantizer, measure the
+    * served occupancy, and — when [[ivfNeedsRefit]] fires — re-fit a NEW
+    * quantizer over the FULL `batchVersion` snapshot under the
+    * `table@batchVersion` artifact key (build-once for every later reader
+    * of that snapshot; the old version's artifacts are never touched).
+    * Returns (served index, served assignment, refitted?). At 100 TB the
+    * stats aggregate is nlist rows and the re-fit is the same one-time
+    * index build any quantizer roll pays — the policy just makes the roll
+    * DETERMINISTIC instead of a silently decaying frozen index. */
+  def ivfServeTable(s: SparkSession, tableDir: String, corpusVersion: Int,
+                    batchVersion: Int, nlist: Int = 16,
+                    policy: IvfDriftPolicy = IvfDriftPolicy())
+      : (IvfIndex, DataFrame, Boolean) = {
+    import graft.sources.{GraftTable, IndexStore}
+    val (idx, delta, union) =
+      ivfIncrementalTable(s, tableDir, corpusVersion, batchVersion, nlist)
+    if (!ivfNeedsRefit(ivfDriftStats(idx.assigned, delta), policy))
+      (idx, union, false)
+    else {
+      val key = "ivftbl" + IndexStore.dirId(tableDir) + s"-v$batchVersion"
+      val re = buildIvfIndexKeyed(s, key,
+        GraftTable.read(s, tableDir, Some(batchVersion))
+          .select(col("vec_id"), col("embedding")), nlist)
+      (re, re.assigned, true)
+    }
   }
 
   /** SemDeDup-shape semantic dedup (Abbas et al. 2023, public method) over

@@ -655,6 +655,99 @@ class GraftTableTest extends AnyFunSuite {
     }
   }
 
+  /** Round-9 directive 4: the frozen quantizer must carry a RE-FIT POLICY.
+    * A distribution-shifted batch routed against frozen centers splits a
+    * new cluster across old Voronoi cells (probe recall decays) and pumps
+    * the append fraction; the policy detects it from one slim occupancy
+    * aggregate and re-fits into a NEW versioned artifact — the old
+    * snapshot's index is never touched. */
+  test("ivf drift policy: shifted batch fires re-fit into a new versioned artifact, recall recovers") {
+    import graft.operators.Sketches
+    val tmp = Files.createTempDirectory("graft-ivfdrift-idx").toString
+    spark.conf.set("graft.index.dir", tmp)
+    val tdir = freshDir("ivfdrift")
+    try {
+      Sketches.resetCaches()
+      val rnd = new scala.util.Random(17)
+      def cluster(base: Array[Double], n: Int, from: Long, spread: Double) =
+        (0 until n).map { i =>
+          (from + i, base.map(b => (b + rnd.nextGaussian() * spread).toFloat).toSeq)
+        }
+      // corpus: four tight, well-separated clusters — nlist=4 lands one
+      // centroid in each
+      val corpus = cluster(Array(0.0, 0, 0, 0), 25, 0, 0.1) ++
+        cluster(Array(10.0, 0, 0, 0), 25, 100, 0.1) ++
+        cluster(Array(0.0, 10, 0, 0), 25, 200, 0.1) ++
+        cluster(Array(10.0, 10, 0, 0), 25, 300, 0.1)
+      // drifted batch: a NEW cluster straddling the Voronoi midline
+      // between the first two corpus clusters
+      val batch = (0 until 100).map { i =>
+        (1000L + i, Seq((3.0 + (i % 50) * 0.08).toFloat, 0f, 0f, 0f))
+      }
+      val toDf = (rows: Seq[(Long, Seq[Float])]) =>
+        spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      GraftTable.create(spark, tdir, toDf(corpus), Seq("vec_id"))
+      GraftTable.append(spark, tdir, toDf(batch), Seq("vec_id"))
+
+      // lenient policy: frozen serving, no refit
+      val fits0 = Sketches.ivfFits.get()
+      val (frozenIdx, frozenAll, refit0) = Sketches.ivfServeTable(spark, tdir, 0, 1,
+        nlist = 4, policy = Sketches.IvfDriftPolicy(maxSkew = 1e9, maxAppendFrac = 1e9))
+      assert(!refit0 && Sketches.ivfFits.get() == fits0 + 1,
+        "lenient policy keeps the frozen quantizer (one corpus fit only)")
+
+      // the measured drift: batch/corpus = 1.0 > 0.5 default; the policy fires
+      val stats = Sketches.ivfDriftStats(frozenIdx.assigned,
+        frozenAll.join(frozenIdx.assigned.select(col("vec_id").as("cid")),
+          col("vec_id") === col("cid"), "left_anti"))
+      assert(stats.appendFrac > 0.5, s"append fraction ${stats.appendFrac}")
+      assert(Sketches.ivfNeedsRefit(stats, Sketches.IvfDriftPolicy()))
+
+      val fits1 = Sketches.ivfFits.get()
+      val (newIdx, newAll, refit1) = Sketches.ivfServeTable(spark, tdir, 0, 1, nlist = 4)
+      assert(refit1, "default policy must fire on a 100% append")
+      assert(Sketches.ivfFits.get() == fits1 + 1, "re-fit is one fresh build")
+      assert(newAll.count() == 200)
+
+      // recall experiment at nprobe=1: midline queries' true neighbors sit
+      // on BOTH sides of the old Voronoi split, so the frozen index misses
+      // them; the re-fit gives the drifted cluster its own list
+      val allVecs = (corpus ++ batch).map { case (id, e) =>
+        (id, e.map(_.toDouble).toArray) }.toMap
+      def recallAt(all: org.apache.spark.sql.DataFrame): Double = {
+        val assign = all.select(col("vec_id"), col("list_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // the five batch vectors nearest the midline
+        val queries = batch.map(_._1).sortBy(id => math.abs(allVecs(id)(0) - 5.0)).take(5)
+        queries.map { q =>
+          val qv = allVecs(q)
+          def d2(id: Long) = allVecs(id).zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+          val exact = allVecs.keys.filter(_ != q).toSeq
+            .sortBy(id => (d2(id), id)).take(5).toSet
+          val probed = assign.keys.filter(id => id != q && assign(id) == assign(q)).toSeq
+            .sortBy(id => (d2(id), id)).take(5).toSet
+          exact.count(probed.contains).toDouble / exact.size
+        }.sum / queries.size
+      }
+      val frozenRecall = recallAt(frozenAll)
+      val newRecall = recallAt(newAll)
+      assert(frozenRecall <= 0.8,
+        s"fixture must demonstrate decay under the frozen quantizer: $frozenRecall")
+      assert(newRecall >= 0.95, s"re-fit must recover recall: $newRecall")
+
+      // warm re-serve: both quantizer artifacts (old + new version) stand;
+      // nothing refits again
+      Sketches.resetCaches()
+      val fits2 = Sketches.ivfFits.get()
+      val (_, _, refit2) = Sketches.ivfServeTable(spark, tdir, 0, 1, nlist = 4)
+      assert(refit2 && Sketches.ivfFits.get() == fits2,
+        "re-serve loads the versioned artifacts — zero new fits")
+    } finally {
+      spark.conf.unset("graft.index.dir")
+      Sketches.resetCaches()
+    }
+  }
+
   test("minhash gate over the table == roster form; banded index keys by snapshot, survives appends") {
     import graft.operators.Sketches
     val tmp = Files.createTempDirectory("graft-table-mh").toString

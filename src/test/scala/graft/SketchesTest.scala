@@ -41,6 +41,33 @@ class SketchesTest extends AnyFunSuite {
     assert(run() == got, "filtered probe must be deterministic")
   }
 
+  /** Round-9 directive 5: past the literal-cell budget the centers ride a
+    * broadcast VARIABLE through a static-invoke kernel instead of an
+    * `array(array(lit…))` plan literal — routing must stay bit-identical
+    * on both shapes (ties break to the lowest list id on both) and the
+    * plan Exchange-free (map-side, zero shuffle). */
+  test("ivfRoute: broadcast-kernel shape == literal fold, Exchange-free plan, dispatch by cell budget") {
+    val em = Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val centers = em.filter($"vec_id" < 4).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"list_id".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLiteral = pairs(Sketches.ivfRoute(em, centers)) // 4×64 cells → literal
+    assert(viaLiteral.nonEmpty)
+    spark.conf.set("spark.graft.ivfRouteLiteralMaxCells", "0")
+    try {
+      val bk = Sketches.ivfRoute(em, centers) // forced broadcast-kernel shape
+      assert(pairs(bk) == viaLiteral, "both shapes must route bit-identically")
+      val plan = bk.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"routing must stay map-side:\n$plan")
+      assert(plan.contains("IvfRouteKernelStatic.route"), "kernel call in the plan")
+    } finally spark.conf.unset("spark.graft.ivfRouteLiteralMaxCells")
+    // the explicit broadcast entry point agrees too (no conf needed)
+    assert(pairs(Sketches.ivfRouteBroadcast(em, centers)) == viaLiteral)
+  }
+
   test("v4 LSH all-pairs: planted near-dups found, precision 1, recall >= 0.8") {
     // fixture embeddings have no cos >= 0.9 pairs (max ~0.6), so plant them:
     // 20 base vectors each with a tiny-perturbation twin (cos ~ 1.0)
