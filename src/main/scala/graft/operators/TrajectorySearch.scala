@@ -551,8 +551,25 @@ object TrajectorySearch {
     val v = gt.currentVersion(tdir)
       .getOrElse(throw new IllegalStateException(s"no table at $tdir"))
     val files = gt.manifest(tdir, v).files
-    def bound(c: String) = (files.flatMap(_.stats.get(c).map(_._1)).min,
-      files.flatMap(_.stats.get(c).map(_._2)).max)
+    // The certificate below reasons over the tile DOMAIN from manifest
+    // stats; a stats-less file would silently shrink that domain and let
+    // the `full` early-exit fire while the file still holds unseen points
+    // (kept by scanWhereAll's conservative pruning but cut by the x/y box
+    // row filter) — a truncated kNN answer. Fail fast on the documented
+    // contract instead: every file must carry tile-column stats.
+    def bound(c: String) = {
+      val bs = files.map(f => f.stats.getOrElse(c, throw new IllegalArgumentException(
+        s"pointKnnOverTable requires tile-column stats for '$c' on every manifest file " +
+          s"(declare it among the table's stats columns at write time); " +
+          s"file ${f.path} of $tdir@v$v carries none")))
+      (bs.map(_._1).min, bs.map(_._2).max)
+    }
+    if (files.isEmpty) {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("event_id", LongType), StructField("d", DoubleType))))
+    }
     val (txLo, txHi) = bound(txCol); val (tyLo, tyHi) = bound(tyCol)
     val dist2 = (col("x") - qx) * (col("x") - qx) + (col("y") - qy) * (col("y") - qy)
     def candidates(r: Double) =

@@ -879,7 +879,9 @@ object TextPipeline {
       """WITH d AS (SELECT doc_id, lang,
         |             len(list_filter(string_split(text,' '), x -> x <> '')) AS n
         |           FROM documents),
-        |c AS (SELECT doc_id, lang, n, (n + 47) // 48 AS nc FROM d WHERE n > 0),
+        |c AS (SELECT doc_id, lang, n,
+        |             CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc
+        |      FROM d WHERE n > 0),
         |ch AS (SELECT doc_id, lang, n, nc,
         |              unnest(generate_series(0, nc - 1)) AS idx FROM c),
         |l AS (SELECT lang, doc_id, nc, idx,
@@ -887,7 +889,8 @@ object TextPipeline {
         |agg AS (SELECT lang, COUNT(*) AS n_chunks,
         |               CAST(SUM(clen) AS BIGINT) AS sum_chunk_tokens,
         |               CAST(MAX(nc) AS BIGINT) AS max_chunks_per_doc,
-        |               CAST(BIT_XOR(doc_id * 1000003 + idx * 31 + clen) AS BIGINT)
+        |               CAST(BIT_XOR(xor(xor((doc_id & 34359738367) << 20,
+        |                                    (idx & 4095) << 8), clen)) AS BIGINT)
         |                 AS chunk_ck
         |        FROM l GROUP BY lang),
         |docs AS (SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY lang)
@@ -902,8 +905,13 @@ object TextPipeline {
         val d = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n"))
+        // nc = the first window that reaches the end of the doc stops the
+        // chunker (max(1, ceil((n - W)/S) + 1)) — a naive ceil(n/S) emits
+        // a redundant trailing chunk fully contained in its predecessor
+        // whenever the last full window already covers the tail.
         val chunks = d.filter(col("n") > 0)
-          .withColumn("nc", expr(s"(n + ${st - 1}) DIV $st"))
+          .withColumn("nc", when(col("n") <= w, lit(1L))
+            .otherwise(expr(s"(n - $w + ${st - 1}) DIV $st + 1")))
           .select(col("doc_id"), col("lang"), col("n"), col("nc"),
             explode(expr("sequence(0L, nc - 1)")).as("idx"))
           .withColumn("clen", least(lit(w.toLong), col("n") - col("idx") * st))
@@ -911,7 +919,11 @@ object TextPipeline {
           .agg(count(lit(1)).as("n_chunks"),
             sum(col("clen")).as("sum_chunk_tokens"),
             max(col("nc")).as("max_chunks_per_doc"),
-            expr("bit_xor(doc_id * 1000003 + idx * 31 + clen)").as("chunk_ck"))
+            // wrap-safe cross-engine checksum: Spark wraps arithmetic
+            // overflow but DuckDB RAISES, so the mix must provably stay
+            // in 63 bits — masked shifts (35-bit doc_id window << 20,
+            // 12-bit idx window << 8) xor'd, never multiplied.
+            expr("bit_xor(shiftleft(doc_id & 34359738367, 20) ^ shiftleft(idx & 4095, 8) ^ clen)").as("chunk_ck"))
         d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
           .join(agg, Seq("lang"), "left_outer")
           .select(col("lang"), col("n_docs"),

@@ -120,8 +120,15 @@ object IndexStore {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    val stale = kids.filter(newest(_) < horizon)
-    stale.foreach(rm)
-    stale.length
+    // Scan→delete race with a concurrent WRITER: a build that starts
+    // inside the window would lose files mid-write. The re-check right
+    // before rm closes the scan-sized window (a fresh write bumps mtimes
+    // past the horizon, so the dir is skipped this sweep); the residual
+    // instant between re-check and delete can only strand a HALF-written
+    // artifact, which the `_SUCCESS` completeness check turns into a
+    // rebuild on next access — never silent corruption (safety model
+    // above).
+    kids.filter(newest(_) < horizon)
+      .count { f => val still = newest(f) < horizon; if (still) rm(f); still }
   }
 }

@@ -1169,4 +1169,22 @@ class GraftTableTest extends AnyFunSuite {
     assert(gotByLang == wantByLang,
       "deduped table must match d9's oracle-checked per-lang survivor counts")
   }
+
+  /** The expanding-box kNN's termination certificate reasons over the tile
+    * DOMAIN from manifest stats; a table whose files lack tile-column
+    * stats must fail FAST with the contract spelled out — not silently
+    * understate the domain and truncate the answer (round-9 advice). */
+  test("pointKnnOverTable fails fast when manifest files lack tile-column stats") {
+    val tdir = freshDir("knnstats")
+    val pts = spark.range(0, 50).select(
+      col("id").as("user_id"), col("id").as("event_id"),
+      (col("id") % 10).cast("double").as("x"),
+      (col("id") % 7).cast("double").as("y"),
+      floor(col("id") % 10).as("tx"), floor(col("id") % 7).as("ty"))
+    GraftTable.create(spark, tdir, pts, Seq("user_id")) // no tx/ty stats
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TrajectorySearch.pointKnnOverTable(spark, tdir, 1.0, 1.0, 5)
+    }
+    assert(e.getMessage.contains("tile-column stats") && e.getMessage.contains("'tx'"))
+  }
 }
