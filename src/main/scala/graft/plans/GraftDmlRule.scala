@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftshim.GraftShims
+
+import graft.sources.{GraftTable, GraftTableRelation}
+
+/** SQL DML over `graft-table` views (round-9 directive 6): analyzer
+  * post-hoc rule routing `DELETE FROM` / `MERGE INTO` on a view backed by
+  * [[GraftTableRelation]] to the table's programmatic copy-on-write
+  * mutations ([[GraftTable.delete]] / [[GraftTable.upsert]]) — without
+  * this, Spark's check rules reject row-level SQL on any V1 relation.
+  *
+  *  - `DELETE FROM v WHERE p` — any non-subquery predicate.
+  *  - `MERGE INTO v USING s ON v.k = s.k WHEN MATCHED THEN UPDATE SET *
+  *    WHEN NOT MATCHED THEN INSERT *` — the keyed whole-row upsert shape
+  *    (exactly [[GraftTable.upsert]]'s one-atomic-commit semantics); other
+  *    merge shapes refuse with an explicit message rather than silently
+  *    approximating.
+  *
+  * Both re-derive the rewrite's stats columns from the head manifest, so
+  * a mutated table keeps its file-skipping bounds. Mutations always apply
+  * to the table HEAD: a `versionAsOf`-pinned view refuses (snapshots are
+  * immutable). Installed via [[GraftExtensions]]
+  * (`injectPostHocResolutionRule`). */
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  private def graftRel(plan: LogicalPlan): Option[GraftTableRelation] =
+    plan.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftTableRelation] =>
+        lr.relation.asInstanceOf[GraftTableRelation]
+    }
+
+  private def headOnly(r: GraftTableRelation): String = {
+    require(r.version.isEmpty,
+      s"cannot mutate a versionAsOf-pinned graft-table view of ${r.dir}: " +
+        "snapshots are immutable — run DML against an unpinned view of the head")
+    r.dir
+  }
+
+  /** The analyzer bound these attributes to the VIEW's expression ids; the
+    * command re-scans the (possibly newer) head snapshot, so rebind by
+    * NAME against that fresh scan. Subquery predicates are out of the
+    * spike's scope and refuse via the transform below staying unresolved. */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(target, cond) if d.childrenResolved =>
+      graftRel(target) match {
+        case Some(r) =>
+          // wrap as an opaque Column: an Expression field on the command
+          // would be re-walked by checkAnalysis, which rejects the
+          // deliberately-unresolved rebind-by-name attributes
+          GraftDeleteCommand(headOnly(r), GraftShims.column(unresolve(cond)))
+        case None => d
+      }
+
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution) if m.childrenResolved =>
+      graftRel(target) match {
+        case None => m
+        case Some(r) =>
+          val dir = headOnly(r)
+          // the analyzer may have expanded `UPDATE SET *` / `INSERT *`
+          // into explicit whole-row assignment lists — accept either form
+          def wholeRow(as: Seq[Assignment]): Boolean =
+            as.nonEmpty && as.forall {
+              case Assignment(k: AttributeReference, v: AttributeReference) =>
+                k.name == v.name
+              case _ => false
+            }
+          val okMatched = matched match {
+            case Seq(UpdateStarAction(None)) => true
+            case Seq(UpdateAction(None, as, _)) => wholeRow(as)
+            case _ => false
+          }
+          val okNotMatched = notMatched match {
+            case Seq(InsertStarAction(None)) => true
+            case Seq(InsertAction(None, as)) => wholeRow(as)
+            case _ => false
+          }
+          // BOTH branches required: upsert replaces matches AND inserts
+          // the rest — a matched-only or insert-only merge is a different
+          // operation and must not silently become one
+          val starShape = okMatched && okNotMatched &&
+            notMatchedBySource.isEmpty && !withSchemaEvolution
+          val keyCol = cond match {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if a.name == b.name &&
+                  (target.outputSet.contains(a) != target.outputSet.contains(b)) =>
+              Some(a.name)
+            case _ => None
+          }
+          require(starShape && keyCol.isDefined,
+            "graft-table MERGE supports the keyed whole-row upsert shape only: " +
+              "MERGE INTO t USING s ON t.k = s.k " +
+              "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+              s"(got ON=${cond.sql}, matched=$matched, notMatched=$notMatched, " +
+              s"notMatchedBySource=$notMatchedBySource)")
+          GraftMergeCommand(dir, keyCol.get, source)
+      }
+  }
+}
+
+/** Stats columns to carry through a rewrite commit = whatever the head
+  * manifest's files are bounded on (the table's declared skipping schema
+  * is not persisted separately; the file bounds ARE the declaration). */
+private object GraftDmlStats {
+  def headStatsCols(dir: String): Seq[String] = {
+    val v = GraftTable.currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no graft table at $dir"))
+    val fs = GraftTable.manifest(dir, v).files
+    (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys)).distinct.sorted
+  }
+}
+
+/** `DELETE FROM view WHERE cond` → [[GraftTable.delete]] (copy-on-write
+  * rewrite of touched files only; one atomic commit). */
+case class GraftDeleteCommand(dir: String, cond: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+  override def run(s: SparkSession): Seq[Row] = {
+    GraftTable.delete(s, dir, cond, GraftDmlStats.headStatsCols(dir))
+    Seq.empty
+  }
+}
+
+/** Keyed whole-row `MERGE INTO` → [[GraftTable.upsert]] (matched keys
+  * replace, new keys insert, one atomic commit, changelog carries the
+  * batch once). The resolved source plan rides the command and executes
+  * distributed at run time — never collected. */
+case class GraftMergeCommand(dir: String, keyCol: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(s: SparkSession): Seq[Row] = {
+    GraftTable.upsert(s, dir, keyCol, GraftShims.ofRows(s, source),
+      GraftDmlStats.headStatsCols(dir))
+    Seq.empty
+  }
+}

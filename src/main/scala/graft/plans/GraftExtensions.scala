@@ -93,5 +93,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.FrechetCodegen.build(exprs)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectOptimizerRule(_ => RewriteDistanceJoin)
+    // SQL DELETE/MERGE over graft-table views — must run in the analyzer
+    // (post-hoc), before the V1-relation check rules reject row-level SQL
+    ext.injectPostHocResolutionRule(_ => GraftDmlRule)
   }
 }

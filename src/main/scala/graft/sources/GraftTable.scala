@@ -69,7 +69,8 @@ object GraftTable {
   final case class TableFile(path: String, records: Long,
                              stats: Map[String, (Long, Long)],
                              strStats: Map[String, (String, String)] = Map.empty,
-                             arrival: Boolean = true)
+                             arrival: Boolean = true,
+                             bytes: Long = 0L)
 
   /** Spark's string min/max order is UTF8String BINARY order (UTF-8 byte
     * comparison, = code-point order), which differs from Java's
@@ -160,7 +161,12 @@ object GraftTable {
           val Array(mn, mx) = range.split("\\.\\.", 2)
           c -> (unhex(mn), unhex(mx))
         }.toMap
-      TableFile(p(2), p(3).toLong, stats, strStats, arrival = p(1) != "rewrite")
+      // 7th field (absent in pre-sizing manifests): on-disk file bytes —
+      // feeds the relation's sizeInBytes so small tables auto-broadcast;
+      // 0 = unknown, the relation then reports the safe default size
+      val bytes = if (p.length < 7 || p(6) == "-") 0L else p(6).toLong
+      TableFile(p(2), p(3).toLong, stats, strStats,
+        arrival = p(1) != "rewrite", bytes = bytes)
     }
     val txn = kv.get("txn").map { t =>
       val i = t.lastIndexOf(':'); (t.substring(0, i), t.substring(i + 1).toLong)
@@ -612,7 +618,8 @@ object GraftTable {
         if (mn == null || mx == null || mn.length > 64 || mx.length > 64) None
         else Some(c -> (mn, mx))
       }.toMap
-      TableFile(rel, r.getAs[Long]("_n"), stats, strStats, arrival)
+      val onDisk = try Files.size(Paths.get(dir, rel)) catch { case _: Exception => 0L }
+      TableFile(rel, r.getAs[Long]("_n"), stats, strStats, arrival, bytes = onDisk)
     }.sortBy(_.path).toSeq
   }
 
@@ -648,7 +655,7 @@ object GraftTable {
         else f.strStats.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"$c=${hex(mn)}..${hex(mx)}" }.mkString(";")
       val kind = if (f.arrival) "add" else "rewrite"
-      body.append(s"file\t$kind\t${f.path}\t${f.records}\t$stats\t$strStats\n")
+      body.append(s"file\t$kind\t${f.path}\t${f.records}\t$stats\t$strStats\t${f.bytes}\n")
     }
     val tmp = logDir(dir).resolve(
       s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")

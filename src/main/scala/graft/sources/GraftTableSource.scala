@@ -35,7 +35,7 @@ object GraftTableSource {
   * skipping, now automatic), columns prune into the parquet scan, and
   * every filter is re-applied above (`unhandledFilters` keeps them all —
   * file skipping is a bound, not an evaluation). */
-class GraftTableRelation(ctx: SQLContext, dir: String, version: Option[Int])
+class GraftTableRelation(ctx: SQLContext, val dir: String, val version: Option[Int])
   extends BaseRelation with PrunedFilteredScan {
 
   /** Without `versionAsOf` the head resolves PER SCAN, not at relation
@@ -53,6 +53,27 @@ class GraftTableRelation(ctx: SQLContext, dir: String, version: Option[Int])
   override val schema: StructType = StructType.fromDDL(currentManifest().schemaDdl)
   // file skipping only bounds the scan; Spark must re-evaluate everything
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  /** Manifest-driven size estimate: sum of the snapshot's on-disk file
+    * bytes × the source compression factor — the HadoopFsRelation
+    * convention — so a SMALL graft table auto-broadcasts in joins instead
+    * of inheriting BaseRelation's "assume huge" default (which forces a
+    * shuffle join against even a kilobyte dimension table). A manifest
+    * predating the bytes field (any file with 0 = unknown) falls back to
+    * the safe default; a files-less snapshot is an empty table. Resolved
+    * per CALL like the file list, so the estimate tracks the live head. */
+  override def sizeInBytes: Long = {
+    val files = currentManifest().files
+    if (files.isEmpty) 1L
+    else if (files.exists(_.bytes <= 0L))
+      ctx.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
+        Long.MaxValue.toString).toLong
+    else {
+      val factor = ctx.sparkSession.conf
+        .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+      (files.map(_.bytes).sum * factor).toLong
+    }
+  }
 
   /** Conservative per-file test: false only when the filter PROVES the
     * stats range [mn, mx] cannot contain a match. Integral values compare
