@@ -726,6 +726,16 @@ object Sketches {
   def ivfNeedsRefit(stats: IvfDriftStats, policy: IvfDriftPolicy): Boolean =
     stats.skew > policy.maxSkew || stats.appendFrac > policy.maxAppendFrac
 
+  /** nlist policy for a RE-FIT: the √N rule of thumb (FAISS public
+    * guidance — lists ≈ √rows balances probe cost against list length),
+    * floored at the index's current nlist (a re-fit never coarsens) and
+    * capped so the centroid table stays a bounded broadcast. This is how
+    * nlist SCALES with the corpus under continuous ingest: each policy-
+    * fired re-key re-derives it from the rows actually served. */
+  def nlistFor(rows: Long, floor: Int = 16, cap: Int = 65536): Int =
+    math.max(floor, math.min(cap,
+      math.round(math.sqrt(math.max(rows, 1L).toDouble)).toInt))
+
   /** Drift-checked serving form of [[ivfIncrementalTable]]: route the
     * batch against the frozen `corpusVersion` quantizer, measure the
     * served occupancy, and — when [[ivfNeedsRefit]] fires — re-fit a NEW
@@ -738,18 +748,25 @@ object Sketches {
     * DETERMINISTIC instead of a silently decaying frozen index. */
   def ivfServeTable(s: SparkSession, tableDir: String, corpusVersion: Int,
                     batchVersion: Int, nlist: Int = 16,
-                    policy: IvfDriftPolicy = IvfDriftPolicy())
+                    policy: IvfDriftPolicy = IvfDriftPolicy(),
+                    scaleNlist: Boolean = false)
       : (IvfIndex, DataFrame, Boolean) = {
     import graft.sources.{GraftTable, IndexStore}
     val (idx, delta, union) =
       ivfIncrementalTable(s, tableDir, corpusVersion, batchVersion, nlist)
-    if (!ivfNeedsRefit(ivfDriftStats(idx.assigned, delta), policy))
+    val stats = ivfDriftStats(idx.assigned, delta)
+    if (!ivfNeedsRefit(stats, policy))
       (idx, union, false)
     else {
+      // scaleNlist: the re-key re-derives nlist from the rows it will
+      // actually serve (√N policy) — the hook that keeps list occupancy
+      // bounded as the corpus grows under continuous ingest
+      val n2 = if (scaleNlist)
+        nlistFor(stats.corpusRows + stats.deltaRows, floor = nlist) else nlist
       val key = "ivftbl" + IndexStore.dirId(tableDir) + s"-v$batchVersion"
       val re = buildIvfIndexKeyed(s, key,
         GraftTable.read(s, tableDir, Some(batchVersion))
-          .select(col("vec_id"), col("embedding")), nlist)
+          .select(col("vec_id"), col("embedding")), n2)
       (re, re.assigned, true)
     }
   }

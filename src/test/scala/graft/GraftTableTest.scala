@@ -742,6 +742,16 @@ class GraftTableTest extends AnyFunSuite {
       val (_, _, refit2) = Sketches.ivfServeTable(spark, tdir, 0, 1, nlist = 4)
       assert(refit2 && Sketches.ivfFits.get() == fits2,
         "re-serve loads the versioned artifacts — zero new fits")
+
+      // scaleNlist: the re-key re-derives nlist from served rows (√N,
+      // floored at the current nlist) — how nlist grows with the corpus
+      assert(Sketches.nlistFor(200, floor = 4) == 14)
+      assert(Sketches.nlistFor(100, floor = 16) == 16, "never coarsens below the floor")
+      assert(Sketches.nlistFor(1L << 40) == 65536, "capped: centroids stay broadcastable")
+      val (scaled, scaledAll, refit3) =
+        Sketches.ivfServeTable(spark, tdir, 0, 1, nlist = 4, scaleNlist = true)
+      assert(refit3 && scaled.centers.length == 14 && scaledAll.count() == 200,
+        s"scaled re-key must fit nlistFor(200)=14 lists, got ${scaled.centers.length}")
     } finally {
       spark.conf.unset("graft.index.dir")
       Sketches.resetCaches()
