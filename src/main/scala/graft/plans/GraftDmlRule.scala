@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -18,6 +18,8 @@ import graft.sources.{GraftTable, GraftTableRelation}
   * this, Spark's check rules reject row-level SQL on any V1 relation.
   *
   *  - `DELETE FROM v WHERE p` — any non-subquery predicate.
+  *  - `UPDATE v SET c = e, ... [WHERE p]` — plain column targets; the
+  *    predicate and every value evaluate against the ORIGINAL row.
   *  - `MERGE INTO v USING s ON v.k = s.k WHEN MATCHED THEN UPDATE SET *
   *    WHEN NOT MATCHED THEN INSERT *` — the keyed whole-row upsert shape
   *    (exactly [[GraftTable.upsert]]'s one-atomic-commit semantics); other
@@ -61,6 +63,21 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           // deliberately-unresolved rebind-by-name attributes
           GraftDeleteCommand(headOnly(r), GraftShims.column(unresolve(cond)))
         case None => d
+      }
+
+    case u @ UpdateTable(target, assignments, cond) if u.childrenResolved =>
+      graftRel(target) match {
+        case None => u
+        case Some(r) =>
+          val sets = assignments.map {
+            case Assignment(k: AttributeReference, v) =>
+              k.name -> GraftShims.column(unresolve(v))
+            case a => throw new IllegalArgumentException(
+              s"graft-table UPDATE requires plain column assignment targets, got ${a.sql}")
+          }
+          GraftUpdateCommand(headOnly(r),
+            GraftShims.column(cond.map(unresolve).getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)), sets)
       }
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched,
@@ -114,12 +131,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   * manifest's files are bounded on (the table's declared skipping schema
   * is not persisted separately; the file bounds ARE the declaration). */
 private object GraftDmlStats {
-  def headStatsCols(dir: String): Seq[String] = {
-    val v = GraftTable.currentVersion(dir)
-      .getOrElse(throw new IllegalStateException(s"no graft table at $dir"))
-    val fs = GraftTable.manifest(dir, v).files
-    (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys)).distinct.sorted
-  }
+  def headStatsCols(dir: String): Seq[String] = GraftTable.statsColsOf(dir)
 }
 
 /** `DELETE FROM view WHERE cond` → [[GraftTable.delete]] (copy-on-write
@@ -128,6 +140,18 @@ case class GraftDeleteCommand(dir: String, cond: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
   override def run(s: SparkSession): Seq[Row] = {
     GraftTable.delete(s, dir, cond, GraftDmlStats.headStatsCols(dir))
+    Seq.empty
+  }
+}
+
+/** `UPDATE view SET c = e, ... [WHERE p]` → [[GraftTable.updateWhere]]
+  * (copy-on-write rewrite of matching files; predicate and values
+  * evaluate against the original row, SQL UPDATE semantics). */
+case class GraftUpdateCommand(dir: String, cond: org.apache.spark.sql.Column,
+                              sets: Seq[(String, org.apache.spark.sql.Column)])
+    extends LeafRunnableCommand {
+  override def run(s: SparkSession): Seq[Row] = {
+    GraftTable.updateWhere(s, dir, cond, sets, GraftDmlStats.headStatsCols(dir))
     Seq.empty
   }
 }

@@ -236,6 +236,35 @@ object GraftTable {
       prev = m.files, prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
   }
 
+  /** Stats columns of the head snapshot = the union of columns its files
+    * carry bounds for. The skipping schema is not persisted separately —
+    * the file bounds ARE the declaration — so writers arriving through a
+    * surface with no statsCols parameter (SQL DML, INSERT INTO, the
+    * DataFrameWriter) re-derive it from here to keep mutated/extended
+    * tables prunable. */
+  def statsColsOf(dir: String): Seq[String] = {
+    val v = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no graft table at $dir"))
+    val fs = manifest(dir, v).files
+    (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys)).distinct.sorted
+  }
+
+  /** Truncate-and-load as ONE atomic commit: the new snapshot lists only
+    * the fresh files (old files stay on disk for time travel until
+    * vacuum). The fresh files count as ARRIVALS — an overwrite is a
+    * (re-)ingest, so a tailing changelog stream sees the new rows once,
+    * exactly as Delta's remove+add treats them. Schema may evolve
+    * additively against the PREVIOUS snapshot (type changes refuse:
+    * history must stay readable under one schema). */
+  def overwrite(s: SparkSession, dir: String, df: DataFrame,
+                statsCols: Seq[String] = Nil): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, head)
+    commit(s, dir, df, statsCols, version = head + 1, op = "overwrite",
+      prev = Nil, prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
+  }
+
   /** Idempotent append for exactly-once streaming sinks
     * (`writeStream.foreachBatch(GraftTable.sinkInto(dir, appId))`): the
     * (appId, batchId) token is recorded in the commit's manifest, so a
@@ -472,6 +501,44 @@ object GraftTable {
       prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
   }
 
+  /** Copy-on-write UPDATE: rewrite ONLY the files containing a predicate
+    * match, with each assigned column replaced where the predicate holds;
+    * non-matching rows inside a touched file re-land verbatim, untouched
+    * files carry by reference. Predicate and every assignment value
+    * evaluate against the ORIGINAL row (one projection — an assignment can
+    * reference a column another assignment changes, SQL UPDATE semantics),
+    * and values cast to the column's existing type so history stays
+    * readable under one schema. Changelog-invisible like [[delete]]
+    * (append-mode changelog; full CDC would emit update records). */
+  def updateWhere(s: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  sets: Seq[(String, org.apache.spark.sql.Column)],
+                  statsCols: Seq[String] = Nil): Int = {
+    val head = currentVersion(dir)
+      .getOrElse(throw new IllegalStateException(s"no table at $dir"))
+    val m = manifest(dir, head)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    sets.foreach { case (c, _) => require(schema.fieldNames.contains(c),
+      s"UPDATE of unknown column '$c' (table has ${schema.fieldNames.mkString(", ")})") }
+    val pred = coalesce(predicate, lit(false))
+    // bounded collect: one row per data FILE containing a match
+    val touched = readFiles(s, dir, m).filter(pred)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return head // nothing matches — no empty commit
+    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val proj = schema.fieldNames.toSeq.map { c =>
+      sets.find(_._1 == c) match {
+        case Some((_, v)) =>
+          when(pred, v.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val updated = readFiles(s, dir, m.copy(files = rewrite)).select(proj: _*)
+    commit(s, dir, updated, statsCols, head + 1, "update", prev = carry,
+      prevSchema = Some(schema))
+  }
+
   /** [[delete]] by KEY SET: remove every row whose `keyCol` appears in
     * `keys` — the shape the d9 keep-one dedup emits (a frame of
     * non-canonical member ids, potentially huge). The touched-file probe
@@ -628,8 +695,8 @@ object GraftTable {
                      prev: Seq[TableFile],
                      txn: Option[(String, Long)] = None,
                      prevSchema: Option[StructType] = None): Int = {
-    // compact/delete fresh files REWRITE old rows — never changelog arrivals
-    val arrival = op != "compact" && op != "delete"
+    // compact/delete/update fresh files REWRITE old rows — never arrivals
+    val arrival = op != "compact" && op != "delete" && op != "update"
     val fresh = writeFiles(s, dir, df, statsCols, version, arrival)
     val schema = prevSchema.map(mergeSchema(_, df.schema)).getOrElse(df.schema)
     publish(dir, Manifest(version, op, schema.toDDL, prev ++ fresh, txn))
@@ -689,7 +756,8 @@ object GraftTable {
     (0 to head).map { v =>
       val m = manifest(dir, v)
       val freshN =
-        if (m.op == "compact" || m.op == "delete" || m.op == "restore") 0
+        if (m.op == "compact" || m.op == "delete" || m.op == "update" ||
+            m.op == "restore") 0
         else m.files.count(f => f.arrival && !prevPaths(f.path))
       prevPaths = m.files.map(_.path).toSet
       (v, m.op, m.files.size, m.files.map(_.records).sum, freshN,
@@ -722,7 +790,8 @@ object GraftTable {
       // Within an upsert commit the per-file `arrival` marker separates the
       // batch's new rows (arrivals) from the rewrite half (not arrivals);
       // the op-level skip stays for pre-marker manifests.
-      if (m.op != "compact" && m.op != "delete" && m.op != "restore")
+      if (m.op != "compact" && m.op != "delete" && m.op != "update" &&
+          m.op != "restore")
         out ++= m.files.filter(f => f.arrival && !prevPaths(f.path))
       prevPaths = m.files.map(_.path).toSet
     }

@@ -36,7 +36,7 @@ object GraftTableSource {
   * every filter is re-applied above (`unhandledFilters` keeps them all —
   * file skipping is a bound, not an evaluation). */
 class GraftTableRelation(ctx: SQLContext, val dir: String, val version: Option[Int])
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** Without `versionAsOf` the head resolves PER SCAN, not at relation
     * creation: a long-lived `CREATE TEMPORARY VIEW ... USING graft-table`
@@ -110,6 +110,21 @@ class GraftTableRelation(ctx: SQLContext, val dir: String, val version: Option[I
     }
   }
 
+  /** SQL `INSERT INTO` (append) / `INSERT OVERWRITE` (truncate-and-load,
+    * one atomic commit, old files stay time-travelable) on a graft-table
+    * view — the V1 [[InsertableRelation]] hook. Stats columns re-derive
+    * from the head manifest so inserted files stay prunable; a
+    * `versionAsOf`-pinned view refuses (snapshots are immutable). */
+  override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    require(version.isEmpty,
+      s"cannot insert into a versionAsOf-pinned graft-table view of $dir: " +
+        "snapshots are immutable — insert through an unpinned view of the head")
+    val stats = GraftTable.statsColsOf(dir)
+    if (overwrite) GraftTable.overwrite(ctx.sparkSession, dir, data, stats)
+    else GraftTable.append(ctx.sparkSession, dir, data, stats)
+    ()
+  }
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val m = currentManifest()
@@ -141,6 +156,7 @@ object GraftTableRelation {
   * fall back to the V1 [[GraftTableRelation]] — which carries the
   * manifest-stats file skipping and `versionAsOf` time travel. */
 class GraftTableSourceProvider extends RelationProvider
+  with CreatableRelationProvider
   with DataSourceRegister
   with org.apache.spark.sql.connector.catalog.TableProvider {
 
@@ -150,6 +166,42 @@ class GraftTableSourceProvider extends RelationProvider
                               parameters: Map[String, String]): BaseRelation =
     new GraftTableRelation(ctx, parameters("path"),
       parameters.get("versionAsOf").map(_.toInt))
+
+  /** `df.write.format("graft-table").option("path", dir).mode(m).save()`
+    * — the idiomatic DataFrameWriter surface over the versioned commits.
+    * `statsColumns` (comma-separated) declares skipping bounds on a fresh
+    * create; an existing table keeps its own (manifest-derived) and the
+    * option must not disagree. SaveMode maps onto commit ops: Append →
+    * one append commit, Overwrite → one truncate-and-load commit (old
+    * snapshots stay time-travelable), ErrorIfExists/Ignore per contract. */
+  override def createRelation(ctx: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table write requires option 'path'"))
+    val optCols = parameters.get("statsColumns").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    GraftTable.currentVersion(dir) match {
+      case None =>
+        GraftTable.create(ctx.sparkSession, dir, data, optCols)
+      case Some(_) =>
+        val stats = GraftTable.statsColsOf(dir)
+        require(optCols.isEmpty || optCols.sorted == stats,
+          s"statsColumns ${optCols.mkString(",")} disagree with the table's " +
+            s"manifest-declared ${stats.mkString(",")} — the skipping schema " +
+            "is fixed at create time")
+        mode match {
+          case SaveMode.Append => GraftTable.append(ctx.sparkSession, dir, data, stats)
+          case SaveMode.Overwrite => GraftTable.overwrite(ctx.sparkSession, dir, data, stats)
+          case SaveMode.ErrorIfExists =>
+            throw new IllegalStateException(s"graft table already exists at $dir")
+          case SaveMode.Ignore => ()
+        }
+    }
+    new GraftTableRelation(ctx, dir, None)
+  }
 
   /** The micro-batch engine builds streaming scans WITHOUT pushdown
     * (column pruning only runs on batch V2 relations), so projection has
@@ -166,10 +218,18 @@ class GraftTableSourceProvider extends RelationProvider
           s"readColumns: '$n' is not a column of ${full.fieldNames.mkString(",")}"))))
     }.getOrElse(full)
 
+  /** A not-yet-created table infers an EMPTY schema instead of throwing:
+    * `DataFrameWriter.save()` probes the V2 table (for the BATCH_WRITE
+    * capability check) BEFORE falling back to [[createRelation]], and the
+    * first write must be able to create the table. Reads of a missing
+    * table still fail with the clear V1-relation error — batch reads
+    * never consult this path's schema (V2 is micro-batch-only). */
   override def inferSchema(
-      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
-    narrow(GraftTableSource.tableSchema(options.get("path")),
-      Option(options.get("readColumns")))
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    if (GraftTable.currentVersion(dir).isEmpty) new StructType()
+    else narrow(GraftTableSource.tableSchema(dir), Option(options.get("readColumns")))
+  }
 
   override def getTable(schema: StructType,
                         partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],

@@ -81,6 +81,32 @@ class GraftSqlDmlTest extends AnyFunSuite {
     assert(GraftTable.manifest(tdir, 1).files.forall(_.stats.contains("doc_id")))
   }
 
+  test("UPDATE view routes to copy-on-write updateWhere; old-row semantics; changelog-silent") {
+    val tdir = mkTable("upd")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW upd_v USING `graft-table` OPTIONS (path '$tdir')")
+    // swap assignment: both values must evaluate against the ORIGINAL row
+    spark.sql("UPDATE upd_v SET doc_id = score, score = doc_id WHERE source = 'src2'")
+    val after = spark.table("upd_v")
+    assert(after.count() == 200, "UPDATE never changes cardinality")
+    // src2 rows had doc_id = k, score = 10k — now doc_id = 10k, score = k
+    val swapped = after.filter(col("source") === "src2")
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(swapped.length == 40 && swapped.forall { case (d, s) => d == s * 10 },
+      "sequential assignment would have collapsed both columns to the same value")
+    assert(after.filter(col("source") =!= "src2" && col("doc_id") * 10 =!= col("score"))
+      .count() == 0, "non-matching rows untouched")
+    // one changelog-invisible update commit; v0 time travel intact
+    val hist = GraftTable.history(spark, tdir).orderBy(col("version"))
+      .select("version", "op", "n_added_files").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(hist.toSeq == Seq((0, "create", hist(0)._3), (1, "update", 0)))
+    assert(GraftTable.readChanges(spark, tdir, 0, 1).count() == 0,
+      "append-mode changelog must not re-emit rewritten rows")
+    assert(GraftTable.read(spark, tdir, Some(0))
+      .filter(col("source") === "src2" && col("doc_id") > 200).count() == 0)
+  }
+
   test("MERGE INTO view routes to the one-commit upsert; non-star shapes refuse") {
     val tdir = mkTable("merge")
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW m_v USING `graft-table` OPTIONS (path '$tdir')")

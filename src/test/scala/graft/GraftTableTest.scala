@@ -1180,6 +1180,63 @@ class GraftTableTest extends AnyFunSuite {
       "deduped table must match d9's oracle-checked per-lang survivor counts")
   }
 
+  /** The SQL write surface: DataFrameWriter save() under every SaveMode and
+    * INSERT INTO / INSERT OVERWRITE through a view — all landing as the
+    * same atomic versioned commits, stats columns preserved throughout. */
+  test("DataFrameWriter + SQL INSERT over graft-table: modes map to commits, stats survive") {
+    val tdir = freshDir("writer")
+    def batch(from: Long, n: Long, src: String) =
+      spark.range(from, from + n).select(col("id").as("doc_id"), lit(src).as("source"))
+    batch(0, 100, "s0").write.format("graft-table")
+      .option("path", tdir).option("statsColumns", "doc_id,source").save()
+    assert(GraftTable.currentVersion(tdir).contains(0))
+    assert(GraftTable.statsColsOf(tdir) == Seq("doc_id", "source"))
+
+    batch(100, 20, "s1").write.format("graft-table")
+      .option("path", tdir).mode("append").save()
+    assert(GraftTable.read(spark, tdir).count() == 120)
+    // appended files carry stats without re-declaring statsColumns
+    assert(GraftTable.manifest(tdir, 1).files.forall(f =>
+      f.stats.contains("doc_id") && f.strStats.contains("source")))
+    // a disagreeing statsColumns option must refuse, not silently switch
+    val e0 = intercept[IllegalArgumentException] {
+      batch(0, 1, "x").write.format("graft-table")
+        .option("path", tdir).option("statsColumns", "doc_id").mode("append").save()
+    }
+    assert(e0.getMessage.contains("skipping schema"))
+
+    intercept[IllegalStateException] { // default ErrorIfExists on existing
+      batch(0, 1, "x").write.format("graft-table").option("path", tdir).save()
+    }
+    batch(0, 1, "x").write.format("graft-table")
+      .option("path", tdir).mode("ignore").save() // no-op
+    assert(GraftTable.read(spark, tdir).count() == 120)
+
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW w_v USING `graft-table` OPTIONS (path '$tdir')")
+    spark.sql("INSERT INTO w_v SELECT id + 200 AS doc_id, 'sX' AS source FROM range(10)")
+    assert(spark.table("w_v").count() == 130)
+    assert(GraftTable.readChanges(spark, tdir, 1, 2).count() == 10,
+      "SQL insert is an ingest — the changelog carries exactly the batch")
+
+    spark.sql("INSERT OVERWRITE w_v SELECT id + 500 AS doc_id, 'sY' AS source FROM range(5)")
+    assert(spark.table("w_v").count() == 5, "overwrite truncates the live view")
+    assert(GraftTable.read(spark, tdir, Some(2)).count() == 130,
+      "pre-overwrite snapshot stays time-travelable")
+    val ops = GraftTable.history(spark, tdir).orderBy(col("version"))
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "append", "overwrite"))
+    assert(GraftTable.readChanges(spark, tdir, 2, 3).count() == 5,
+      "an overwrite's rows are fresh arrivals to a tailing stream")
+
+    // a pinned view refuses inserts — snapshots are immutable
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW w_pin USING `graft-table` " +
+      s"OPTIONS (path '$tdir', versionAsOf '0')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO w_pin SELECT 1L AS doc_id, 'z' AS source")
+    }
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+  }
+
   /** The expanding-box kNN's termination certificate reasons over the tile
     * DOMAIN from manifest stats; a table whose files lack tile-column
     * stats must fail FAST with the contract spelled out — not silently
