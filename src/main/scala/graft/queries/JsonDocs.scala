@@ -70,6 +70,31 @@ object JsonDocs {
     }
   }
 
+  /** Build-once CDC-enabled PURGE table for d19: v0 = the full corpus;
+    * v1 = CDC hard delete of source 'src3'; v2 = CDC redaction update of
+    * source 'src7'. CDC is forced on for the upgrade commits (restoring
+    * the session's prior setting after) so the feed carries the removed
+    * rows; guarded like [[docsTable]] — a warm session reads v2. */
+  private def purgedCdcTable(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String = {
+    val gt = graft.sources.GraftTable
+    val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_cdc_table")
+    gt.getOrCreateUpgraded(s, tdir, statsCols = Seq("doc_id")) {
+      Tables.table(s, dir, "documents").repartitionByRange(4, col("doc_id"))
+    } {
+      val prev = s.conf.getOption("spark.graft.cdc")
+      s.conf.set("spark.graft.cdc", "true")
+      try {
+        gt.delete(s, tdir, col("source") === "src3", Seq("doc_id"))
+        gt.updateWhere(s, tdir, col("source") === "src7",
+          Seq("text" -> lit(""), "n_chars" -> lit(0L)), Seq("doc_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.cdc", v)
+        case None => s.conf.unset("spark.graft.cdc")
+      }
+    }
+  }
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     DeclaredQuery("j1_props_sum",
@@ -834,6 +859,45 @@ object JsonDocs {
               expr("transform(array_sort(collect_list(CASE WHEN dup THEN doc_id END)), x -> CAST(x AS STRING))")))
               .as("dup_md5"))
           .orderBy(col("source"))
+    },
+
+    // CHANGE DATA FEED audit — the compliance shape of the table layer
+    // (Delta CDF semantics re-expressed over the manifest log): v1 is a
+    // CDC-enabled hard DELETE of one source (right-to-be-forgotten), v2 a
+    // CDC-enabled redaction UPDATE of another (text := '', n_chars := 0),
+    // and the query is what the downstream auditor runs — read the feed
+    // (GraftTable.readCdc), report per (change_type, lang) the row count,
+    // a doc_id xor checksum, and the chars sum (preimages carry original
+    // n_chars, postimages the redacted 0 — the feed proves WHAT changed,
+    // not just that something did). Deletes ride a write-time sidecar of
+    // exactly the changed rows — the minimum any CDC can record — so a
+    // consumer index (d14's mask, v10's postings) can stay consistent
+    // under deletes without ever rescanning the corpus.
+    DeclaredQuery("d19_cdc_purge_feed",
+      """WITH feed AS (
+        |  SELECT 'delete' AS change_type, lang, doc_id, n_chars
+        |  FROM documents WHERE source = 'src3'
+        |  UNION ALL
+        |  SELECT 'update_preimage', lang, doc_id, n_chars
+        |  FROM documents WHERE source = 'src7'
+        |  UNION ALL
+        |  SELECT 'update_postimage', lang, doc_id, 0
+        |  FROM documents WHERE source = 'src7')
+        |SELECT change_type, lang, COUNT(*) AS n,
+        |       CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM feed GROUP BY change_type, lang
+        |ORDER BY change_type, lang""".stripMargin) {
+      (s, dir) =>
+        val tdir = purgedCdcTable(s, dir)
+        graft.sources.GraftTable.readCdc(s, tdir, 0, 2)
+          .select(col("_change_type").as("change_type"), col("lang"),
+            col("doc_id"), col("n_chars"))
+          .groupBy(col("change_type"), col("lang"))
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(doc_id)").as("id_xor"),
+            sum(col("n_chars")).as("chars_sum"))
+          .orderBy(col("change_type"), col("lang"))
     },
 
     // Exact duplicated-span SURGERY — the removal step d8 only measures

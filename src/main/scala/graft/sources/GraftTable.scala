@@ -81,9 +81,14 @@ object GraftTable {
       a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
 
   /** `txn` = idempotence token of the commit (`appId:batchId`) for the
-    * exactly-once streaming sink; None for plain commits. */
+    * exactly-once streaming sink; None for plain commits. `cdcFiles` are
+    * the commit's change-data sidecar (rows + `_change_type`, written only
+    * under `spark.graft.cdc=true`): never part of the snapshot's data —
+    * only [[readCdc]] reads them, and [[vacuum]] retains them with their
+    * version. */
   final case class Manifest(version: Int, op: String, schemaDdl: String,
-                            files: Seq[TableFile], txn: Option[(String, Long)] = None)
+                            files: Seq[TableFile], txn: Option[(String, Long)] = None,
+                            cdcFiles: Seq[TableFile] = Nil)
 
   /** Thrown when a commit loses the optimistic race for its version slot. */
   final class CommitConflict(v: Int)
@@ -143,7 +148,7 @@ object GraftTable {
       StandardCharsets.UTF_8).linesIterator.toSeq
     val kv = lines.takeWhile(!_.startsWith("file\t"))
       .map(_.split('\t')).collect { case Array(k, v0) => k -> v0 }.toMap
-    val files = lines.filter(_.startsWith("file\t")).map { l =>
+    val allFiles = lines.filter(_.startsWith("file\t")).map { l =>
       val p = l.split('\t')
       val stats =
         if (p.length < 5 || p(4) == "-") Map.empty[String, (Long, Long)]
@@ -165,13 +170,17 @@ object GraftTable {
       // feeds the relation's sizeInBytes so small tables auto-broadcast;
       // 0 = unknown, the relation then reports the safe default size
       val bytes = if (p.length < 7 || p(6) == "-") 0L else p(6).toLong
-      TableFile(p(2), p(3).toLong, stats, strStats,
-        arrival = p(1) != "rewrite", bytes = bytes)
+      (p(1), TableFile(p(2), p(3).toLong, stats, strStats,
+        arrival = p(1) != "rewrite", bytes = bytes))
     }
+    // kind "cdc" = change-data sidecar files (rows + _change_type): part of
+    // the commit's metadata, never of the snapshot's data file set
+    val (cdc, files) = allFiles.partition(_._1 == "cdc")
     val txn = kv.get("txn").map { t =>
       val i = t.lastIndexOf(':'); (t.substring(0, i), t.substring(i + 1).toLong)
     }
-    Manifest(kv("version").toInt, kv("op"), kv("schema"), files, txn)
+    Manifest(kv("version").toInt, kv("op"), kv("schema"), files.map(_._2), txn,
+      cdcFiles = cdc.map(_._2))
   }
 
   /** Create snapshot v0. Fails if the table already exists. */
@@ -435,7 +444,10 @@ object GraftTable {
              retainAgeMs: Long = DefaultVacuumRetainAgeMs): Int = {
     val head = currentVersion(dir).getOrElse(return 0)
     val keepFrom = math.max(0, head.toLong - retainVersions).toInt
-    val live = (keepFrom to head).flatMap(v => manifest(dir, v).files.map(_.path)).toSet
+    val live = (keepFrom to head).flatMap { v =>
+      val m = manifest(dir, v)
+      (m.files ++ m.cdcFiles).map(_.path) // a retained commit keeps its CDC
+    }.toSet
     val cutoff = System.currentTimeMillis() - retainAgeMs
     def oldEnough(p: JPath): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -497,8 +509,11 @@ object GraftTable {
     if (touched.isEmpty) return head // nothing to delete — no empty commit
     val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
     val survivors = readFiles(s, dir, m.copy(files = rewrite)).filter(!pred)
+    val cdc = if (!cdcEnabled(s)) None else Some(
+      readFiles(s, dir, m.copy(files = rewrite)).filter(pred)
+        .withColumn(ChangeTypeCol, lit("delete")))
     commit(s, dir, survivors, statsCols, head + 1, "delete", prev = carry,
-      prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
+      prevSchema = Some(StructType.fromDDL(m.schemaDdl)), cdc = cdc)
   }
 
   /** Copy-on-write UPDATE: rewrite ONLY the files containing a predicate
@@ -535,8 +550,22 @@ object GraftTable {
       }
     }
     val updated = readFiles(s, dir, m.copy(files = rewrite)).select(proj: _*)
+    val cdc = if (!cdcEnabled(s)) None else {
+      val hit = readFiles(s, dir, m.copy(files = rewrite)).filter(pred)
+      // postimages apply the assignments unconditionally (rows already
+      // filtered to the predicate), still against the ORIGINAL row
+      val post = schema.fieldNames.toSeq.map { c =>
+        sets.find(_._1 == c) match {
+          case Some((_, v)) => v.cast(schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }
+      Some(hit.withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(hit.select(post: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))))
+    }
     commit(s, dir, updated, statsCols, head + 1, "update", prev = carry,
-      prevSchema = Some(schema))
+      prevSchema = Some(schema), cdc = cdc)
   }
 
   /** [[delete]] by KEY SET: remove every row whose `keyCol` appears in
@@ -560,8 +589,12 @@ object GraftTable {
     val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
     val survivors = readFiles(s, dir, m.copy(files = rewrite))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    val cdc = if (!cdcEnabled(s)) None else Some(
+      readFiles(s, dir, m.copy(files = rewrite))
+        .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "semi")
+        .withColumn(ChangeTypeCol, lit("delete")))
     commit(s, dir, survivors, statsCols, head + 1, "delete", prev = carry,
-      prevSchema = Some(StructType.fromDDL(m.schemaDdl)))
+      prevSchema = Some(StructType.fromDDL(m.schemaDdl)), cdc = cdc)
   }
 
   /** MERGE / upsert by key, copy-on-write, ONE atomic commit: rows of
@@ -597,8 +630,26 @@ object GraftTable {
         statsCols, version, arrival = false)
     val arrivals = writeFiles(s, dir, batch, statsCols, version, arrival = true)
     val schema = mergeSchema(StructType.fromDDL(m.schemaDdl), batch.schema)
+    // CDC splits the commit exactly: replaced old rows (preimage), their
+    // replacements from the batch (postimage), genuinely new keys (insert).
+    // The sidecar is the commit's COMPLETE change set — readCdc then never
+    // also synthesizes from this commit's arrival files.
+    val cdcFs = if (!cdcEnabled(s)) Nil else {
+      val old = readFiles(s, dir, m.copy(files = rewrite))
+      val matched = old.join(keys, Seq(keyCol), "semi")
+      val matchedKeys = matched.select(col(keyCol)).distinct()
+      writeCdcFiles(s, dir,
+        matched.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(batch.join(matchedKeys, Seq(keyCol), "semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")),
+            allowMissingColumns = true)
+          .unionByName(batch.join(matchedKeys, Seq(keyCol), "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = true),
+        version)
+    }
     publish(dir, Manifest(version, "upsert", schema.toDDL,
-      carry ++ survivors ++ arrivals))
+      carry ++ survivors ++ arrivals, cdcFiles = cdcFs))
     version
   }
 
@@ -690,16 +741,53 @@ object GraftTable {
     }.sortBy(_.path).toSeq
   }
 
+  /** Change-data capture is OFF by default (`spark.graft.cdc=true` turns
+    * it on): a row-level mutation then pays one extra write of exactly the
+    * CHANGED rows — the minimum any CDC can record — and nothing else in
+    * the write path changes. The default stays zero-write-amplification
+    * for pipelines that never read a change feed. */
+  private[graft] def cdcEnabled(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.cdc").exists(_.toBoolean)
+
+  /** The change-feed's type column (Delta CDF's names): `insert`,
+    * `delete`, `update_preimage`, `update_postimage`. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Write a commit's change-data sidecar under `data/cdc…`: plain
+    * parquet of (row, `_change_type`), no stats (the feed is consumed
+    * whole per commit, never pruned). Returns Nil for an empty frame. */
+  private def writeCdcFiles(s: SparkSession, dir: String, cdc: DataFrame,
+                            version: Int): Seq[TableFile] = {
+    require(!cdc.schema.fieldNames.contains(ChangeTypeCol) ||
+      cdc.schema.fieldNames.count(_ == ChangeTypeCol) == 1,
+      s"table schema already carries a $ChangeTypeCol column")
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val sub = f"data/cdc$version%05d_$salt"
+    cdc.write.parquet(s"$dir/$sub")
+    val back = s.read.schema(cdc.schema).parquet(s"$dir/$sub")
+    back.groupBy(input_file_name().as("_f")).agg(count(lit(1)).as("_n"))
+      .collect() // bounded: one row per sidecar FILE of this commit
+      .map { r =>
+        val full = r.getString(0)
+        val rel = full.substring(full.indexOf(sub))
+        val onDisk = try Files.size(Paths.get(dir, rel)) catch { case _: Exception => 0L }
+        TableFile(rel, r.getAs[Long]("_n"), Map.empty, bytes = onDisk)
+      }.sortBy(_.path).toSeq
+  }
+
   private def commit(s: SparkSession, dir: String, df: DataFrame,
                      statsCols: Seq[String], version: Int, op: String,
                      prev: Seq[TableFile],
                      txn: Option[(String, Long)] = None,
-                     prevSchema: Option[StructType] = None): Int = {
+                     prevSchema: Option[StructType] = None,
+                     cdc: Option[DataFrame] = None): Int = {
     // compact/delete/update fresh files REWRITE old rows — never arrivals
     val arrival = op != "compact" && op != "delete" && op != "update"
     val fresh = writeFiles(s, dir, df, statsCols, version, arrival)
     val schema = prevSchema.map(mergeSchema(_, df.schema)).getOrElse(df.schema)
-    publish(dir, Manifest(version, op, schema.toDDL, prev ++ fresh, txn))
+    val cdcFs = cdc.map(writeCdcFiles(s, dir, _, version)).getOrElse(Nil)
+    publish(dir, Manifest(version, op, schema.toDDL, prev ++ fresh, txn,
+      cdcFiles = cdcFs))
     version
   }
 
@@ -723,6 +811,9 @@ object GraftTable {
           .map { case (c, (mn, mx)) => s"$c=${hex(mn)}..${hex(mx)}" }.mkString(";")
       val kind = if (f.arrival) "add" else "rewrite"
       body.append(s"file\t$kind\t${f.path}\t${f.records}\t$stats\t$strStats\t${f.bytes}\n")
+    }
+    m.cdcFiles.foreach { f =>
+      body.append(s"file\tcdc\t${f.path}\t${f.records}\t-\t-\t${f.bytes}\n")
     }
     val tmp = logDir(dir).resolve(
       s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -803,6 +894,64 @@ object GraftTable {
     * NEW files only; the corpus snapshot is never rescanned. */
   def readChanges(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame =
     readFiles(s, dir, manifest(dir, toV).copy(files = addedFiles(dir, fromV, toV)))
+
+  /** Full change feed over (fromV, toV] — the Delta CDF analog: every
+    * row-level change with `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} and `_commit_version`. Where
+    * [[readChanges]] carries only arrivals (append-mode), this also
+    * carries removals — the feed a downstream INDEX (d14's dedup mask,
+    * v10's IVF postings) needs to stay consistent under deletes, and what
+    * a compliance pipeline replays to propagate a PII purge.
+    *
+    * Per commit, cheapest-available source:
+    *  - a recorded `cdc` sidecar (written when `spark.graft.cdc=true` at
+    *    mutation time) is the commit's COMPLETE change set — read as-is;
+    *  - create/append/upsert without a sidecar: arrival files ARE the
+    *    inserts (an upsert without CDC under-reports — its replaced rows
+    *    were not recorded; enable CDC where that matters);
+    *  - overwrite/restore: synthesized as the file-level diff against the
+    *    previous snapshot (replaced files stay readable until [[vacuum]]);
+    *  - compact: no row-level change, contributes nothing;
+    *  - delete/update WITHOUT a sidecar THROWS: the removed rows were
+    *    never recorded and silence here would hand the consumer a feed
+    *    that is wrong in the one way it cannot detect. */
+  def readCdc(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+    val outSchema = StructType.fromDDL(manifest(dir, toV).schemaDdl)
+      .add(ChangeTypeCol, "string").add("_commit_version", "int")
+    val parts = ((fromV + 1) to toV).flatMap { v =>
+      val m = manifest(dir, v)
+      val prevM = manifest(dir, v - 1)
+      val prevPaths = prevM.files.map(_.path).toSet
+      def sliced(of: Manifest, files: Seq[TableFile], tpe: String): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(readFiles(s, dir, of.copy(files = files))
+          .withColumn(ChangeTypeCol, lit(tpe)))
+      val changes: Seq[DataFrame] =
+        if (m.cdcFiles.nonEmpty) {
+          val cdcSchema = StructType.fromDDL(m.schemaDdl).add(ChangeTypeCol, "string")
+          Seq(s.read.schema(cdcSchema)
+            .parquet(m.cdcFiles.map(f => s"$dir/${f.path}"): _*))
+        } else m.op match {
+          case "compact" => Nil
+          case "delete" | "update" => throw new IllegalStateException(
+            s"commit v$v of $dir is op=${m.op} written without CDC " +
+              "(spark.graft.cdc was not true at write time): its removed " +
+              "rows were never recorded and cannot be reconstructed — " +
+              "enable spark.graft.cdc before mutating, or re-sync the " +
+              "consumer from a full snapshot")
+          case "overwrite" | "restore" =>
+            val curPaths = m.files.map(_.path).toSet
+            sliced(prevM, prevM.files.filterNot(f => curPaths(f.path)), "delete").toSeq ++
+              sliced(m, m.files.filterNot(f => prevPaths(f.path)), "insert")
+          case _ => // create/append/exactly-once append/upsert-no-sidecar
+            sliced(m, m.files.filter(f => f.arrival && !prevPaths(f.path)),
+              "insert").toSeq
+        }
+      changes.map(_.withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Manifest-level file skipping: read only files whose [min,max] stats
     * range for `colName` overlaps [lo,hi], then apply the row predicate.

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+/** Change data feed (GraftTable.readCdc): where the append-mode changelog
+  * carries only arrivals, the CDC feed also carries removals and updates —
+  * written as a per-commit sidecar of exactly the changed rows when
+  * `spark.graft.cdc=true`, synthesized from manifest file diffs where a
+  * sidecar is unnecessary (pure appends, overwrite/restore), and REFUSING
+  * where neither exists (a delete written without CDC cannot be replayed).
+  * The consumer contract under test: folding the feed over a downstream
+  * copy reproduces the table head exactly — deletes included. */
+class GraftCdcTest extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-cdc-$tag").resolve("t").toString
+
+  private def withCdc[A](body: => A): A = {
+    spark.conf.set("spark.graft.cdc", "true")
+    try body finally spark.conf.unset("spark.graft.cdc")
+  }
+
+  private def rows(from: Long, n: Long, src: String) =
+    spark.range(from, from + n).select(col("id").as("doc_id"),
+      lit(src).as("source"), (col("id") * 10).as("score"))
+
+  test("delete/update/upsert record exact sidecars; appends synthesize inserts; feed folds to the head") {
+    val tdir = freshDir("fold")
+    GraftTable.create(spark, tdir, rows(0, 100, "s0"), Seq("doc_id"))          // v0
+    GraftTable.append(spark, tdir, rows(100, 20, "s1"), Seq("doc_id"))         // v1
+    withCdc {
+      GraftTable.delete(spark, tdir, col("doc_id") < 10, Seq("doc_id"))        // v2
+      GraftTable.updateWhere(spark, tdir, col("source") === "s1",
+        Seq("score" -> (col("score") + 1)), Seq("doc_id"))                     // v3
+      GraftTable.upsert(spark, tdir, "doc_id",
+        rows(115, 10, "s2"), Seq("doc_id"))                                    // v4: 5 matched, 5 new
+    }
+
+    val cdc = GraftTable.readCdc(spark, tdir, 0, 4).cache()
+    // v1 append: 20 inserts synthesized from arrival files, no sidecar
+    assert(GraftTable.manifest(tdir, 1).cdcFiles.isEmpty)
+    assert(cdc.filter(col("_commit_version") === 1)
+      .agg(count(lit(1)), sum(when(col("_change_type") === "insert", 1).otherwise(0)))
+      .collect().head.toSeq == Seq(20L, 20L))
+    // v2 delete: exactly the 10 removed rows, type=delete, from the sidecar
+    assert(GraftTable.manifest(tdir, 2).cdcFiles.nonEmpty)
+    val del = cdc.filter(col("_commit_version") === 2)
+    assert(del.agg(count(lit(1))).collect().head.getLong(0) == 10)
+    assert(del.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(del.select("doc_id").collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    // v3 update: 20 preimages with old scores + 20 postimages with new
+    val upd = cdc.filter(col("_commit_version") === 3)
+    assert(upd.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("update_preimage" -> 20L, "update_postimage" -> 20L))
+    assert(upd.filter(col("_change_type") === "update_postimage")
+      .filter(col("score") =!= col("doc_id") * 10 + 1).count() == 0)
+    assert(upd.filter(col("_change_type") === "update_preimage")
+      .filter(col("score") =!= col("doc_id") * 10).count() == 0)
+    // v4 upsert: keys 115..119 matched (pre+post), 120..124 inserted
+    val ups = cdc.filter(col("_commit_version") === 4)
+    assert(ups.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("update_preimage" -> 5L, "update_postimage" -> 5L, "insert" -> 5L))
+    assert(ups.filter(col("_change_type") === "insert")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == (120L to 124L).toSet)
+
+    // THE consumer contract: folding the feed over the v0 snapshot
+    // reproduces the head exactly — deletes and updates included
+    val v0 = GraftTable.read(spark, tdir, Some(0))
+    val inserts = cdc.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("doc_id", "source", "score")
+    val dels = cdc.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col("doc_id"), col("source"), col("score"))
+    val folded = v0.unionByName(inserts).exceptAll(dels)
+    val head = GraftTable.read(spark, tdir)
+    assert(folded.exceptAll(head).count() == 0 && head.exceptAll(folded).count() == 0,
+      "replaying the CDC feed must reproduce the table head exactly")
+    cdc.unpersist()
+  }
+
+  test("overwrite synthesizes delete(old)+insert(new) from the file diff; changelog untouched by CDC") {
+    val tdir = freshDir("ovw")
+    GraftTable.create(spark, tdir, rows(0, 50, "s0"), Seq("doc_id"))
+    GraftTable.overwrite(spark, tdir, rows(500, 5, "sY"), Seq("doc_id"))
+    val cdc = GraftTable.readCdc(spark, tdir, 0, 1)
+    assert(cdc.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("delete" -> 50L, "insert" -> 5L))
+    // no sidecar was needed — the diff reads the replaced files in place
+    assert(GraftTable.manifest(tdir, 1).cdcFiles.isEmpty)
+    // the append-mode changelog is unchanged by CDC existing
+    assert(GraftTable.readChanges(spark, tdir, 0, 1).count() == 5)
+  }
+
+  test("a delete written WITHOUT cdc refuses to serve the feed; vacuum keeps retained sidecars") {
+    val tdir = freshDir("refuse")
+    GraftTable.create(spark, tdir, rows(0, 30, "s0"), Seq("doc_id"))
+    GraftTable.delete(spark, tdir, col("doc_id") < 5, Seq("doc_id")) // no CDC
+    val e = intercept[IllegalStateException] {
+      GraftTable.readCdc(spark, tdir, 0, 1).count()
+    }
+    assert(e.getMessage.contains("without CDC"), e.getMessage)
+
+    // sidecars survive a vacuum that retains their version...
+    withCdc { GraftTable.delete(spark, tdir, col("doc_id") >= 25, Seq("doc_id")) } // v2
+    val sidecars = GraftTable.manifest(tdir, 2).cdcFiles.map(_.path)
+    assert(sidecars.nonEmpty)
+    GraftTable.vacuum(tdir, retainVersions = Int.MaxValue, retainAgeMs = 0L)
+    sidecars.foreach(p => assert(Files.exists(java.nio.file.Paths.get(tdir, p)),
+      s"retained commit's sidecar $p must survive vacuum"))
+    assert(GraftTable.readCdc(spark, tdir, 1, 2).count() == 5)
+    // ...and are reaped with their version past the horizon
+    GraftTable.vacuum(tdir, retainVersions = 0, retainAgeMs = 0L)
+    val head = GraftTable.currentVersion(tdir).get
+    (0 until head).foreach { v =>
+      GraftTable.manifest(tdir, v).cdcFiles.map(_.path).foreach { p =>
+        val gone = !Files.exists(java.nio.file.Paths.get(tdir, p))
+        val stillLive = GraftTable.manifest(tdir, head).cdcFiles.map(_.path).contains(p)
+        assert(gone || stillLive, s"out-of-horizon sidecar $p should be reaped")
+      }
+    }
+  }
+
+}

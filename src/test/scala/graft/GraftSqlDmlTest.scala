@@ -107,6 +107,20 @@ class GraftSqlDmlTest extends AnyFunSuite {
       .filter(col("source") === "src2" && col("doc_id") > 200).count() == 0)
   }
 
+  test("SQL DELETE/UPDATE write the change feed when the session enables cdc") {
+    val tdir = mkTable("cdc", n = 40)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdc_v USING `graft-table` OPTIONS (path '$tdir')")
+    spark.conf.set("spark.graft.cdc", "true")
+    try {
+      spark.sql("DELETE FROM cdc_v WHERE doc_id < 4")                        // v1
+      spark.sql("UPDATE cdc_v SET score = score + 100 WHERE doc_id >= 38")   // v2
+    } finally spark.conf.unset("spark.graft.cdc")
+    val cdc = GraftTable.readCdc(spark, tdir, 0, 2)
+    assert(cdc.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("delete" -> 4L, "update_preimage" -> 2L, "update_postimage" -> 2L))
+  }
+
   test("MERGE INTO view routes to the one-commit upsert; non-star shapes refuse") {
     val tdir = mkTable("merge")
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW m_v USING `graft-table` OPTIONS (path '$tdir')")
