@@ -316,6 +316,44 @@ object GraftTable {
     exactlyOnceAppend(df.sparkSession, dir, df, appId, batchId, statsCols); ()
   }
 
+  /** foreachBatch adapter that REPLICATES a change feed into a mirror
+    * table — continuous replication including purges, the consumer half of
+    * the CDC story:
+    * {{{
+    *   spark.readStream.format("graft-table")
+    *     .option("path", srcDir).option("readChangeFeed", "true").load()
+    *     .writeStream.foreachBatch(GraftTable.cdcMirrorInto(mirrorDir, "doc_id", "app"))
+    * }}}
+    * A micro-batch may span several source commits; they apply IN SOURCE
+    * ORDER (an insert-then-delete of the same key nets to absent, never
+    * the reverse), deletes/preimages as one [[deleteKeys]] and
+    * inserts/postimages as one append per source commit. Exactly-once
+    * under replay: the source version IS the idempotence token (monotone,
+    * so `(appId, version)` rides the mirror's append commit; a replayed
+    * version skips — its deleteKeys half is idempotent by itself). The
+    * mirror lags the source only by the feed, never rescans it. */
+  def cdcMirrorInto(dir: String, keyCol: String, appId: String,
+                    statsCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val s = batch.sparkSession
+      // bounded collect: one row per SOURCE COMMIT in this micro-batch
+      val versions = batch.select(col("_commit_version")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      versions.foreach { v =>
+        if (!lastTxn(dir, appId).exists(_ >= v)) {
+          val b = batch.filter(col("_commit_version") === v)
+          val dels = b.filter(col(ChangeTypeCol)
+            .isin("delete", "update_preimage")).select(col(keyCol))
+          val ins = b.filter(col(ChangeTypeCol)
+            .isin("insert", "update_postimage"))
+            .drop(ChangeTypeCol, "_commit_version")
+          if (currentVersion(dir).nonEmpty)
+            deleteKeys(s, dir, keyCol, dels, statsCols)
+          exactlyOnceAppend(s, dir, ins, appId, batchId = v, statsCols)
+        }
+      }
+    }
+
   /** Rewrite the head snapshot into `targetFiles` files, published as an
     * op=compact commit: same rows, new layout, and — by the changelog
     * contract — contributes NOTHING to `readChanges`/the streaming source

@@ -52,6 +52,7 @@ class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsR
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = options.getInt("startingVersion", 0)
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val cdcMode = options.getBoolean("readChangeFeed", false)
     // `filterEq` = "col=value": the micro-batch engine applies no pushdown
     // to streaming scans, so the equality-predicate seam is explicit (the
     // readColumns precedent). Manifest stats drop whole non-matching
@@ -68,20 +69,22 @@ class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsR
         s"${pinned.fieldNames.mkString(",")} (add it to readColumns)") }
     new ScanBuilder {
       override def build(): Scan =
-        new GraftTableScan(dir, pinned, startingVersion, maxFiles, filterEq)
+        new GraftTableScan(dir, pinned, startingVersion, maxFiles, filterEq,
+          cdcMode)
     }
   }
 }
 
 class GraftTableScan(dir: String, required: StructType, startingVersion: Int,
                      maxFilesPerTrigger: Option[Int],
-                     filterEq: Option[(String, String)] = None)
+                     filterEq: Option[(String, String)] = None,
+                     cdcMode: Boolean = false)
   extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft-table $dir from v$startingVersion"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTableMicroBatchStream(dir, required, startingVersion,
-      maxFilesPerTrigger, filterEq)
+      maxFilesPerTrigger, filterEq, cdcMode)
 }
 
 /** Stream offset in one of three shapes (json kept back-compatible with
@@ -124,7 +127,8 @@ object GraftTableMicroBatchStream {
 class GraftTableMicroBatchStream(dir: String, pinned: StructType,
                                  startingVersion: Int,
                                  maxFilesPerTrigger: Option[Int] = None,
-                                 filterEq: Option[(String, String)] = None)
+                                 filterEq: Option[(String, String)] = None,
+                                 cdcMode: Boolean = false)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -149,6 +153,39 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
     * commit's files sorted by path, addedFiles preserves it). */
   private def arrivals(v: Int): Seq[GraftTable.TableFile] =
     GraftTable.addedFiles(dir, v, v + 1)
+
+  /** CDC mode: the unit files of commit v+1 with their change-type stamp
+    * (None = a sidecar file carrying its own `_change_type` column) —
+    * mirrors [[GraftTable.readCdc]]'s per-commit source selection, in a
+    * deterministic order so offset arithmetic can split inside a commit.
+    * A delete/update commit written without CDC fails the stream with the
+    * same refusal as the batch feed. */
+  private def changeFiles(v: Int):
+      Seq[(GraftTable.TableFile, Option[String])] = {
+    val m = GraftTable.manifest(dir, v + 1)
+    if (m.cdcFiles.nonEmpty) m.cdcFiles.map(f => (f, None))
+    else m.op match {
+      case "compact" => Nil
+      case "delete" | "update" => throw new IllegalStateException(
+        s"commit v${v + 1} of $dir is op=${m.op} written without CDC " +
+          "(spark.graft.cdc was not true at write time): the change feed " +
+          "cannot serve its removed rows — enable spark.graft.cdc before " +
+          "mutating, or restart the consumer from a full snapshot")
+      case "overwrite" | "restore" =>
+        val prevM = GraftTable.manifest(dir, v)
+        val cur = m.files.map(_.path).toSet
+        val prev = prevM.files.map(_.path).toSet
+        prevM.files.filterNot(f => cur(f.path)).map(f => (f, Some("delete"))) ++
+          m.files.filterNot(f => prev(f.path)).map(f => (f, Some("insert")))
+      case _ => arrivals(v).map(f => (f, Some("insert")))
+    }
+  }
+
+  /** One commit's unit-file list under the active mode — the single list
+    * both the admission-control budget walk and partition planning slice,
+    * so a split offset always addresses the same file. */
+  private def units(v: Int): Seq[(GraftTable.TableFile, Option[String])] =
+    if (cdcMode) changeFiles(v) else arrivals(v).map(f => (f, None))
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -192,12 +229,12 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
       else GraftStreamOffset(-1, head, budget0)
     } else {
       // tail: walk whole commits (and empty ones for free) under budget,
-      // splitting inside a commit when its arrival list exceeds it
+      // splitting inside a commit when its unit-file list exceeds it
       var v = s.v
       var i = math.max(s.idx, 0)
       var budget = budget0
       while (v < head) {
-        val arr = arrivals(v)
+        val arr = units(v)
         val remaining = arr.size - i
         if (remaining <= budget) { budget -= remaining; v += 1; i = 0 }
         else return GraftStreamOffset(v, -1, i + budget)
@@ -213,39 +250,46 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
     // an empty range (recovery re-plan, no-progress tick) must not touch
     // any manifest: (v, 0) references commit v+1, which may not exist yet
     if (s == e) return Array.empty
-    val files: Seq[GraftTable.TableFile] =
+    // (file, change-type stamp, commit version); the stamp is None for a
+    // CDC sidecar (its _change_type rides in the file) and in non-CDC mode
+    val snapStamp = if (cdcMode) Some("insert") else None
+    val files: Seq[(GraftTable.TableFile, Option[String], Int)] =
       if (e.backfillTo >= 0) {
         // still inside the pinned backfill
         val all = GraftTable.manifest(dir, e.backfillTo).files
         val from = if (s.backfillTo >= 0) s.idx else 0
-        all.slice(from, e.idx)
+        all.slice(from, e.idx).map((_, snapStamp, e.backfillTo))
       } else if (s.backfillTo >= 0) {
         // backfill completes at e.v == the pinned snapshot
         GraftTable.manifest(dir, s.backfillTo).files.drop(s.idx)
+          .map((_, snapStamp, s.backfillTo))
       } else if (s.v < 0 && s.idx < 0) {
         // unbounded first batch: the full snapshot at e.v
-        if (e.v < 0) Seq.empty else GraftTable.manifest(dir, e.v).files
+        if (e.v < 0) Seq.empty
+        else GraftTable.manifest(dir, e.v).files.map((_, snapStamp, e.v))
       } else {
         // tail range, possibly split inside the first and/or last commit.
         // Normalize both ends to (complete-through version, partial count
-        // into the NEXT commit's arrival list): plain v ≡ (v, 0).
+        // into the NEXT commit's unit list): plain v ≡ (v, 0).
         val sPart = math.max(s.idx, 0)
         val ePart = math.max(e.idx, 0)
-        if (e.v == s.v && ePart <= sPart) Seq.empty // before arrivals() I/O
-        else if (e.v == s.v) arrivals(s.v).slice(sPart, ePart)
+        def of(v: Int) = units(v).map { case (f, t) => (f, t, v + 1) }
+        if (e.v == s.v && ePart <= sPart) Seq.empty // before units() I/O
+        else if (e.v == s.v) of(s.v).slice(sPart, ePart)
         else
-          arrivals(s.v).drop(sPart) ++                       // rest of commit s.v+1
-            GraftTable.addedFiles(dir, s.v + 1, e.v) ++      // commits s.v+2 .. e.v
-            (if (ePart > 0) arrivals(e.v).take(ePart) else Seq.empty)
+          of(s.v).drop(sPart) ++                             // rest of commit s.v+1
+            ((s.v + 1) until e.v).flatMap(of) ++             // commits s.v+2 .. e.v
+            (if (ePart > 0) of(e.v).take(ePart) else Seq.empty)
       }
     // filterEq file skipping: a file whose manifest stats range PROVES the
     // equality can't match is never planned (conservative: no stats for
-    // the column ⇒ keep). The budget/offset arithmetic above stays on the
-    // PRE-filter changelog, so offsets remain stable if the filter changes
-    // across restarts.
+    // the column ⇒ keep — CDC sidecars carry no stats, so they always
+    // plan). The budget/offset arithmetic above stays on the PRE-filter
+    // changelog, so offsets remain stable if the filter changes across
+    // restarts.
     val kept = filterEq match {
       case None => files
-      case Some((c, v)) => files.filter { f =>
+      case Some((c, v)) => files.filter { case (f, _, _) =>
         val longOk = scala.util.Try(v.toLong).toOption.forall(n =>
           f.stats.get(c).forall { case (mn, mx) => n >= mn && n <= mx })
         val strOk = f.strStats.get(c).forall { case (mn, mx) =>
@@ -254,9 +298,12 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
       }
     }
     GraftTableMicroBatchStream.lastPlanned.set((kept.size, files.size))
-    kept.map(f =>
+    kept.map { case (f, stamp, cv) =>
       GraftFilePartition(s"$dir/${f.path}", pinned.toDDL,
-        filterEq.map(fe => s"${fe._1}=${fe._2}")): InputPartition).toArray
+        filterEq.map(fe => s"${fe._1}=${fe._2}"),
+        changeType = stamp,
+        commitVersion = if (cdcMode) cv else -1): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -266,9 +313,14 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
 }
 
 /** One manifest data file; the pinned schema rides as DDL (StructType is
-  * serializable too, but DDL keeps the task payload small and versionable). */
+  * serializable too, but DDL keeps the task payload small and versionable).
+  * `changeType`/`commitVersion` are the change-feed constants stamped onto
+  * every row of a SYNTHESIZED change file (a sidecar file carries its own
+  * `_change_type`; -1 = not a change-feed read). */
 case class GraftFilePartition(path: String, schemaDdl: String,
-                              filterEq: Option[String] = None) extends InputPartition
+                              filterEq: Option[String] = None,
+                              changeType: Option[String] = None,
+                              commitVersion: Int = -1) extends InputPartition
 
 class GraftParquetReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -276,7 +328,7 @@ class GraftParquetReaderFactory extends PartitionReaderFactory {
     new GraftParquetPartitionReader(gp.path, StructType.fromDDL(gp.schemaDdl),
       gp.filterEq.map { s =>
         val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1))
-      })
+      }, gp.changeType, gp.commitVersion)
   }
 }
 
@@ -288,8 +340,21 @@ class GraftParquetReaderFactory extends PartitionReaderFactory {
   * manifest schema can carry (DECIMAL/MAP never appear in graft tables).
   */
 class GraftParquetPartitionReader(path: String, schema: StructType,
-                                  filterEq: Option[(String, String)] = None)
+                                  filterEq: Option[(String, String)] = None,
+                                  changeType: Option[String] = None,
+                                  commitVersion: Int = -1)
   extends PartitionReader[InternalRow] {
+
+  // change-feed constant columns, resolved once against the read schema:
+  // a synthesized file stamps both; a sidecar file stamps only the
+  // version (its _change_type is decoded from the file itself)
+  private val stampType: Option[(Int, UTF8String)] = changeType.flatMap { t =>
+    val i = schema.fieldNames.indexOf(GraftTable.ChangeTypeCol)
+    if (i < 0) None else Some((i, UTF8String.fromString(t)))
+  }
+  private val stampVersion: Option[Int] =
+    if (commitVersion < 0) None
+    else Some(schema.fieldNames.indexOf("_commit_version")).filter(_ >= 0)
 
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -352,11 +417,16 @@ class GraftParquetPartitionReader(path: String, schema: StructType,
     current != null
   }
 
-  override def get(): InternalRow = convertStruct(current, schema)
+  override def get(): InternalRow = {
+    val row = convertStruct(current, schema)
+    stampType.foreach { case (i, t) => row.update(i, t) }
+    stampVersion.foreach(i => row.update(i, commitVersion))
+    row
+  }
 
   override def close(): Unit = reader.close()
 
-  private def convertStruct(g: Group, st: StructType): InternalRow = {
+  private def convertStruct(g: Group, st: StructType): GenericInternalRow = {
     val vals = new Array[Any](st.length)
     var i = 0
     while (i < st.length) {

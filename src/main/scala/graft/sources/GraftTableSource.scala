@@ -228,7 +228,15 @@ class GraftTableSourceProvider extends RelationProvider
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
     if (GraftTable.currentVersion(dir).isEmpty) new StructType()
-    else narrow(GraftTableSource.tableSchema(dir), Option(options.get("readColumns")))
+    else {
+      val base = narrow(GraftTableSource.tableSchema(dir),
+        Option(options.get("readColumns")))
+      // the streaming change feed carries its two metadata columns; the
+      // initial-snapshot backfill surfaces as _change_type='insert'
+      if (options.getBoolean("readChangeFeed", false))
+        base.add(GraftTable.ChangeTypeCol, "string").add("_commit_version", "int")
+      else base
+    }
   }
 
   override def getTable(schema: StructType,

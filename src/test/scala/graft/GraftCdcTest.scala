@@ -99,6 +99,89 @@ class GraftCdcTest extends AnyFunSuite {
     assert(GraftTable.readChanges(spark, tdir, 0, 1).count() == 5)
   }
 
+  test("streaming change feed: backfill inserts, per-commit changes with types/versions, refusal on non-CDC delete") {
+    val tdir = freshDir("stream")
+    GraftTable.create(spark, tdir, rows(0, 100, "s0"), Seq("doc_id"))          // v0
+    val q = spark.readStream.format("graft-table").option("path", tdir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdc_feed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("cdc_feed")
+      assert(t.count() == 100 &&
+        t.filter(col("_change_type") === "insert" && col("_commit_version") === 0)
+          .count() == 100,
+        "backfill = the pinned snapshot as inserts at its version")
+
+      spark.conf.set("spark.graft.cdc", "true")
+      try {
+        GraftTable.delete(spark, tdir, col("doc_id") < 10, Seq("doc_id"))      // v1
+        GraftTable.updateWhere(spark, tdir, col("doc_id") >= 95,
+          Seq("score" -> (col("score") + 1)), Seq("doc_id"))                   // v2
+      } finally spark.conf.unset("spark.graft.cdc")
+      GraftTable.append(spark, tdir, rows(200, 20, "s1"), Seq("doc_id"))       // v3
+      GraftTable.compact(spark, tdir, targetFiles = 1, Seq("doc_id"))          // v4
+      q.processAllAvailable()
+
+      val byCommit = spark.table("cdc_feed")
+        .groupBy(col("_commit_version"), col("_change_type")).count().collect()
+        .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+      assert(byCommit == Map(
+        (0, "insert") -> 100L, (1, "delete") -> 10L,
+        (2, "update_preimage") -> 5L, (2, "update_postimage") -> 5L,
+        (3, "insert") -> 20L),
+        s"feed per (commit, type) drifted: $byCommit — compact must emit nothing")
+      // the stream ≡ the batch feed over the same range (tail portion)
+      val streamTail = spark.table("cdc_feed").filter(col("_commit_version") > 0)
+        .select("doc_id", "score", "_change_type", "_commit_version")
+      val batchFeed = GraftTable.readCdc(spark, tdir, 0, 4)
+        .select("doc_id", "score", "_change_type", "_commit_version")
+      assert(streamTail.exceptAll(batchFeed).count() == 0 &&
+        batchFeed.exceptAll(streamTail).count() == 0,
+        "streaming feed must equal the batch feed row-for-row")
+
+      // a mutation written without CDC fails the stream with the refusal
+      GraftTable.delete(spark, tdir, col("doc_id") === 50L, Seq("doc_id"))     // v5, no CDC
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("without CDC") ||
+        Option(e.getCause).exists(_.getMessage.contains("without CDC")),
+        s"stream must refuse, got: ${e.getMessage}")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS cdc_feed") }
+  }
+
+  test("cdcMirrorInto replicates a mutating table into a mirror, purges included, in source order") {
+    val tdir = freshDir("src")
+    val mdir = freshDir("mirror")
+    GraftTable.create(spark, tdir, rows(0, 60, "s0"), Seq("doc_id"))
+    val q = spark.readStream.format("graft-table").option("path", tdir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.foreachBatch(GraftTable.cdcMirrorInto(mdir, "doc_id", "mir", Seq("doc_id")))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(GraftTable.read(spark, mdir).count() == 60)
+
+      // one drained batch spanning several commits, including an
+      // insert-then-delete of the SAME key — order must net to absent
+      withCdc {
+        GraftTable.append(spark, tdir, rows(100, 5, "s1"), Seq("doc_id"))      // v1: +100..104
+        GraftTable.delete(spark, tdir, col("doc_id") === 102L, Seq("doc_id"))  // v2: -102
+        GraftTable.upsert(spark, tdir, "doc_id", rows(58, 4, "s2"), Seq("doc_id")) // v3: 58,59 replaced; 60,61 new
+      }
+      q.processAllAvailable()
+      val src = GraftTable.read(spark, tdir)
+      val mir = GraftTable.read(spark, mdir)
+      assert(mir.exceptAll(src).count() == 0 && src.exceptAll(mir).count() == 0,
+        "mirror must equal the source head after a multi-commit batch")
+      assert(mir.filter(col("doc_id") === 102L).count() == 0,
+        "insert-then-delete in one batch must net to absent")
+
+      // replayed version skips: the source version is the idempotence token
+      assert(GraftTable.lastTxn(mdir, "mir").contains(3L))
+    } finally q.stop()
+  }
+
   test("a delete written WITHOUT cdc refuses to serve the feed; vacuum keeps retained sidecars") {
     val tdir = freshDir("refuse")
     GraftTable.create(spark, tdir, rows(0, 30, "s0"), Seq("doc_id"))
