@@ -771,6 +771,98 @@ object Sketches {
     }
   }
 
+  /** CDC-consistent serving form of [[ivfIncrementalTable]] — the consumer
+    * the change feed exists for: the assignment an ANN query scans is the
+    * frozen-quantizer corpus index FOLDED with the table's change feed over
+    * (corpusVersion, headVersion]. Inserts and update POSTIMAGES route
+    * against the frozen centers (v10 mechanics); deletes and update
+    * PREIMAGES tombstone their vec_ids; a re-inserted id serves its LATEST
+    * embedding (per-id last-change-wins, resolved by (_commit_version,
+    * add-over-delete)) — never a stale posting. Cost tracks the FEED: the
+    * corpus assignment is an immutable artifact, the fold is one
+    * feed-sized groupBy plus an anti-join on vec_id, and no corpus vector
+    * is ever re-read or re-routed. Without this, a purged document keeps
+    * surfacing from the ANN index — the staleness class d17's table
+    * delete removes from the lexical side, closed here for vectors. */
+  def ivfServeTableCdc(s: SparkSession, tableDir: String, corpusVersion: Int,
+                       headVersion: Int, nlist: Int = 16)
+      : (IvfIndex, DataFrame) = {
+    import graft.sources.{GraftTable, IndexStore}
+    val key = "ivftbl" + IndexStore.dirId(tableDir) + s"-v$corpusVersion"
+    val idx = buildIvfIndexKeyed(s, key,
+      GraftTable.read(s, tableDir, Some(corpusVersion))
+        .select(col("vec_id"), col("embedding")), nlist)
+    val feed = GraftTable.readCdc(s, tableDir, corpusVersion, headVersion)
+    val isAdd = col(GraftTable.ChangeTypeCol).isin("insert", "update_postimage")
+    // last change per vec_id wins; within one commit the postimage
+    // outranks the preimage (an upsert tombstones AND re-adds in one
+    // version), so `rank` sits after the version in the ordering struct
+    val resolved = feed
+      .select(col("vec_id"),
+        struct(col("_commit_version"),
+          when(isAdd, 1).otherwise(0).as("rank"), col("embedding")).as("st"))
+      .groupBy(col("vec_id")).agg(max(col("st")).as("last"))
+      .select(col("vec_id"), col("last.rank").as("rank"),
+        col("last.embedding").as("embedding"))
+    val adds = resolved.filter(col("rank") === 1)
+      .select(col("vec_id"), col("embedding"))
+    val (delta, _) = IndexStore.materializeKeyed(s, key,
+      s"cdcdelta_v$headVersion") { ivfRoute(adds, idx.centers) }
+    // every CHANGED id leaves the corpus postings; survivors re-enter
+    // routed at their latest embedding
+    val served = idx.assigned
+      .join(resolved.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(delta)
+    (idx, served)
+  }
+
+  /** Build-once embeddings table fixture for v15: v0 = the full corpus;
+    * the upgrade (CDC enabled) is a purge DELETE of `vec_id % 7 == 3`
+    * followed by a re-embedding UPSERT of `vec_id % 10 == 5` with a
+    * deterministic affine shift — ids ≡ 35 (mod 70) are deleted THEN
+    * re-inserted, exercising last-change-wins. */
+  def embCdcTable(s: SparkSession, dir: String): String = {
+    import graft.sources.{GraftTable, IndexStore}
+    val tdir = IndexStore.artifactPath(s, dir, "emb_cdc_table")
+    GraftTable.getOrCreateUpgraded(s, tdir, statsCols = Seq("vec_id")) {
+      Tables.table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .repartitionByRange(4, col("vec_id"))
+    } {
+      val prev = s.conf.getOption("spark.graft.cdc")
+      s.conf.set("spark.graft.cdc", "true")
+      try {
+        GraftTable.delete(s, tdir, col("vec_id") % 7 === 3, Seq("vec_id"))
+        GraftTable.upsert(s, tdir, "vec_id",
+          Tables.table(s, dir, "embeddings")
+            .filter(col("vec_id") % 10 === 5)
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> CAST(x * 0.5 + 0.1 AS FLOAT))")
+                .as("embedding")),
+          Seq("vec_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.cdc", v)
+        case None => s.conf.unset("spark.graft.cdc")
+      }
+    }
+  }
+
+  /** Declared v15 form: the CDC-consistent served assignment summarized
+    * per list — count, exact id checksum, and the re-embedded member
+    * count (ids ≡ 5 mod 10 route at their SHIFTED embedding, possibly to
+    * a different list than their original). No oracle (seeded k-means);
+    * SketchesTest proves served ≡ routing the head snapshot's content
+    * under the same frozen centers, purged ids absent, re-inserts present. */
+  def annCdcSummary(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val tdir = embCdcTable(s, dir)
+    val head = graft.sources.GraftTable.currentVersion(tdir).get
+    val (_, served) = ivfServeTableCdc(s, tdir, 0, head, nlist)
+    served.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_served"),
+        sum(col("vec_id")).as("ck_served"),
+        sum(when(col("vec_id") % 10 === 5, 1L).otherwise(0L)).as("n_reembedded"))
+      .orderBy(col("list_id"))
+  }
+
   /** SemDeDup-shape semantic dedup (Abbas et al. 2023, public method) over
     * an assigned (vec_id, list_id, embedding) frame: candidate pairs are
     * enumerated ONLY within clusters (a list_id equi self-join — never an

@@ -172,6 +172,22 @@ object PipelineExtras {
       (s, dir) => Sketches.semanticGateSummary(s, dir)
     },
 
+    // ANN serving that stays consistent under DELETES — the consumer the
+    // change feed exists for: the embeddings live in a versioned table,
+    // v1 is a CDC purge delete, v2 a CDC re-embedding upsert (ids ≡ 35
+    // mod 70 are deleted THEN re-inserted), and the served assignment is
+    // the frozen-quantizer corpus artifact FOLDED with the feed —
+    // tombstones anti-join, adds/postimages route against the frozen
+    // centers, last change per id wins. Cost tracks the feed (corpus
+    // vectors never re-read or re-routed); without it a purged document
+    // keeps surfacing from the ANN index. Output: per-list served count,
+    // exact id checksum, re-embedded member count. No oracle (seeded
+    // k-means); served ≡ head-snapshot routing under the same frozen
+    // centers, purged-absent, re-insert-present proven in SketchesTest.
+    DeclaredQuery.noOracle("v15_ann_cdc_consistent") {
+      (s, dir) => Sketches.annCdcSummary(s, dir)
+    },
+
     // As-of join as a composable operator (union-tag + running last):
     // each event joined to the latest error event of the same user at or
     // before it.

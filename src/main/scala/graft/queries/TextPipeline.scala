@@ -932,6 +932,57 @@ object TextPipeline {
             coalesce(col("max_chunks_per_doc"), lit(0L)).as("max_chunks_per_doc"),
             coalesce(col("chunk_ck"), lit(0L)).as("chunk_ck"))
           .orderBy(col("lang"))
+    },
+
+    // SEQUENCE PACKING — the GPT-style pretraining batch layout step:
+    // per-lang, documents concatenate in doc_id order and the token
+    // stream slices into fixed W=512-token training windows; a document
+    // whose span crosses a window boundary is a STRADDLER (it will be
+    // split across two training sequences — the quantity packing
+    // policies trade off). Report per lang: docs, tokens, window count,
+    // straddler count + exact straddler-id checksum. The cumulative
+    // offset is a lang-PARTITIONED window (never a global sort); at
+    // 100 TB production packs per (lang, shard-bucket) so each
+    // partition's running sum stays executor-sized — the per-lang form
+    // here keeps the oracle deterministic.
+    DeclaredQuery("p30_sequence_packing",
+      """WITH d AS (SELECT doc_id, lang,
+        |             len(list_filter(string_split(text,' '), x -> x <> '')) AS n
+        |           FROM documents),
+        |w AS (SELECT doc_id, lang, n,
+        |             SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |      FROM d),
+        |p AS (SELECT lang, doc_id, n, e,
+        |             CASE WHEN n > 0 AND (e - n) // 512 <> (e - 1) // 512
+        |                  THEN 1 ELSE 0 END AS straddle
+        |      FROM w)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS total_toks,
+        |       CAST((MAX(e) + 511) // 512 AS BIGINT) AS n_bins,
+        |       CAST(SUM(straddle) AS BIGINT) AS n_straddlers,
+        |       CAST(COALESCE(BIT_XOR(CASE WHEN straddle = 1 THEN doc_id END), 0)
+        |            AS BIGINT) AS straddle_ck
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n"))
+          .withColumn("e", sum(col("n")).over(win))
+          .withColumn("straddle",
+            when(col("n") > 0 &&
+              expr("(e - n) DIV 512") =!= expr("(e - 1) DIV 512"), 1L)
+              .otherwise(0L))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("total_toks"),
+            expr("(MAX(e) + 511) DIV 512").as("n_bins"),
+            sum(col("straddle")).as("n_straddlers"),
+            coalesce(expr("bit_xor(CASE WHEN straddle = 1 THEN doc_id END)"),
+              lit(0L)).as("straddle_ck"))
+          .orderBy(col("lang"))
     }
   )
 }

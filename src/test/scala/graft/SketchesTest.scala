@@ -187,6 +187,47 @@ class SketchesTest extends AnyFunSuite {
     * must be dropped with exact parity to the all-pairs keep-one rule at a
     * high threshold (twins colocate in one cluster), and the declared
     * query must be deterministic over the fixture. */
+  test("v15 CDC-consistent serving: served ≡ head routing, purged absent, re-inserts at latest embedding") {
+    val dir = TestSpark.sf001
+    val gt = graft.sources.GraftTable
+    val tdir = Sketches.embCdcTable(spark, dir)
+    val head = gt.currentVersion(tdir).get
+    val (idx, served) = Sketches.ivfServeTableCdc(spark, tdir, 0, head)
+    val got = served.select($"vec_id", $"list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    // THE contract: the fold over the feed ≡ routing the head snapshot's
+    // full content under the SAME frozen centers (which is what a rebuild
+    // would serve — but the fold only ever touched the feed)
+    val want = Sketches.ivfRoute(
+        gt.read(spark, tdir).select($"vec_id", $"embedding"), idx.centers)
+      .select($"vec_id", $"list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want, s"served ${got.size} != head-routed ${want.size}")
+
+    // purged ids (deleted, never re-inserted) must be absent
+    assert(!got.exists { case (id, _) => id % 7 == 3 && id % 10 != 5 },
+      "a purged vector must never surface from the served index")
+    // deleted-then-re-embedded ids (≡ 35 mod 70) must be present
+    val revived = got.collect { case (id, l) if id % 70 == 35 => id -> l }.toMap
+    assert(revived.nonEmpty, "fixture must exercise delete-then-reinsert")
+    // re-embedded members route at their SHIFTED embedding: at least one
+    // re-embedded id must land on a different list than its v0 routing
+    val v0Routed = idx.assigned.filter($"vec_id" % 10 === 5)
+      .select($"vec_id", $"list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val moved = got.collect { case (id, l)
+      if id % 10 == 5 && v0Routed.get(id).exists(_ != l) => id }
+    assert(moved.nonEmpty,
+      "the affine shift should move at least one re-embedded vector's list")
+    // warm path: index reloads from the artifact, no re-fit
+    Sketches.resetCaches()
+    val (idx2, served2) = Sketches.ivfServeTableCdc(spark, tdir, 0, head)
+    assert(idx2.fromArtifact, "warm serve must reload the corpus artifact")
+    assert(served2.select($"vec_id", $"list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == got)
+  }
+
   test("d15 semantic dedup: planted twins dropped with exact keep-one parity") {
     import graft.operators.{Sketches, VectorOps}
     val rnd = new scala.util.Random(11)
