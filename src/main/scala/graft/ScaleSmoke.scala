@@ -281,6 +281,46 @@ object ScaleSmoke {
       }
     }
 
+    // change-feed scaling (round-10): FIXED mutation slice (base-copy ids
+    // only — the shifted ×k copies never match), corpus grown ×k. The
+    // delete/update pay one column-pruned corpus scan for the touched-file
+    // probe (linear but cheap) plus a rewrite + sidecar bounded by the
+    // TOUCHED files; the feed read must track the FEED (sidecar rows),
+    // never the corpus — the flat curve that makes CDC consumers viable
+    // at 100 TB.
+    if (mode == "all" || mode == "cdc") {
+      import graft.sources.GraftTable
+      val baseMax = spark.read.parquet(s"$Base/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      def rmrf(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rmrf)); p.delete(); ()
+      }
+      spark.conf.set("spark.graft.cdc", "true")
+      try for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val tdir = s"$Out/cdc_x$f"
+        rmrf(new java.io.File(tdir))
+        GraftTable.create(spark, tdir, docs, Seq("doc_id"))
+        val (dSec, dRows) = time {
+          GraftTable.delete(spark, tdir,
+            col("doc_id") % 97 === 0 && col("doc_id") <= baseMax, Seq("doc_id"))
+          GraftTable.manifest(tdir, 1).cdcFiles.map(_.records).sum
+        }
+        report("cdc_delete", s"x$f", dSec, dRows)
+        val (uSec, uRows) = time {
+          GraftTable.updateWhere(spark, tdir,
+            col("doc_id") % 101 === 0 && col("doc_id") <= baseMax,
+            Seq("n_chars" -> lit(0L)), Seq("doc_id"))
+          GraftTable.manifest(tdir, 2).cdcFiles.map(_.records).sum
+        }
+        report("cdc_update", s"x$f", uSec, uRows)
+        val (fSec, fRows) = time(
+          GraftTable.readCdc(spark, tdir, 0, 2).count())
+        report("cdc_feed", s"x$f", fSec, fRows)
+      } finally spark.conf.unset("spark.graft.cdc")
+    }
+
     if (mode == "all" || mode == "knn") {
       val f = args.lift(1).map(_.stripPrefix("x").toInt).getOrElse(3)
       val dir = if (f == 1) Base else scaledDir(spark, f)
