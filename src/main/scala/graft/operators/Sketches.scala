@@ -824,26 +824,34 @@ object Sketches {
   def embCdcTable(s: SparkSession, dir: String): String = {
     import graft.sources.{GraftTable, IndexStore}
     val tdir = IndexStore.artifactPath(s, dir, "emb_cdc_table")
-    GraftTable.getOrCreateUpgraded(s, tdir, statsCols = Seq("vec_id")) {
+    GraftTable.getOrCreate(s, tdir, statsCols = Seq("vec_id")) {
       Tables.table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .repartitionByRange(4, col("vec_id"))
-    } {
-      val prev = s.conf.getOption("spark.graft.cdc")
-      s.conf.set("spark.graft.cdc", "true")
-      try {
-        GraftTable.delete(s, tdir, col("vec_id") % 7 === 3, Seq("vec_id"))
-        GraftTable.upsert(s, tdir, "vec_id",
+    }
+    // each step guards on its own expected head version, so a run that
+    // crashed between the two commits resumes at the missing step
+    val prev = s.conf.getOption("spark.graft.cdc")
+    s.conf.set("spark.graft.cdc", "true")
+    try {
+      if (GraftTable.currentVersion(tdir).contains(0))
+        try GraftTable.delete(s, tdir, col("vec_id") % 7 === 3, Seq("vec_id"))
+        catch { case _: GraftTable.CommitConflict
+          if GraftTable.currentVersion(tdir).exists(_ > 0) => () }
+      if (GraftTable.currentVersion(tdir).contains(1))
+        try GraftTable.upsert(s, tdir, "vec_id",
           Tables.table(s, dir, "embeddings")
             .filter(col("vec_id") % 10 === 5)
             .select(col("vec_id"),
               expr("transform(embedding, x -> CAST(x * 0.5 + 0.1 AS FLOAT))")
                 .as("embedding")),
           Seq("vec_id"))
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.graft.cdc", v)
-        case None => s.conf.unset("spark.graft.cdc")
-      }
+        catch { case _: GraftTable.CommitConflict
+          if GraftTable.currentVersion(tdir).exists(_ > 1) => () }
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.cdc", v)
+      case None => s.conf.unset("spark.graft.cdc")
     }
+    tdir
   }
 
   /** Declared v15 form: the CDC-consistent served assignment summarized

@@ -74,25 +74,32 @@ object JsonDocs {
     * v1 = CDC hard delete of source 'src3'; v2 = CDC redaction update of
     * source 'src7'. CDC is forced on for the upgrade commits (restoring
     * the session's prior setting after) so the feed carries the removed
-    * rows; guarded like [[docsTable]] — a warm session reads v2. */
+    * rows. Each upgrade step guards on ITS OWN expected head version —
+    * a run that crashed between the two commits resumes at the missing
+    * step instead of serving a half-built fixture forever (the one-shot
+    * `getOrCreateUpgraded` guard only covers single-commit upgrades). */
   private def purgedCdcTable(s: org.apache.spark.sql.SparkSession,
                              dir: String): String = {
     val gt = graft.sources.GraftTable
     val tdir = graft.sources.IndexStore.artifactPath(s, dir, "docs_cdc_table")
-    gt.getOrCreateUpgraded(s, tdir, statsCols = Seq("doc_id")) {
+    gt.getOrCreate(s, tdir, statsCols = Seq("doc_id")) {
       Tables.table(s, dir, "documents").repartitionByRange(4, col("doc_id"))
-    } {
-      val prev = s.conf.getOption("spark.graft.cdc")
-      s.conf.set("spark.graft.cdc", "true")
-      try {
-        gt.delete(s, tdir, col("source") === "src3", Seq("doc_id"))
-        gt.updateWhere(s, tdir, col("source") === "src7",
-          Seq("text" -> lit(""), "n_chars" -> lit(0L)), Seq("doc_id"))
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.graft.cdc", v)
-        case None => s.conf.unset("spark.graft.cdc")
-      }
     }
+    val prev = s.conf.getOption("spark.graft.cdc")
+    s.conf.set("spark.graft.cdc", "true")
+    try {
+      if (gt.currentVersion(tdir).contains(0))
+        try gt.delete(s, tdir, col("source") === "src3", Seq("doc_id"))
+        catch { case _: gt.CommitConflict if gt.currentVersion(tdir).exists(_ > 0) => () }
+      if (gt.currentVersion(tdir).contains(1))
+        try gt.updateWhere(s, tdir, col("source") === "src7",
+          Seq("text" -> lit(""), "n_chars" -> lit(0L)), Seq("doc_id"))
+        catch { case _: gt.CommitConflict if gt.currentVersion(tdir).exists(_ > 1) => () }
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.cdc", v)
+      case None => s.conf.unset("spark.graft.cdc")
+    }
+    tdir
   }
 
   val queries: Seq[DeclaredQuery] = Seq(

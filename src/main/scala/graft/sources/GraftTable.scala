@@ -561,8 +561,12 @@ object GraftTable {
     * evaluate against the ORIGINAL row (one projection — an assignment can
     * reference a column another assignment changes, SQL UPDATE semantics),
     * and values cast to the column's existing type so history stays
-    * readable under one schema. Changelog-invisible like [[delete]]
-    * (append-mode changelog; full CDC would emit update records). */
+    * readable under one schema. Changelog-invisible like [[delete]]; with
+    * `spark.graft.cdc` on, the commit's sidecar carries pre+postimages.
+    * Touched files are read once for the probe, once for the rewrite, and
+    * (CDC on) twice for the images — a production multi-output writer
+    * would fuse the rewrite and sidecar into one pass; the extra reads are
+    * bounded by the TOUCHED files either way, never the table. */
   def updateWhere(s: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column,
                   sets: Seq[(String, org.apache.spark.sql.Column)],
@@ -952,7 +956,14 @@ object GraftTable {
     *  - compact: no row-level change, contributes nothing;
     *  - delete/update WITHOUT a sidecar THROWS: the removed rows were
     *    never recorded and silence here would hand the consumer a feed
-    *    that is wrong in the one way it cannot detect. */
+    *    that is wrong in the one way it cannot detect.
+    *
+    * The batch plan unions one branch per commit in range — linear plan
+    * size in the commit count, fine for the typical bounded replay; a
+    * feed over a very long history (10⁴+ commits) should either chunk
+    * the range or use the STREAMING form
+    * (`readStream.option("readChangeFeed", "true")`), which walks
+    * commits incrementally and never builds the whole union. */
   def readCdc(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
     val outSchema = StructType.fromDDL(manifest(dir, toV).schemaDdl)
       .add(ChangeTypeCol, "string").add("_commit_version", "int")

@@ -168,7 +168,12 @@ class GraftTableSourceProvider extends RelationProvider
       parameters.get("versionAsOf").map(_.toInt))
 
   /** `df.write.format("graft-table").option("path", dir).mode(m).save()`
-    * — the idiomatic DataFrameWriter surface over the versioned commits.
+    * — the idiomatic DataFrameWriter surface over the versioned commits,
+    * and the create-as-select form of this source (persistent-catalog
+    * `CREATE TABLE … AS SELECT` routes through the V2 session catalog,
+    * which demands full V2 BATCH_WRITE — the deliberate V1-for-batch
+    * split at [[GraftTableV2.capabilities]]; the SQL surface is the
+    * TEMPORARY VIEW USING form, which covers reads and all DML).
     * `statsColumns` (comma-separated) declares skipping bounds on a fresh
     * create; an existing table keeps its own (manifest-derived) and the
     * option must not disagree. SaveMode maps onto commit ops: Append →
