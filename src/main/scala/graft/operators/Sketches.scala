@@ -562,10 +562,25 @@ object Sketches {
     * centers carried by a broadcast variable read inside a codegen static
     * call ([[graft.functions.IvfRouteKernel]]) — bit-identical routing to
     * the literal fold (parity-tested), Exchange-free plan (plan-tested). */
+  /** One broadcast + registered kernel per distinct centers array per
+    * session (weak identity key — entries die with the quantizer's memo),
+    * so per-batch routing in a long-lived serving loop reuses ONE
+    * broadcast instead of leaking a ~32 MB variable and a registry entry
+    * on every call. */
+  private val routeKernels =
+    new java.util.WeakHashMap[Array[Array[Double]], (SparkSession, String)]()
+
   def ivfRouteBroadcast(vecs: DataFrame, centers: Array[Array[Double]]): DataFrame = {
     val s = vecs.sparkSession
-    val bc = s.sparkContext.broadcast(centers)
-    val fn = graft.functions.IvfRouteKernel.register(s, bc)
+    val fn = routeKernels.synchronized {
+      Option(routeKernels.get(centers)) match {
+        case Some((sess, f)) if sess eq s => f
+        case _ =>
+          val bc = s.sparkContext.broadcast(centers)
+          val f = graft.functions.IvfRouteKernel.register(s, bc)
+          routeKernels.put(centers, (s, f)); f
+      }
+    }
     vecs.select(col("vec_id"), col("embedding"),
       call_function(fn, col("embedding")).as("list_id"))
   }

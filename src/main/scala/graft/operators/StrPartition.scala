@@ -264,9 +264,10 @@ object StrPartition {
                              tilePairs: Seq[(Int, Int)], tileCount: Int,
                              hintFat: Boolean, hintSlim: Boolean)
 
-  /** `broadcast(df)` only when the measured size estimate allows the hint. */
+  /** `broadcast(df)` only when the measured size estimate allows the hint
+    * (the family's one guard, [[TrajectorySearch.hinted]]). */
   private def hinted(df: DataFrame, hint: Boolean): DataFrame =
-    if (hint) broadcast(df) else df
+    TrajectorySearch.hinted(df, hint)
 
   private def prepareKnnScan(ta0: DataFrame, k: Int, metric: String,
                              nx: Int, ny: Int, seedFactor: Int): Option[KnnScan] = {

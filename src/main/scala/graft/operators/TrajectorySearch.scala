@@ -93,8 +93,9 @@ object TrajectorySearch {
 
   /** `broadcast(df)` only while the size estimate fits [[broadcastCap]] —
     * a hint overrides autoBroadcastJoinThreshold, so past the cap it is a
-    * driver OOM, not a plan (same guard as StrPartition.hinted). */
-  private def hinted(df: DataFrame, hint: Boolean): DataFrame =
+    * driver OOM, not a plan. The ONE size-guarded hint helper of the
+    * trajectory-search family (StrPartition reuses it). */
+  private[operators] def hinted(df: DataFrame, hint: Boolean): DataFrame =
     if (hint) broadcast(df) else df
 
   /** The k smallest-distance pairs over ALL trajectory pairs (t2 surface),
@@ -115,7 +116,13 @@ object TrajectorySearch {
   def allPairsTopK(ta0: DataFrame, k: Int, metric: String = "hausdorff",
                    seedFactor: Int = 3): DataFrame = {
     val ta = ensureBoxes(ta0)
-    val st = trajStats(ta)
+    allPairsTopKOf(ta, trajStats(ta), k, metric, seedFactor)
+  }
+
+  /** [[allPairsTopK]] with the stats precomputed — the Auto dispatcher
+    * already paid the count/median aggregate; don't run it twice. */
+  private def allPairsTopKOf(ta: DataFrame, st: TrajStats, k: Int,
+                             metric: String, seedFactor: Int): DataFrame = {
     val hintFat = st.estArrayBytes <= broadcastCap(ta.sparkSession)
     val fn = metricCol(metric, ta.sparkSession)
     val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
@@ -180,7 +187,7 @@ object TrajectorySearch {
     if (allPairsUseTiled(st, broadcastCap(ta.sparkSession)))
       StrPartition.allPairsTopKStr(ta, k, metric, seedFactor = seedFactor,
         cacheKey = cacheKey)
-    else allPairsTopK(ta, k, metric, seedFactor)
+    else allPairsTopKOf(ta, st, k, metric, seedFactor)
   }
 
   /** Reference-workload batch form of O15: top-k most similar trajectories

@@ -164,8 +164,20 @@ case class GraftMergeCommand(dir: String, keyCol: String, source: LogicalPlan)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(s: SparkSession): Seq[Row] = {
-    GraftTable.upsert(s, dir, keyCol, GraftShims.ofRows(s, source),
-      GraftDmlStats.headStatsCols(dir))
+    val src = GraftShims.ofRows(s, source)
+    // SQL MERGE semantics: multiple source rows per key must RAISE, not
+    // silently land duplicate rows (the programmatic upsert documents its
+    // keep-both behavior; the SQL surface keeps the standard's contract).
+    // One slim aggregate over the source's key column — never collected.
+    val dup = src.groupBy(org.apache.spark.sql.functions.col(keyCol))
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).collect() // bounded collect: at most 1 row
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"MERGE source has multiple rows for $keyCol=${dup.head.get(0)} — " +
+        "SQL MERGE requires at most one source match per target row; " +
+        "dedupe the source (or use GraftTable.upsert, which documents " +
+        "keep-both batch semantics)")
+    GraftTable.upsert(s, dir, keyCol, src, GraftDmlStats.headStatsCols(dir))
     Seq.empty
   }
 }

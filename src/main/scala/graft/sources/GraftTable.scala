@@ -252,10 +252,18 @@ object GraftTable {
     * DataFrameWriter) re-derive it from here to keep mutated/extended
     * tables prunable. */
   def statsColsOf(dir: String): Seq[String] = {
-    val v = currentVersion(dir)
+    val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no graft table at $dir"))
-    val fs = manifest(dir, v).files
-    (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys)).distinct.sorted
+    // the head may be a FILES-LESS snapshot (a delete that matched every
+    // row, an overwrite by an empty frame): the skipping declaration
+    // lives in file bounds, so walk back to the most recent snapshot
+    // that has files — a transient empty state must not permanently
+    // erase the declared stats columns for every later write
+    (head to 0 by -1).iterator.map(v => manifest(dir, v).files)
+      .find(_.nonEmpty)
+      .map(fs => (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys))
+        .distinct.sorted)
+      .getOrElse(Nil)
   }
 
   /** Truncate-and-load as ONE atomic commit: the new snapshot lists only
@@ -334,24 +342,29 @@ object GraftTable {
     * mirror lags the source only by the feed, never rescans it. */
   def cdcMirrorInto(dir: String, keyCol: String, appId: String,
                     statsCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
-    (batch, _) => {
-      val s = batch.sparkSession
-      // bounded collect: one row per SOURCE COMMIT in this micro-batch
-      val versions = batch.select(col("_commit_version")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      versions.foreach { v =>
-        if (!lastTxn(dir, appId).exists(_ >= v)) {
-          val b = batch.filter(col("_commit_version") === v)
-          val dels = b.filter(col(ChangeTypeCol)
-            .isin("delete", "update_preimage")).select(col(keyCol))
-          val ins = b.filter(col(ChangeTypeCol)
-            .isin("insert", "update_postimage"))
-            .drop(ChangeTypeCol, "_commit_version")
-          if (currentVersion(dir).nonEmpty)
-            deleteKeys(s, dir, keyCol, dels, statsCols)
-          exactlyOnceAppend(s, dir, ins, appId, batchId = v, statsCols)
+    (batch0, _) => {
+      val s = batch0.sparkSession
+      // foreachBatch frames are not cached: a catch-up batch spanning k
+      // commits would otherwise re-read its change files 2k+1 times
+      val batch = batch0.persist()
+      try {
+        // bounded collect: one row per SOURCE COMMIT in this micro-batch
+        val versions = batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        versions.foreach { v =>
+          if (!lastTxn(dir, appId).exists(_ >= v)) {
+            val b = batch.filter(col("_commit_version") === v)
+            val dels = b.filter(col(ChangeTypeCol)
+              .isin("delete", "update_preimage")).select(col(keyCol))
+            val ins = b.filter(col(ChangeTypeCol)
+              .isin("insert", "update_postimage"))
+              .drop(ChangeTypeCol, "_commit_version")
+            if (currentVersion(dir).nonEmpty)
+              deleteKeys(s, dir, keyCol, dels, statsCols)
+            exactlyOnceAppend(s, dir, ins, appId, batchId = v, statsCols)
+          }
         }
-      }
+      } finally { batch.unpersist(); () }
     }
 
   /** Rewrite the head snapshot into `targetFiles` files, published as an
@@ -733,6 +746,12 @@ object GraftTable {
   private def writeFiles(s: SparkSession, dir: String, df: DataFrame,
                          statsCols: Seq[String], version: Int,
                          arrival: Boolean): Seq[TableFile] = {
+    // the change feed's metadata columns are RESERVED: a table carrying
+    // them as data would make every CDC sidecar and feed read ambiguous
+    // (the mutation paths stamp these names onto changed rows)
+    Seq(ChangeTypeCol, "_commit_version").foreach(c =>
+      require(!df.schema.fieldNames.contains(c),
+        s"column name '$c' is reserved for the change feed"))
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/c$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
@@ -800,9 +819,6 @@ object GraftTable {
     * whole per commit, never pruned). Returns Nil for an empty frame. */
   private def writeCdcFiles(s: SparkSession, dir: String, cdc: DataFrame,
                             version: Int): Seq[TableFile] = {
-    require(!cdc.schema.fieldNames.contains(ChangeTypeCol) ||
-      cdc.schema.fieldNames.count(_ == ChangeTypeCol) == 1,
-      s"table schema already carries a $ChangeTypeCol column")
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/cdc$version%05d_$salt"
     cdc.write.parquet(s"$dir/$sub")

@@ -789,16 +789,31 @@ object StreamingQueries {
         counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L)
     }
     if (counts.isEmpty && s0.h0 == Long.MinValue) { state.update(s0); return s0 }
-    val h0 = if (s0.h0 == Long.MinValue) counts.keys.min else s0.h0
-    val maxObs = if (counts.isEmpty) s0.upTo - 1 else math.max(counts.keys.max, s0.upTo - 1)
+    // the span start may still move DOWN while no prefix has been folded
+    // (boundary ≤ h0): a watermark-legal late event EARLIER than the
+    // first-seen hour extends the grid left, exactly as batch min..max
+    val h0 =
+      if (s0.h0 == Long.MinValue) counts.keys.min
+      else if (s0.upTo <= s0.h0 && counts.nonEmpty) math.min(s0.h0, counts.keys.min)
+      else s0.h0
+    // s0.upTo - 1 must not run when upTo is the MinValue sentinel — the
+    // subtraction underflows to MaxValue and poisons the collapse target
+    val maxObs =
+      if (counts.isEmpty) s0.upTo - 1 // counts empty ⇒ a collapse ran ⇒ upTo set
+      else if (s0.upTo == Long.MinValue) counts.keys.max
+      else math.max(counts.keys.max, s0.upTo - 1)
     // fold the dense grid from the old boundary up to (but excluding) the
     // collapse target — capped at maxObs + 1 so unobserved tail hours stay
     // out of the fold until an event proves they belong to the span
     val target = math.min(wmHour, maxObs + 1)
     var (nEvents, silent, longest, streak) = (s0.nEvents, s0.silent, s0.longest, s0.streak)
     var (carried, checksum, locf) = (s0.carried, s0.checksum, s0.locf)
-    var hr = if (s0.upTo == Long.MinValue) h0 else s0.upTo
-    val upTo = math.max(hr, target)
+    var hr = math.max(h0, if (s0.upTo == Long.MinValue) h0 else s0.upTo)
+    // the boundary NEVER exceeds the watermark-derived target: pinning it
+    // to the first-seen hour would silently drop watermark-LEGAL earlier
+    // events — so it stays ≤ watermark, monotone via the max with its
+    // previous value
+    val upTo = if (s0.upTo == Long.MinValue) target else math.max(s0.upTo, target)
     while (hr < target) {
       val n = counts.getOrElse(hr, 0L)
       nEvents += n
@@ -842,7 +857,7 @@ object StreamingQueries {
           else {
             val h1 = if (s.counts.isEmpty) s.upTo - 1 else s.counts.keys.max
             var (nEvents, silent, longest, streak) = (s.nEvents, s.silent, s.longest, s.streak)
-            var hr = s.upTo
+            var hr = math.max(s.h0, s.upTo) // boundary may sit below h0 pre-fold
             while (hr <= h1) {
               val n = s.counts.getOrElse(hr, 0L)
               nEvents += n
@@ -879,7 +894,7 @@ object StreamingQueries {
           else {
             val h1 = if (s.counts.isEmpty) s.upTo - 1 else s.counts.keys.max
             var (carried, checksum, locf) = (s.carried, s.checksum, s.locf)
-            var hr = s.upTo
+            var hr = math.max(s.h0, s.upTo) // boundary may sit below h0 pre-fold
             while (hr <= h1) {
               val n = s.counts.getOrElse(hr, 0L)
               if (n > 0) locf = n else if (locf > 0) carried += 1

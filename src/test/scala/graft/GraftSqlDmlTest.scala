@@ -147,6 +147,35 @@ class GraftSqlDmlTest extends AnyFunSuite {
     assert(e.getMessage.contains("keyed whole-row upsert shape"), e.getMessage)
   }
 
+  test("MERGE refuses duplicate source keys; transient zero-file state keeps the stats declaration") {
+    val tdir = mkTable("mdup", n = 30)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW md_v USING `graft-table` OPTIONS (path '$tdir')")
+    // SQL MERGE contract: two source rows for one target key must RAISE,
+    // never silently land duplicate rows in a keyed table
+    spark.range(0, 2).selectExpr("5L AS doc_id", "'x' AS source", "id AS score")
+      .createOrReplaceTempView("md_src")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO md_v USING md_src ON md_v.doc_id = md_src.doc_id
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple rows")), e.getMessage)
+    assert(spark.table("md_v").filter(col("doc_id") === 5L).count() == 1)
+
+    // DELETE matching every row leaves a FILES-LESS snapshot; the stats
+    // declaration must survive it — later writes stay prunable
+    spark.sql("DELETE FROM md_v")
+    assert(spark.table("md_v").count() == 0)
+    assert(GraftTable.statsColsOf(tdir) == Seq("doc_id"),
+      "a transient empty state must not erase the skipping declaration")
+    spark.range(0, 10).selectExpr("id AS doc_id", "'y' AS source", "id AS score")
+      .write.format("graft-table").option("path", tdir).mode("append").save()
+    val head = GraftTable.currentVersion(tdir).get
+    assert(GraftTable.manifest(tdir, head).files.forall(_.stats.contains("doc_id")),
+      "post-empty writes must carry the recovered stats bounds")
+  }
+
   test("DML on a versionAsOf-pinned view refuses: snapshots are immutable") {
     val tdir = mkTable("pin2")
     GraftTable.append(spark, tdir,

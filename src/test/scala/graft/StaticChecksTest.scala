@@ -42,7 +42,8 @@ class StaticChecksTest extends AnyFunSuite {
     // touched-file probes, likewise one row per matching data FILE, the
     // CDC sidecar writer's per-file row counts (one row per sidecar FILE
     // of the commit), cdcMirrorInto's per-batch source-version list (one
-    // row per source COMMIT in the micro-batch), and
+    // row per source COMMIT in the micro-batch), the SQL MERGE
+    // duplicate-source-key refusal probe (limit(1) — at most one row), and
     // buildSqIndex's two dim-row collects: the per-dimension [lo,hi]
     // bounds aggregation and its artifact reload — 64 rows each,
     // compact(zorderBy)'s one-row per-column mins aggregate, and t27's
@@ -50,6 +51,6 @@ class StaticChecksTest extends AnyFunSuite {
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 28, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 29, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }

@@ -846,6 +846,58 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     }
   }
 
+  test("e13/w10 twins accept a watermark-LEGAL event earlier than the type's first-seen hour") {
+    // batch 0: one event at hour 100 → watermark after it ≈ hour 76.
+    // batch 1: an event at hour 90 — LATE but inside the 24 h guarantee.
+    // The collapse boundary must track the WATERMARK, not the first-seen
+    // hour: pinning upTo to hour 100 on first sight silently dropped the
+    // hour-90 event and the twins diverged from batch within the
+    // documented lateness contract.
+    val dir = Files.createTempDirectory("graft-latefirst")
+    val schema = Tables.table(spark, TestSpark.sf0001, "events").schema
+    def writeBatch(b: Int, hours: Seq[Long]): Unit = {
+      val rows = hours.zipWithIndex.map { case (h, i) =>
+        org.apache.spark.sql.Row(
+          b * 100L + i, h * 3600000000L * 1000L, 1L, "lt", 1.0, "{}")
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      val tmp = Files.createTempDirectory("graft-lf-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, dir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+    writeBatch(0, Seq(100L))
+    writeBatch(1, Seq(90L))
+
+    val gapAcc = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamingQueries.gapFillCustom(StreamingQueries.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.GapFillRow], bid: Long) =>
+        df.collect().foreach(r =>
+          gapAcc += ((bid, r.n_hours, r.n_events, r.silent_hours)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val last = gapAcc.maxBy(_._1)
+    assert((last._2, last._3, last._4) == ((11L, 2L, 9L)),
+      s"span must extend LEFT to the late hour-90 event (batch semantics), got $last")
+
+    val locfAcc = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q2 = StreamingQueries.locfCustom(StreamingQueries.eventsStream(spark, dir.toString))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingQueries.LocfRow], bid: Long) =>
+        df.collect().foreach(r =>
+          locfAcc += ((bid, r.n_hours, r.carried_hours, r.locf_checksum)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val lastL = locfAcc.maxBy(_._1)
+    assert((lastL._2, lastL._3, lastL._4) == ((11L, 9L, 11L)),
+      s"LOCF fold must start at the late hour-90 event, got $lastL")
+  }
+
   test("e13 streaming gap-fill (flatMapGroupsWithState) == batch") {
     // Update mode: each micro-batch re-emits the type's full-span resample
     // snapshot; the LAST snapshot per type must equal the batch query.
