@@ -70,4 +70,15 @@ object IvfRouteKernel {
       "built-in")
     name
   }
+
+  /** Drop a kernel registered by [[register]] — the eviction half of the
+    * bounded per-session cache in `Sketches.ivfRouteBroadcast` (the
+    * registry closure holds the broadcast handle; dropping it makes the
+    * broadcast destroyable). */
+  def unregister(spark: SparkSession, name: String): Unit = {
+    import org.apache.spark.sql.classic.ClassicConversions._
+    castToImpl(spark).sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    ()
+  }
 }

@@ -563,22 +563,38 @@ object Sketches {
     * call ([[graft.functions.IvfRouteKernel]]) — bit-identical routing to
     * the literal fold (parity-tested), Exchange-free plan (plan-tested). */
   /** One broadcast + registered kernel per distinct centers array per
-    * session (weak identity key — entries die with the quantizer's memo),
-    * so per-batch routing in a long-lived serving loop reuses ONE
+    * session, so per-batch routing in a long-lived serving loop reuses ONE
     * broadcast instead of leaking a ~32 MB variable and a registry entry
-    * on every call. */
-  private val routeKernels =
-    new java.util.WeakHashMap[Array[Array[Double]], (SparkSession, String)]()
+    * on every call. The cache is BOUNDED (insertion-ordered, capped at
+    * [[MaxRouteKernels]]): past the cap the oldest kernel is unregistered
+    * and its broadcast destroyed — quantizer re-fit history cannot
+    * accumulate without bound. (An evicted kernel's broadcast dies with
+    * it; any un-executed plan still referencing one would fail, so route
+    * outputs are always materialized promptly — IndexStore does.) Keys
+    * compare by ARRAY IDENTITY (the memoized quantizer hands out one
+    * array per index), never by content. */
+  private val MaxRouteKernels = 8
+  private val routeKernels = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, Array[Array[Double]]),
+           (String, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])]
 
   def ivfRouteBroadcast(vecs: DataFrame, centers: Array[Array[Double]]): DataFrame = {
     val s = vecs.sparkSession
     val fn = routeKernels.synchronized {
-      Option(routeKernels.get(centers)) match {
-        case Some((sess, f)) if sess eq s => f
-        case _ =>
+      routeKernels.get((s, centers)) match {
+        case Some((f, _)) => f
+        case None =>
+          if (routeKernels.size >= MaxRouteKernels) {
+            val (k, (oldFn, oldBc)) = routeKernels.head
+            try {
+              graft.functions.IvfRouteKernel.unregister(k._1, oldFn)
+              oldBc.destroy()
+            } catch { case _: Exception => () } // stopped session etc.
+            routeKernels.remove(k)
+          }
           val bc = s.sparkContext.broadcast(centers)
           val f = graft.functions.IvfRouteKernel.register(s, bc)
-          routeKernels.put(centers, (s, f)); f
+          routeKernels.put((s, centers), (f, bc)); f
       }
     }
     vecs.select(col("vec_id"), col("embedding"),
@@ -843,28 +859,34 @@ object Sketches {
       Tables.table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .repartitionByRange(4, col("vec_id"))
     }
-    // each step guards on its own expected head version, so a run that
-    // crashed between the two commits resumes at the missing step
-    val prev = s.conf.getOption("spark.graft.cdc")
-    s.conf.set("spark.graft.cdc", "true")
-    try {
-      if (GraftTable.currentVersion(tdir).contains(0))
-        try GraftTable.delete(s, tdir, col("vec_id") % 7 === 3, Seq("vec_id"))
-        catch { case _: GraftTable.CommitConflict
-          if GraftTable.currentVersion(tdir).exists(_ > 0) => () }
-      if (GraftTable.currentVersion(tdir).contains(1))
-        try GraftTable.upsert(s, tdir, "vec_id",
-          Tables.table(s, dir, "embeddings")
-            .filter(col("vec_id") % 10 === 5)
-            .select(col("vec_id"),
-              expr("transform(embedding, x -> CAST(x * 0.5 + 0.1 AS FLOAT))")
-                .as("embedding")),
-          Seq("vec_id"))
-        catch { case _: GraftTable.CommitConflict
-          if GraftTable.currentVersion(tdir).exists(_ > 1) => () }
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.graft.cdc", v)
-      case None => s.conf.unset("spark.graft.cdc")
+    // whole upgrade under the GraftTable lock (the session-wide cdc conf
+    // must not be unset by a concurrent builder mid-commit); step guards
+    // are OP-aware so a no-op step never dead-ends the remaining ones and
+    // a crash between commits resumes at the missing step
+    GraftTable.synchronized {
+      val prev = s.conf.getOption("spark.graft.cdc")
+      s.conf.set("spark.graft.cdc", "true")
+      try {
+        def headOp = GraftTable.currentVersion(tdir)
+          .map(v => GraftTable.manifest(tdir, v).op)
+        if (headOp.contains("create"))
+          try GraftTable.delete(s, tdir, col("vec_id") % 7 === 3, Seq("vec_id"))
+          catch { case _: GraftTable.CommitConflict
+            if GraftTable.currentVersion(tdir).exists(_ > 0) => () }
+        if (headOp.exists(op => op == "create" || op == "delete"))
+          try GraftTable.upsert(s, tdir, "vec_id",
+            Tables.table(s, dir, "embeddings")
+              .filter(col("vec_id") % 10 === 5)
+              .select(col("vec_id"),
+                expr("transform(embedding, x -> CAST(x * 0.5 + 0.1 AS FLOAT))")
+                  .as("embedding")),
+            Seq("vec_id"))
+          catch { case _: GraftTable.CommitConflict
+            if GraftTable.currentVersion(tdir).exists(_ > 1) => () }
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.cdc", v)
+        case None => s.conf.unset("spark.graft.cdc")
+      }
     }
     tdir
   }

@@ -164,13 +164,21 @@ case class GraftMergeCommand(dir: String, keyCol: String, source: LogicalPlan)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(s: SparkSession): Seq[Row] = {
-    val src = GraftShims.ofRows(s, source)
-    // SQL MERGE semantics: multiple source rows per key must RAISE, not
-    // silently land duplicate rows (the programmatic upsert documents its
-    // keep-both behavior; the SQL surface keeps the standard's contract).
-    // One slim aggregate over the source's key column — never collected.
-    val dup = src.groupBy(org.apache.spark.sql.functions.col(keyCol))
-      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // ONE materialization of the source: the probe and the upsert must see
+    // the same rows (a non-deterministic or concurrently-changing source
+    // could otherwise pass the probe yet deliver duplicates), and the
+    // source plan executes once, not twice
+    val src = GraftShims.ofRows(s, source).localCheckpoint()
+    // SQL MERGE semantics: multiple source rows per NON-NULL key must
+    // RAISE, not silently land duplicate rows (the programmatic upsert
+    // documents its keep-both behavior; the SQL surface keeps the
+    // standard's contract). NULL keys are exempt — ON equality never
+    // matches them, so they are all legal unmatched inserts. The aggregate
+    // is aliased: a key column literally named `count` must not collide.
+    val dup = src.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
       .limit(1).collect() // bounded collect: at most 1 row
     if (dup.nonEmpty) throw new IllegalArgumentException(
       s"MERGE source has multiple rows for $keyCol=${dup.head.get(0)} — " +

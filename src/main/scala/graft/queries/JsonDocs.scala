@@ -85,19 +85,28 @@ object JsonDocs {
     gt.getOrCreate(s, tdir, statsCols = Seq("doc_id")) {
       Tables.table(s, dir, "documents").repartitionByRange(4, col("doc_id"))
     }
-    val prev = s.conf.getOption("spark.graft.cdc")
-    s.conf.set("spark.graft.cdc", "true")
-    try {
-      if (gt.currentVersion(tdir).contains(0))
-        try gt.delete(s, tdir, col("source") === "src3", Seq("doc_id"))
-        catch { case _: gt.CommitConflict if gt.currentVersion(tdir).exists(_ > 0) => () }
-      if (gt.currentVersion(tdir).contains(1))
-        try gt.updateWhere(s, tdir, col("source") === "src7",
-          Seq("text" -> lit(""), "n_chars" -> lit(0L)), Seq("doc_id"))
-        catch { case _: gt.CommitConflict if gt.currentVersion(tdir).exists(_ > 1) => () }
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.graft.cdc", v)
-      case None => s.conf.unset("spark.graft.cdc")
+    // the whole upgrade runs under the GraftTable lock: the session-wide
+    // cdc conf must not be unset by a concurrent builder mid-commit (a
+    // mutation slipping through with CDC off poisons the feed forever)
+    gt.synchronized {
+      val prev = s.conf.getOption("spark.graft.cdc")
+      s.conf.set("spark.graft.cdc", "true")
+      try {
+        // step guards are OP-aware, not version-counting: a no-op step
+        // (nothing matched) must not dead-end the remaining steps, and a
+        // crash between commits resumes at the missing one
+        def headOp = gt.currentVersion(tdir).map(v => (v, gt.manifest(tdir, v).op))
+        if (headOp.exists(_._2 == "create"))
+          try gt.delete(s, tdir, col("source") === "src3", Seq("doc_id"))
+          catch { case _: gt.CommitConflict if gt.currentVersion(tdir).exists(_ > 0) => () }
+        if (headOp.exists(h => h._2 == "create" || h._2 == "delete"))
+          try gt.updateWhere(s, tdir, col("source") === "src7",
+            Seq("text" -> lit(""), "n_chars" -> lit(0L)), Seq("doc_id"))
+          catch { case _: gt.CommitConflict if gt.currentVersion(tdir).exists(_ > 1) => () }
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.cdc", v)
+        case None => s.conf.unset("spark.graft.cdc")
+      }
     }
     tdir
   }

@@ -183,6 +183,16 @@ object GraftTable {
       cdcFiles = cdc.map(_._2))
   }
 
+  /** The change feed's metadata column names — reserved at schema ENTRY
+    * (create / additive evolution): a table carrying them as data would
+    * make every CDC sidecar and feed read ambiguous. Checked only where a
+    * NEW column enters a schema, so rewrites of a pre-existing schema
+    * (delete/update/compact on an old table) are never bricked. */
+  private val ReservedCols = Seq(ChangeTypeCol, "_commit_version")
+  private def requireNoReserved(names: Iterable[String]): Unit =
+    ReservedCols.foreach(c => require(!names.exists(_ == c),
+      s"column name '$c' is reserved for the change feed"))
+
   /** Create snapshot v0. Fails if the table already exists. */
   def create(s: SparkSession, dir: String, df: DataFrame,
              statsCols: Seq[String] = Nil): Int = {
@@ -735,8 +745,9 @@ object GraftTable {
             s"${f.dataType.simpleString}: history would be unreadable")
       }
     }
-    StructType(prev.fields ++
-      next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+    val fresh = next.fields.filterNot(f => prev.fieldNames.contains(f.name))
+    requireNoReserved(fresh.map(_.name)) // new columns only — old schemas rewrite freely
+    StructType(prev.fields ++ fresh)
   }
 
   /** Write one batch's data files under a fresh salted subdirectory of
@@ -746,12 +757,6 @@ object GraftTable {
   private def writeFiles(s: SparkSession, dir: String, df: DataFrame,
                          statsCols: Seq[String], version: Int,
                          arrival: Boolean): Seq[TableFile] = {
-    // the change feed's metadata columns are RESERVED: a table carrying
-    // them as data would make every CDC sidecar and feed read ambiguous
-    // (the mutation paths stamp these names onto changed rows)
-    Seq(ChangeTypeCol, "_commit_version").foreach(c =>
-      require(!df.schema.fieldNames.contains(c),
-        s"column name '$c' is reserved for the change feed"))
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/c$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
@@ -841,6 +846,9 @@ object GraftTable {
                      cdc: Option[DataFrame] = None): Int = {
     // compact/delete/update fresh files REWRITE old rows — never arrivals
     val arrival = op != "compact" && op != "delete" && op != "update"
+    // a commit with no prior schema INTRODUCES one — reserved names check
+    // here; evolutions check inside mergeSchema (new columns only)
+    if (prevSchema.isEmpty) requireNoReserved(df.schema.fieldNames)
     val fresh = writeFiles(s, dir, df, statsCols, version, arrival)
     val schema = prevSchema.map(mergeSchema(_, df.schema)).getOrElse(df.schema)
     val cdcFs = cdc.map(writeCdcFiles(s, dir, _, version)).getOrElse(Nil)
