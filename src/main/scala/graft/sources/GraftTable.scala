@@ -264,13 +264,16 @@ object GraftTable {
   def statsColsOf(dir: String): Seq[String] = {
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no graft table at $dir"))
-    // the head may be a FILES-LESS snapshot (a delete that matched every
-    // row, an overwrite by an empty frame): the skipping declaration
-    // lives in file bounds, so walk back to the most recent snapshot
-    // that has files — a transient empty state must not permanently
-    // erase the declared stats columns for every later write
+    // the head snapshot may carry no bounds at all — files-less (a delete
+    // that matched every row, an empty overwrite) or bounds-less (an
+    // all-null stats column, string bounds past the 64-char cap): the
+    // skipping declaration lives in file bounds, so walk back to the most
+    // recent snapshot whose files CARRY any — a transient boundless state
+    // must not permanently erase the declaration for every later write.
+    // A table genuinely created without statsCols walks to v0 and
+    // correctly yields Nil.
     (head to 0 by -1).iterator.map(v => manifest(dir, v).files)
-      .find(_.nonEmpty)
+      .find(fs => fs.exists(f => f.stats.nonEmpty || f.strStats.nonEmpty))
       .map(fs => (fs.flatMap(_.stats.keys) ++ fs.flatMap(_.strStats.keys))
         .distinct.sorted)
       .getOrElse(Nil)
@@ -361,8 +364,12 @@ object GraftTable {
         // bounded collect: one row per SOURCE COMMIT in this micro-batch
         val versions = batch.select(col("_commit_version")).distinct()
           .collect().map(_.getInt(0)).sorted
+        // tokens are monotone and this loop is the appId's only writer, so
+        // ONE backward manifest scan serves the whole batch — per-version
+        // re-scans would grow with the mirror's total history
+        val applied = lastTxn(dir, appId).getOrElse(Long.MinValue)
         versions.foreach { v =>
-          if (!lastTxn(dir, appId).exists(_ >= v)) {
+          if (v > applied) {
             val b = batch.filter(col("_commit_version") === v)
             val dels = b.filter(col(ChangeTypeCol)
               .isin("delete", "update_preimage")).select(col(keyCol))
@@ -441,7 +448,8 @@ object GraftTable {
       else if (clusterBy.isEmpty) snap.repartition(targetFiles)
       else snap.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    commit(s, dir, laid, statsCols, head + 1, "compact", prev = Nil)
+    commit(s, dir, laid, statsCols, head + 1, "compact", prev = Nil,
+      prevSchema = Some(StructType.fromDDL(headManifest.schemaDdl)))
   }
 
   /** Morton (z-curve) interleave of the named integral columns, normalized
@@ -557,18 +565,40 @@ object GraftTable {
     * This turns the d9 keep-one dedup survivors into a TABLE operation:
     * delete the non-canonical group members in place, and every reader —
     * batch, SQL relation, changelog key — sees the deduped corpus. */
+  /** Touched-file probe of the PREDICATE mutations (delete/updateWhere):
+    * the data files containing a match, split from the carried rest. One
+    * column-pruned scan; bounded collect — one row per matching FILE. */
+  private def touchedSplit(s: SparkSession, dir: String, m: Manifest,
+                           pred: org.apache.spark.sql.Column)
+      : (Seq[TableFile], Seq[TableFile]) = {
+    val touched = readFiles(s, dir, m).filter(pred)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    m.files.partition(f => touched.exists(_.endsWith(f.path)))
+  }
+
+  /** [[touchedSplit]] for the KEY-SET mutations (deleteKeys/upsert): the
+    * probe is a distributed semi-join, never a driver-side id list.
+    * `input_file_name()` must be captured IN the scan stage — after the
+    * join's exchange it evaluates to "" and the probe would see no files. */
+  private def touchedSplitKeys(s: SparkSession, dir: String, m: Manifest,
+                               keyCol: String, keys: DataFrame)
+      : (Seq[TableFile], Seq[TableFile]) = {
+    val touched = readFiles(s, dir, m).withColumn("_f", input_file_name())
+      .join(keys, Seq(keyCol), "semi")
+      .select(col("_f")).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty).toSet // one row per FILE
+    m.files.partition(f => touched.exists(_.endsWith(f.path)))
+  }
+
   def delete(s: SparkSession, dir: String, predicate: org.apache.spark.sql.Column,
              statsCols: Seq[String] = Nil): Int = {
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
     val m = manifest(dir, head)
     val pred = coalesce(predicate, lit(false))
-    // bounded collect: one row per data FILE containing a match
-    val touched = readFiles(s, dir, m).filter(pred)
-      .select(input_file_name().as("_f")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (touched.isEmpty) return head // nothing to delete — no empty commit
-    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val (rewrite, carry) = touchedSplit(s, dir, m, pred)
+    if (rewrite.isEmpty) return head // nothing to delete — no empty commit
     val survivors = readFiles(s, dir, m.copy(files = rewrite)).filter(!pred)
     val cdc = if (!cdcEnabled(s)) None else Some(
       readFiles(s, dir, m.copy(files = rewrite)).filter(pred)
@@ -601,12 +631,8 @@ object GraftTable {
     sets.foreach { case (c, _) => require(schema.fieldNames.contains(c),
       s"UPDATE of unknown column '$c' (table has ${schema.fieldNames.mkString(", ")})") }
     val pred = coalesce(predicate, lit(false))
-    // bounded collect: one row per data FILE containing a match
-    val touched = readFiles(s, dir, m).filter(pred)
-      .select(input_file_name().as("_f")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (touched.isEmpty) return head // nothing matches — no empty commit
-    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val (rewrite, carry) = touchedSplit(s, dir, m, pred)
+    if (rewrite.isEmpty) return head // nothing matches — no empty commit
     val proj = schema.fieldNames.toSeq.map { c =>
       sets.find(_._1 == c) match {
         case Some((_, v)) =>
@@ -644,14 +670,9 @@ object GraftTable {
     val head = currentVersion(dir)
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
     val m = manifest(dir, head)
-    // input_file_name() must be captured IN the scan stage — after the
-    // join's exchange it evaluates to "" and the probe would see no files
-    val touched = readFiles(s, dir, m).withColumn("_f", input_file_name())
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "semi")
-      .select(col("_f")).distinct()
-      .collect().map(_.getString(0)).filter(_.nonEmpty).toSet // one row per data FILE
-    if (touched.isEmpty) return head
-    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val (rewrite, carry) = touchedSplitKeys(s, dir, m, keyCol,
+      keys.select(col(keyCol)).distinct())
+    if (rewrite.isEmpty) return head
     val survivors = readFiles(s, dir, m.copy(files = rewrite))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     val cdc = if (!cdcEnabled(s)) None else Some(
@@ -680,12 +701,7 @@ object GraftTable {
       .getOrElse(throw new IllegalStateException(s"no table at $dir"))
     val m = manifest(dir, head)
     val keys = batch.select(col(keyCol)).distinct()
-    // input_file_name() must be captured IN the scan stage (see deleteKeys)
-    val touched = readFiles(s, dir, m).withColumn("_f", input_file_name())
-      .join(keys, Seq(keyCol), "semi")
-      .select(col("_f")).distinct()
-      .collect().map(_.getString(0)).filter(_.nonEmpty).toSet // one row per data FILE
-    val (rewrite, carry) = m.files.partition(f => touched.exists(_.endsWith(f.path)))
+    val (rewrite, carry) = touchedSplitKeys(s, dir, m, keyCol, keys)
     val version = head + 1
     val survivors =
       if (rewrite.isEmpty) Nil
@@ -756,9 +772,9 @@ object GraftTable {
     * writes into a single atomic manifest publish. */
   private def writeFiles(s: SparkSession, dir: String, df: DataFrame,
                          statsCols: Seq[String], version: Int,
-                         arrival: Boolean): Seq[TableFile] = {
+                         arrival: Boolean, prefix: String = "c"): Seq[TableFile] = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
-    val sub = f"data/c$version%05d_$salt"
+    val sub = f"data/$prefix$version%05d_$salt"
     df.write.parquet(s"$dir/$sub")
     // stats columns must be integral (exact long bounds) or string (binary
     // order bounds): anything else — a DOUBLE through cast("long") — would
@@ -821,22 +837,12 @@ object GraftTable {
 
   /** Write a commit's change-data sidecar under `data/cdc…`: plain
     * parquet of (row, `_change_type`), no stats (the feed is consumed
-    * whole per commit, never pruned). Returns Nil for an empty frame. */
+    * whole per commit, never pruned) — [[writeFiles]] with the cdc
+    * prefix, so there is ONE salted-write/read-back/manifest-entry
+    * recipe to maintain. Returns Nil for an empty frame. */
   private def writeCdcFiles(s: SparkSession, dir: String, cdc: DataFrame,
-                            version: Int): Seq[TableFile] = {
-    val salt = java.util.UUID.randomUUID().toString.take(8)
-    val sub = f"data/cdc$version%05d_$salt"
-    cdc.write.parquet(s"$dir/$sub")
-    val back = s.read.schema(cdc.schema).parquet(s"$dir/$sub")
-    back.groupBy(input_file_name().as("_f")).agg(count(lit(1)).as("_n"))
-      .collect() // bounded: one row per sidecar FILE of this commit
-      .map { r =>
-        val full = r.getString(0)
-        val rel = full.substring(full.indexOf(sub))
-        val onDisk = try Files.size(Paths.get(dir, rel)) catch { case _: Exception => 0L }
-        TableFile(rel, r.getAs[Long]("_n"), Map.empty, bytes = onDisk)
-      }.sortBy(_.path).toSeq
-  }
+                            version: Int): Seq[TableFile] =
+    writeFiles(s, dir, cdc, Nil, version, arrival = true, prefix = "cdc")
 
   private def commit(s: SparkSession, dir: String, df: DataFrame,
                      statsCols: Seq[String], version: Int, op: String,
@@ -963,7 +969,9 @@ object GraftTable {
 
   /** Full change feed over (fromV, toV] — the Delta CDF analog: every
     * row-level change with `_change_type` ∈ {insert, delete,
-    * update_preimage, update_postimage} and `_commit_version`. Where
+    * update_preimage, update_postimage} and `_commit_version`.
+    * `fromV = -1` replays from inception (the create commit's rows
+    * surface as inserts at version 0). Where
     * [[readChanges]] carries only arrivals (append-mode), this also
     * carries removals — the feed a downstream INDEX (d14's dedup mask,
     * v10's IVF postings) needs to stay consistent under deletes, and what
@@ -993,7 +1001,9 @@ object GraftTable {
       .add(ChangeTypeCol, "string").add("_commit_version", "int")
     val parts = ((fromV + 1) to toV).flatMap { v =>
       val m = manifest(dir, v)
-      val prevM = manifest(dir, v - 1)
+      // v = 0 (fromV = -1 replays from inception): no predecessor — the
+      // create commit's files are all inserts against an empty "previous"
+      val prevM = if (v == 0) m.copy(files = Nil) else manifest(dir, v - 1)
       val prevPaths = prevM.files.map(_.path).toSet
       def sliced(of: Manifest, files: Seq[TableFile], tpe: String): Option[DataFrame] =
         if (files.isEmpty) None

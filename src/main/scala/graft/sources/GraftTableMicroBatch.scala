@@ -50,6 +50,11 @@ class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsR
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // fail FAST on a missing table: inferSchema tolerates absence (the
+    // DataFrameWriter probes it before creating), so the read path must
+    // re-check — a typo'd path would otherwise stream zero columns forever
+    require(GraftTable.currentVersion(dir).nonEmpty,
+      s"no graft table at $dir")
     val startingVersion = options.getInt("startingVersion", 0)
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     val cdcMode = options.getBoolean("readChangeFeed", false)
@@ -64,9 +69,17 @@ class GraftTableV2(dir: String, pinned: StructType) extends Table with SupportsR
       require(i > 0, s"filterEq must be 'col=value', got '$s'")
       (s.substring(0, i).trim, s.substring(i + 1))
     }
-    filterEq.foreach { case (c, _) => require(pinned.fieldNames.contains(c),
-      s"filterEq column '$c' is not in the read schema " +
-        s"${pinned.fieldNames.mkString(",")} (add it to readColumns)") }
+    filterEq.foreach { case (c, _) =>
+      require(pinned.fieldNames.contains(c),
+        s"filterEq column '$c' is not in the read schema " +
+          s"${pinned.fieldNames.mkString(",")} (add it to readColumns)")
+      // the feed's metadata columns are STAMPED after the row filter runs
+      // (synthesized files don't carry them) — a filterEq on them would
+      // silently drop every synthesized row; filter after load() instead
+      require(!(cdcMode && (c == GraftTable.ChangeTypeCol || c == "_commit_version")),
+        s"filterEq cannot target the change-feed metadata column '$c' " +
+          "(stamped after the row filter) — apply .filter after load()")
+    }
     new ScanBuilder {
       override def build(): Scan =
         new GraftTableScan(dir, pinned, startingVersion, maxFiles, filterEq,
@@ -98,20 +111,26 @@ class GraftTableScan(dir: String, required: StructType, startingVersion: Int,
   *  - `{"v":v,"idx":i}`: versions ≤ v fully emitted PLUS the first i
   *    arrival files of version v+1 (a bounded batch split a commit).
   */
-case class GraftStreamOffset(v: Int, backfillTo: Int = -1, idx: Int = -1)
-  extends Offset {
+case class GraftStreamOffset(v: Int, backfillTo: Int = -1, idx: Int = -1,
+                             cdc: Boolean = false) extends Offset {
+  // idx-carrying (split) offsets record the MODE that produced them: a
+  // split index addresses a position in that mode's unit-file list, so
+  // resuming a checkpoint under the other mode would silently skip or
+  // re-deliver files — the stream refuses instead. Whole-commit offsets
+  // (plain int) are mode-independent and omit the marker.
+  private def flag = if (cdc) ""","cdc":true""" else ""
   override def json: String =
-    if (backfillTo >= 0) s"""{"backfill":$backfillTo,"idx":$idx}"""
-    else if (idx >= 0) s"""{"v":$v,"idx":$idx}"""
+    if (backfillTo >= 0) s"""{"backfill":$backfillTo,"idx":$idx$flag}"""
+    else if (idx >= 0) s"""{"v":$v,"idx":$idx$flag}"""
     else v.toString
 }
 
 object GraftStreamOffset {
-  private val B = """\{"backfill":(-?\d+),"idx":(\d+)\}""".r
-  private val V = """\{"v":(-?\d+),"idx":(\d+)\}""".r
+  private val B = """\{"backfill":(-?\d+),"idx":(\d+)(,"cdc":true)?\}""".r
+  private val V = """\{"v":(-?\d+),"idx":(\d+)(,"cdc":true)?\}""".r
   def parse(json: String): GraftStreamOffset = json.trim match {
-    case B(b, i) => GraftStreamOffset(-1, b.toInt, i.toInt)
-    case V(v, i) => GraftStreamOffset(v.toInt, -1, i.toInt)
+    case B(b, i, c) => GraftStreamOffset(-1, b.toInt, i.toInt, cdc = c != null)
+    case V(v, i, c) => GraftStreamOffset(v.toInt, -1, i.toInt, cdc = c != null)
     case s => GraftStreamOffset(s.toInt)
   }
 }
@@ -144,9 +163,18 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = GraftTable.currentVersion(dir).filter(_ >= startingVersion)
 
-  private def off(o: Offset): GraftStreamOffset = o match {
-    case g: GraftStreamOffset => g
-    case other => GraftStreamOffset.parse(other.json)
+  private def off(o: Offset): GraftStreamOffset = {
+    val g = o match {
+      case g0: GraftStreamOffset => g0
+      case other => GraftStreamOffset.parse(other.json)
+    }
+    // a SPLIT offset indexes one mode's unit-file list — resuming it under
+    // the other mode would silently skip or re-deliver files
+    require(g.idx < 0 || g.cdc == cdcMode,
+      s"checkpointed split offset ${g.json} was written with readChangeFeed=" +
+        s"${g.cdc} but this stream runs readChangeFeed=$cdcMode — finish the " +
+        "stream in its original mode (or restart from a fresh checkpoint)")
+    g
   }
 
   /** Arrival files of commit v+1 (deterministic order: manifests list a
@@ -221,12 +249,12 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
       // bounded initial-snapshot backfill in flight (pinned at B)
       val total = GraftTable.manifest(dir, s.backfillTo).files.size
       if (s.idx + budget0 >= total) GraftStreamOffset(s.backfillTo)
-      else GraftStreamOffset(-1, s.backfillTo, s.idx + budget0)
+      else GraftStreamOffset(-1, s.backfillTo, s.idx + budget0, cdc = cdcMode)
     } else if (s.v < 0 && s.idx < 0) {
       // nothing emitted, startingVersion == 0: pin the backfill at head
       val total = GraftTable.manifest(dir, head).files.size
       if (budget0 >= total) GraftStreamOffset(head)
-      else GraftStreamOffset(-1, head, budget0)
+      else GraftStreamOffset(-1, head, budget0, cdc = cdcMode)
     } else {
       // tail: walk whole commits (and empty ones for free) under budget,
       // splitting inside a commit when its unit-file list exceeds it
@@ -237,7 +265,7 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
         val arr = units(v)
         val remaining = arr.size - i
         if (remaining <= budget) { budget -= remaining; v += 1; i = 0 }
-        else return GraftStreamOffset(v, -1, i + budget)
+        else return GraftStreamOffset(v, -1, i + budget, cdc = cdcMode)
       }
       GraftStreamOffset(head)
     }

@@ -182,6 +182,48 @@ class GraftCdcTest extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("feed edges: replay-from-inception, metadata filterEq refusal, missing-table fail-fast, offset mode marker") {
+    val tdir = freshDir("edges")
+    GraftTable.create(spark, tdir, rows(0, 30, "s0"), Seq("doc_id"))
+    withCdc { GraftTable.delete(spark, tdir, col("doc_id") < 5, Seq("doc_id")) }
+    // fromV = -1 replays from inception: the create commit's inserts surface
+    val feed = GraftTable.readCdc(spark, tdir, -1, 1)
+    assert(feed.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("insert" -> 30L, "delete" -> 5L))
+    assert(feed.filter(col("_commit_version") === 0).count() == 30)
+
+    // the scan builder runs at query START (load() is lazy): drive each
+    // refusal through an actual started query
+    def startFails(df: org.apache.spark.sql.DataFrame, needle: String): Unit = {
+      val e = intercept[Exception] {
+        val q = df.writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)), s"wanted '$needle' in ${msgs(e)}")
+    }
+    // filterEq on a stamped metadata column would silently drop
+    // synthesized rows — it must refuse up front
+    startFails(spark.readStream.format("graft-table").option("path", tdir)
+      .option("readChangeFeed", "true")
+      .option("filterEq", "_change_type=insert").load(), "metadata column")
+    // a missing table must fail the stream fast, not run forever empty
+    startFails(spark.readStream.format("graft-table")
+      .option("path", "/tmp/graft-no-such-table").load(), "no graft table")
+
+    // split offsets carry their mode and round-trip it; whole-commit
+    // offsets stay the mode-independent plain int
+    import graft.sources.GraftStreamOffset
+    val split = GraftStreamOffset(4, -1, 2, cdc = true)
+    assert(GraftStreamOffset.parse(split.json) == split)
+    val legacy = GraftStreamOffset.parse("""{"v":4,"idx":2}""")
+    assert(!legacy.cdc && legacy.v == 4 && legacy.idx == 2)
+    assert(GraftStreamOffset.parse("7") == GraftStreamOffset(7))
+  }
+
   test("a delete written WITHOUT cdc refuses to serve the feed; vacuum keeps retained sidecars") {
     val tdir = freshDir("refuse")
     GraftTable.create(spark, tdir, rows(0, 30, "s0"), Seq("doc_id"))

@@ -38,8 +38,9 @@ class StaticChecksTest extends AnyFunSuite {
     // cross-corpus jaccard vocab probes capped at MaxMaskVocab+1 rows,
     // buildIvfIndexOver's nlist-row centers artifact load,
     // GraftTable.commit's per-file manifest stats — one row per data FILE
-    // of the commit, not per data row — the delete/deleteKeys/upsert/updateWhere
-    // touched-file probes, likewise one row per matching data FILE, the
+    // of the commit, not per data row — the shared touchedSplit/touchedSplitKeys
+    // probes behind delete/deleteKeys/upsert/updateWhere — likewise one
+    // row per matching data FILE, the
     // CDC sidecar writer's per-file row counts (one row per sidecar FILE
     // of the commit), cdcMirrorInto's per-batch source-version list (one
     // row per source COMMIT in the micro-batch), the SQL MERGE
@@ -51,6 +52,6 @@ class StaticChecksTest extends AnyFunSuite {
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 29, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 26, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }
