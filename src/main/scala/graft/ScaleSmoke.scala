@@ -321,6 +321,34 @@ object ScaleSmoke {
       } finally spark.conf.unset("spark.graft.cdc")
     }
 
+    // d20 BM25 retrieval at growing corpus (round-10): the QUERY set is
+    // fixed (3 queries), the corpus grows ×k. The only corpus-sized stage
+    // is the shared token scan + tf/dl aggregation — the posting join
+    // carries just the rows matching the broadcast query terms, so the
+    // curve must be ~linear in k (scan-bound), never superlinear through
+    // a vocabulary-sized join. Caches reset per factor so each timing is
+    // the full cold cost, not a memoized token frame.
+    if (mode == "all" || mode == "bm25") for (f <- Seq(1, 3, 10)) {
+      val dir = if (f == 1) Base else scaledDir(spark, f)
+      Tables.resetCaches()
+      val (sec, rows) = time(SparkEntry.queries("d20_bm25_topk")(spark, dir).count())
+      report("bm25_topk", s"x$f", sec, rows)
+    }
+
+    // m5 perceptual media dedup at growing corpus (round-10): docs grow
+    // ×k, so media items grow ×k (two per doc) and planted near-dups grow
+    // ×k with them. One linear decode pass (8 hash bytes per item leave
+    // the scan) + a banded equi-join over 65 536-way buckets: the curve
+    // must track item count ~linearly — the ×k copies are id-seeded noise,
+    // so cross-copy hash collisions stay negligible and bucket occupancy
+    // stays ~1.
+    if (mode == "all" || mode == "media") for (f <- Seq(1, 3, 10)) {
+      val dir = if (f == 1) Base else scaledDir(spark, f)
+      val (sec, rows) = time(graft.sources.Multimodal.nearDupMediaPairs(
+        graft.sources.Multimodal.mediaDedupTable(spark, dir)).count())
+      report("media_dedup", s"x$f", sec, rows)
+    }
+
     if (mode == "all" || mode == "knn") {
       val f = args.lift(1).map(_.stripPrefix("x").toInt).getOrElse(3)
       val dir = if (f == 1) Base else scaledDir(spark, f)

@@ -916,6 +916,98 @@ object JsonDocs {
           .orderBy(col("change_type"), col("lang"))
     },
 
+    // BM25 top-k retrieval (Robertson/Okapi, k1=1.2 b=0.75) — the classic
+    // full-text SEARCH operator the corpus-side pipeline needs for
+    // contamination candidate mining and RAG-style lookup: a fixed query
+    // set ranks documents by summed per-term BM25 contributions. Scale
+    // shape: the ONLY corpus-sized work is the shared token scan (the
+    // memoized docTokens frame every d/p query reuses) — the query terms
+    // broadcast, so the posting join carries just the matching (doc, term)
+    // rows, never the corpus vocabulary; df/idf frames are query-term-sized;
+    // per-(doc,term) scores fixed-point to integer MICRO-units ONCE, so the
+    // per-(query,doc) sum is an exact BIGINT in any aggregation order, and
+    // the final top-5 runs through Rank.topKPerGroup's two-stage bounded
+    // heaps (3 query groups never funnel the corpus through 3 reducers).
+    // The IEEE score expression is replicated term-for-term in the oracle
+    // (§2.7b): all inputs are exact BIGINTs, each engine evaluates the same
+    // double expression tree, so the fixed-pointed scores hash-match.
+    DeclaredQuery("d20_bm25_topk",
+      """WITH q AS (SELECT * FROM (VALUES (0, 'spark fast query'),
+        |                                 (1, 'hash join merge'),
+        |                                 (2, 'stream window batch table'))
+        |            AS t(query_id, qtext)),
+        |qt AS (SELECT DISTINCT query_id,
+        |         unnest(list_filter(string_split(qtext,' '), x -> x <> '')) AS tok
+        |       FROM q),
+        |toks AS (SELECT doc_id,
+        |           unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |         FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |             (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS total),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |       WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |         CAST(FLOOR(
+        |           LN(1.0 + (CAST(c.n_docs - df.df AS DOUBLE) + 0.5)
+        |                    / (CAST(df.df AS DOUBLE) + 0.5))
+        |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |                          / (CAST(c.total AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+        |           * 1e6 + 0.5) AS BIGINT) AS s_micro
+        |       FROM qt JOIN tf ON qt.tok = tf.tok
+        |       JOIN df ON df.tok = qt.tok
+        |       JOIN dl ON dl.doc_id = tf.doc_id
+        |       CROSS JOIN c),
+        |agg AS (SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
+        |        FROM sc GROUP BY query_id, doc_id)
+        |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25_micro FROM (
+        |  SELECT query_id, doc_id, bm25_micro,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY bm25_micro DESC, doc_id) AS rk
+        |  FROM agg) r
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) {
+      (s, dir) =>
+        val q = s.createDataFrame(Seq(
+            (0, "spark fast query"),
+            (1, "hash join merge"),
+            (2, "stream window batch table")))
+          .toDF("query_id", "qtext")
+        val qt = q.select(col("query_id"),
+            explode(split(col("qtext"), " ")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+        val tf = Tables.docTokens(s, dir)
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val c = Tables.table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+          .crossJoin(tf.agg(sum(col("tf")).as("total")))
+        val dfTok = tf.join(broadcast(qt.select(col("tok")).distinct()), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val avgdl = col("total").cast("double") / col("n_docs").cast("double")
+        val idf = log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+        val sat = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        val agg = tf.join(broadcast(qt), "tok")
+          .join(broadcast(dfTok), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(c))
+          .select(col("query_id"), col("doc_id"),
+            floor(idf * sat * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("s_micro")).as("bm25_micro"))
+        graft.operators.Rank.topKPerGroup(agg, Seq(col("query_id")),
+            Seq(col("bm25_micro").desc, col("doc_id")), 5,
+            bucketKey = col("doc_id"), rankCol = "rk")
+          .select(col("query_id"), col("rk"), col("doc_id"), col("bm25_micro"))
+          .orderBy(col("query_id"), col("rk"))
+    },
+
     // Exact duplicated-span SURGERY — the removal step d8 only measures
     // (Lee et al. ACL'22 dedup applied to spans): tokens covered by any
     // cross-document 8-gram are cut and the doc is rebuilt from the

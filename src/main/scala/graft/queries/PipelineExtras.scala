@@ -86,6 +86,28 @@ object PipelineExtras {
           .orderBy(col("kind"))
     },
 
+    // Perceptual MEDIA dedup — the multimodal member of the dedup family
+    // (lexical d1/d3, semantic d15, spatial t28): kind-dispatched 64-bit
+    // fingerprints (image dHash over the parsed pixel grid, scale-invariant
+    // audio envelope hash, byte SimHash), candidates by 4×16-bit band
+    // equi-join — EXACT for Hamming ≤ 3 by pigeonhole, so unlike the
+    // MinHash gates this near-dup join is deterministic and fully recalled
+    // — exact bit_count verify on survivors. The fixture plants the two
+    // re-encode classes byte hashing cannot see: a one-pixel-corrupted
+    // image copy and a 0.9×-re-leveled audio copy. No oracle (per-byte
+    // decode is not SQL-expressible); planted-recovery/margin/determinism
+    // tested in MultimodalTest.
+    DeclaredQuery.noOracle("m5_media_dedup") {
+      (s, dir) =>
+        Multimodal.nearDupMediaPairs(Multimodal.mediaDedupTable(s, dir))
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id2")).as("n_dup_items"),
+            sum(col("hamming")).as("hamming_sum"),
+            expr("bit_xor(id1 * 4194304 + id2)").as("pair_ck"))
+          .orderBy(col("kind"))
+    },
+
     DeclaredQuery.noOracle("p5_simhash_neardups") {
       (s, dir) => Sketches.simhashNearDups(s, dir)
     },

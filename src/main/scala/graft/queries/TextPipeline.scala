@@ -983,6 +983,63 @@ object TextPipeline {
             coalesce(expr("bit_xor(CASE WHEN straddle = 1 THEN doc_id END)"),
               lit(0L)).as("straddle_ck"))
           .orderBy(col("lang"))
+    },
+
+    // Distribution-DRIFT monitor (Population Stability Index) — the
+    // data-quality gate a continuously-ingesting training pipeline runs per
+    // source/shard: PSI of each source's doc-length distribution against
+    // the whole-corpus baseline over fixed 100-char buckets (capped at 5),
+    // Laplace-smoothed (+1 over n+B) so an empty bucket never yields an
+    // infinite term. Scale shape: two corpus aggregations (per-source×bucket
+    // and per-bucket) reduce the scan to a sources×6 frame — everything
+    // after is constant-sized driver-free arithmetic; the per-bucket PSI
+    // term fixed-points to integer NANO-units once, so the per-source sum
+    // is an exact BIGINT in any aggregation order (§2.7b), and the oracle
+    // replicates the smoothed IEEE expression tree term-for-term.
+    DeclaredQuery("p31_psi_drift",
+      """WITH b AS (SELECT source,
+        |             LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 5) AS bucket
+        |           FROM documents),
+        |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source),
+        |grid AS (SELECT s.source, s.n, g.bucket FROM srcs s
+        |         CROSS JOIN (SELECT unnest(range(0, 6)) AS bucket) g),
+        |sc AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM b GROUP BY source, bucket),
+        |cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cc FROM b GROUP BY bucket),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM b),
+        |t AS (SELECT grid.source, grid.n,
+        |        (CAST(COALESCE(sc.c, 0) + 1 AS DOUBLE) / CAST(grid.n + 6 AS DOUBLE)) AS p,
+        |        (CAST(COALESCE(cc.cc, 0) + 1 AS DOUBLE) / CAST(nc.nt + 6 AS DOUBLE)) AS q
+        |      FROM grid
+        |      LEFT JOIN sc ON sc.source = grid.source AND sc.bucket = grid.bucket
+        |      LEFT JOIN cc ON cc.bucket = grid.bucket
+        |      CROSS JOIN nc)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CAST(FLOOR((p - q) * LN(p / q) * 1e9 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS psi_nano
+        |FROM t GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val b = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            least(floor(col("n_chars") / lit(100)), lit(5L)).as("bucket"))
+        val srcs = b.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val bucketsDf = s.createDataFrame((0L to 5L).map(Tuple1(_))).toDF("bucket")
+        val grid = srcs.crossJoin(broadcast(bucketsDf))
+        val scf = b.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+        val ccf = b.groupBy(col("bucket")).agg(count(lit(1)).as("cc"))
+        val ncf = b.agg(count(lit(1)).as("nt"))
+        val p = (coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+          (col("n") + lit(6)).cast("double")
+        val q = (coalesce(col("cc"), lit(0L)) + lit(1)).cast("double") /
+          (col("nt") + lit(6)).cast("double")
+        grid.join(scf, Seq("source", "bucket"), "left")
+          .join(broadcast(ccf), Seq("bucket"), "left")
+          .crossJoin(broadcast(ncf))
+          .select(col("source"), col("n"),
+            floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast("long").as("t_nano"))
+          .groupBy(col("source"))
+          .agg(max(col("n")).as("n_docs"), sum(col("t_nano")).as("psi_nano"))
+          .orderBy(col("source"))
     }
   )
 }

@@ -322,6 +322,32 @@ object GraftTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Idempotent truncate-and-load for exactly-once COMPLETE-mode streaming
+    * sinks (each micro-batch carries the full recomputed result — e.g. a
+    * continuously-maintained aggregate table): same (appId, batchId) token
+    * protocol as [[exactlyOnceAppend]], but the commit is an overwrite
+    * (create on a fresh dir), so the table head always holds exactly the
+    * latest delivered result and a re-delivered batch is a no-op. Old
+    * snapshots stay time-travelable until vacuum, like any overwrite. */
+  def exactlyOnceComplete(s: SparkSession, dir: String, df: DataFrame,
+                          appId: String, batchId: Long,
+                          statsCols: Seq[String] = Nil): Int = {
+    while (true) {
+      val headOpt = currentVersion(dir)
+      if (lastTxn(dir, appId).exists(_ >= batchId)) return headOpt.get
+      val (v, op, prevSchema) = headOpt match {
+        case Some(h) =>
+          (h + 1, "overwrite",
+            Some(StructType.fromDDL(manifest(dir, h).schemaDdl)))
+        case None => (0, "create", Option.empty[StructType])
+      }
+      try return commit(s, dir, df, statsCols, v, op, prev = Nil,
+        txn = Some(appId -> batchId), prevSchema = prevSchema)
+      catch { case _: CommitConflict => () } // other writer won; re-check
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Latest committed batchId of a sink appId (backward manifest scan —
     * bounded by log length locally; a deployment checkpoints this). */
   def lastTxn(dir: String, appId: String): Option[Long] = {

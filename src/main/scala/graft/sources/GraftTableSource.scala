@@ -158,9 +158,46 @@ object GraftTableRelation {
 class GraftTableSourceProvider extends RelationProvider
   with CreatableRelationProvider
   with DataSourceRegister
+  with StreamSinkProvider
   with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft-table"
+
+  /** `df.writeStream.format("graft-table")` — the native streaming write
+    * (see [[GraftTableSink]]). Resolution: [[GraftTableV2]] does not
+    * advertise STREAMING_WRITE, so the engine falls back to this V1 hook
+    * — the deliberate V1-for-writes split, mirroring batch reads.
+    * Exactly-once identity: explicit `appId` option, else a fingerprint
+    * of `checkpointLocation` (stable across restarts of the same logical
+    * stream, distinct between streams — the identity the token protocol
+    * needs). A query with neither refuses rather than defaulting to a
+    * shared id that would make two different streams swallow each
+    * other's batches. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table streaming write requires option 'path'"))
+    require(partitionColumns.isEmpty,
+      "graft-table does not support partitionBy; use compact(clusterBy) for layout")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "graft-table streaming write supports Append and Complete modes; " +
+        "Update re-emits changed rows without old identities — use " +
+        "foreachBatch(GraftTable.upsert) for keyed maintenance")
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation").map { cp =>
+        "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.take(16)
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table streaming write needs option 'appId' or a " +
+          "'checkpointLocation' to derive a stable exactly-once identity"))
+    val stats = parameters.get("statsColumns").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    new GraftTableSink(ctx, dir, appId, stats, outputMode)
+  }
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation =

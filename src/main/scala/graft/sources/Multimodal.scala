@@ -277,6 +277,115 @@ object Multimodal {
     out.array()
   }
 
+  // ------------------------------------------------------ perceptual hashes
+
+  /** 64-bit image difference hash (dHash): nearest-neighbor sample the
+    * parsed 24-bpp pixel grid to 9×8 luma, bit (x,y) = gray(x+1,y) >
+    * gray(x,y). Robust to re-encoding and small corruptions (one changed
+    * pixel flips ≤2 bits), discriminative on unrelated content (~32-bit
+    * expected Hamming distance) — the standard image-dedup fingerprint. */
+  def dHashBmp(bytes: Array[Byte]): Long = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP file")
+    val pixelOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(buf.getShort(28).toInt == 24, "unsupported bpp")
+    val rowLen = (w * 3 + 3) / 4 * 4
+    def gray(gx: Int, gy: Int): Double = {
+      val sx = gx * w / 9
+      val sy = gy * h / 8
+      val p = pixelOff + sy * rowLen + sx * 3
+      0.114 * (bytes(p) & 0xff) + 0.587 * (bytes(p + 1) & 0xff) +
+        0.299 * (bytes(p + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** 64-bit audio envelope hash: mean |amplitude| over 65 equal time
+    * buckets of the PCM stream, bit i = env(i+1) > env(i). Comparisons are
+    * AMPLITUDE-SCALE-INVARIANT (a re-leveled copy hashes identically) and
+    * robust to a few perturbed samples; unrelated signals land ~32 bits
+    * apart — the audio-dedup fingerprint. */
+  def envHashWav(bytes: Array[Byte]): Long = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val feats = decodeWav(bytes) // validates structure, finds sample count
+    val n = feats(2).toInt
+    var pos = 12
+    var dataOff = -1
+    while (pos + 8 <= bytes.length && dataOff < 0) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = buf.getInt(pos + 4)
+      if (cid == "data") dataOff = pos + 8
+      else pos += 8 + clen + (clen & 1)
+    }
+    val env = new Array[Double](65)
+    val cnt = new Array[Int](65)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * 65 / math.max(n, 1)).toInt
+      env(b) += math.abs(buf.getShort(dataOff + i * 2).toDouble)
+      cnt(b) += 1
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      val a = if (cnt(j) == 0) 0.0 else env(j) / cnt(j)
+      val c = if (cnt(j + 1) == 0) 0.0 else env(j + 1) / cnt(j + 1)
+      if (c > a) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** 64-bit byte-level SimHash (4-byte shingles, splitmix-mixed): the
+    * text/unknown-payload member of the perceptual family — small edits
+    * move few bits, unrelated payloads land ~32 apart. */
+  def simHashBytes(bytes: Array[Byte]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val end = math.max(bytes.length - 3, 0)
+    while (i < end) {
+      var z = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      // splitmix64 finalizer
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      var b = 0
+      while (b < 64) {
+        if (((z >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) hash |= 1L << b; b += 1 }
+    hash
+  }
+
+  /** Kind-dispatched 64-bit perceptual fingerprint. */
+  def perceptualHash(kind: String, bytes: Array[Byte]): Long =
+    try {
+      kind match {
+        case "image/bmp" => dHashBmp(bytes)
+        case "audio/wav" => envHashWav(bytes)
+        case _ => simHashBytes(bytes)
+      }
+    } catch { case _: IllegalArgumentException => simHashBytes(bytes) }
+
   /** Kind-dispatched decode; malformed bytes degrade to byte statistics
     * (real pipelines flag, not fail, on corrupt media). */
   def decode(kind: String, bytes: Array[Byte]): (Long, Array[Double]) = {
@@ -323,6 +432,143 @@ object Multimodal {
       wav.unionByName(bmp)
         .select(col("media_id"), col("kind"), col("media"),
           octet_length(col("media")).cast("long").as("n_bytes"), col("lang")))
+  }
+
+  // -------------------------------------------------- media-dedup fixtures
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 16×16 24-bpp BMP with id-seeded NOISE pixels (splitmix-mixed):
+    * uncorrelated across ids, so unrelated dHashes land ~32 bits apart.
+    * (The gradient fixture [[synthBmpBytes]] has monotone luma — under a
+    * difference hash EVERY gradient image would collide; a dedup fixture
+    * needs discriminative content.) */
+  def synthNoiseBmpBytes(id: Long): Array[Byte] = {
+    val w = 16; val h = 16
+    val rowLen = (w * 3 + 3) / 4 * 4
+    val buf = ByteBuffer.allocate(54 + rowLen * h).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowLen * h)
+      .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(rowLen * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val z = mix64(id * 65536L + y * 16L + x)
+        buf.put((z & 0xff).toByte).put(((z >>> 8) & 0xff).toByte)
+          .put(((z >>> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowLen) { buf.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** 512-sample id-seeded noise PCM WAV, amplitude-scaled by `scale`:
+    * [[envHashWav]] compares bucket means, so a re-leveled (`scale < 1`)
+    * copy hashes IDENTICALLY — the planted audio near-dup. */
+  def synthNoiseWavBytes(id: Long, scale: Double = 1.0): Array[Byte] = {
+    val n = 512
+    val buf = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort)
+      .putInt(8000).putInt(16000)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      val z = mix64(id * 4096L + i)
+      val s = ((z % 20000L).toDouble * scale).toShort
+      buf.putShort(s)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Copy with the (0,0) pixel re-painted — the small-corruption variant:
+    * one changed source pixel moves the 9×8 dHash by ≤2 bits. */
+  def corruptOnePixel(bmp: Array[Byte]): Array[Byte] = {
+    val out = bmp.clone()
+    val pixelOff = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    out(pixelOff) = (~out(pixelOff)).toByte
+    out(pixelOff + 1) = (~out(pixelOff + 1)).toByte
+    out(pixelOff + 2) = (~out(pixelOff + 2)).toByte
+    out
+  }
+
+  private val noiseBmpUdf = udf((id: Long, variantOf: Long) =>
+    if (variantOf >= 0) corruptOnePixel(synthNoiseBmpBytes(variantOf))
+    else synthNoiseBmpBytes(id))
+  private val noiseWavUdf = udf((id: Long, variantOf: Long) =>
+    if (variantOf >= 0) synthNoiseWavBytes(variantOf, scale = 0.9)
+    else synthNoiseWavBytes(id))
+
+  /** Media-dedup fixture: one noise BMP + one noise WAV per document;
+    * every 7th id's media is a PLANTED NEAR-DUP of id−1's — the image a
+    * one-pixel corruption, the audio a 0.9× re-leveled copy (the two
+    * re-encode classes perceptual hashing exists to catch, which
+    * byte-exact hashing cannot). */
+  def mediaDedupTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val vOf = when(col("doc_id") % 7 === 0 && col("doc_id") > 0,
+      col("doc_id") - 1).otherwise(lit(-1L))
+    val bmp = docs.select((col("doc_id") + 2000000L).as("media_id"),
+      lit("image/bmp").as("kind"), noiseBmpUdf(col("doc_id"), vOf).as("media"),
+      col("lang"))
+    val wav = docs.select((col("doc_id") + 1000000L).as("media_id"),
+      lit("audio/wav").as("kind"), noiseWavUdf(col("doc_id"), vOf).as("media"),
+      col("lang"))
+    bmp.unionByName(wav)
+      .select(col("media_id"), col("kind"), col("media"),
+        octet_length(col("media")).cast("long").as("n_bytes"), col("lang"))
+  }
+
+  /** Perceptual near-dup pairs over a media frame — the media member of
+    * the dedup family (lexical d3, semantic d15, spatial t28): 64-bit
+    * kind-dispatched fingerprints ([[perceptualHash]]), candidates by
+    * 4×16-bit BAND equi-join, exact Hamming ≤ τ verify.
+    *
+    * For τ ≤ 3 the banding is EXACT by pigeonhole — ≤3 differing bits
+    * touch ≤3 of the 4 bands, so every true pair shares at least one
+    * identical band; recall is 1.0, not probabilistic (unlike MinHash).
+    * Scale shape: one linear decode pass (blobs never shuffle — 8 bytes
+    * of hash per item leave the scan), candidates from per-(kind, band,
+    * key) buckets — at 10⁹ images the pair space is Σ bucket² over
+    * 65 536-way partitioned buckets, never n²; the verify is one codegen
+    * `bit_count` on the joined longs. */
+  def nearDupMediaPairs(media: DataFrame, tau: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(tau <= 3, s"tau=$tau breaks the 4-band pigeonhole exactness (max 3)")
+    val hashed = media.as[MediaRow].mapPartitions { rows =>
+      rows.map(r => (r.media_id, r.kind, perceptualHash(r.kind, r.media)))
+    }.toDF("media_id", "kind", "phash")
+    val banded = hashed.select(col("media_id"), col("kind"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        expr("shiftrightunsigned(phash, band * 16)").bitwiseAND(lit(0xffffL)))
+    val l = banded.select(col("kind"), col("band"), col("bkey"),
+      col("media_id").as("id1"), col("phash").as("h1"))
+    val r = banded.select(col("kind"), col("band"), col("bkey"),
+      col("media_id").as("id2"), col("phash").as("h2"))
+    l.join(r, Seq("kind", "band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("kind"), col("id1"), col("id2"), col("h1"), col("h2"))
+      .distinct() // a pair may share up to 4 bands — count it once
+      .filter(expr(s"bit_count(h1 ^ h2) <= $tau"))
+      .select(col("kind"), col("id1"), col("id2"),
+        expr("bit_count(h1 ^ h2)").cast("int").as("hamming"))
   }
 
   /** Media transform stage (resize images, frame-sample audio, pass

@@ -1254,4 +1254,112 @@ class GraftTableTest extends AnyFunSuite {
     }
     assert(e.getMessage.contains("tile-column stats") && e.getMessage.contains("'tx'"))
   }
+
+  /** Native streaming WRITE (`writeStream.format("graft-table")`, the V1
+    * sink): a table-to-table pipeline with zero foreachBatch wiring —
+    * changelog stream in, exactly-once commits out. */
+  test("native streaming sink: table-to-table append with txn tokens and declared stats") {
+    val src = freshDir("v1sink-src")
+    val dst = freshDir("v1sink-dst")
+    val ckpt = freshDir("v1sink-ckpt")
+    val rows = docs(TestSpark.sf0001).orderBy("doc_id").limit(30).collect()
+    def slice(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 1),
+      docs(TestSpark.sf0001).schema)
+    GraftTable.create(spark, src, slice(0, 10), Seq("doc_id"))
+
+    val q = spark.readStream.format("graft-table").option("path", src).load()
+      .writeStream.format("graft-table")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .option("statsColumns", "doc_id")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(GraftTable.read(spark, dst).count() == 10)
+      GraftTable.append(spark, src, slice(10, 30), Seq("doc_id"))
+      q.processAllAvailable()
+      assert(GraftTable.read(spark, dst).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == rows.map(_.getLong(0)).toSet)
+      val head = GraftTable.currentVersion(dst).get
+      val m = GraftTable.manifest(dst, head)
+      // exactly-once identity derived from the checkpoint location
+      assert(m.txn.exists(_._1.startsWith("ckpt-")),
+        s"expected a ckpt-derived txn token, got ${m.txn}")
+      // the declared statsColumns reached the manifest — files stay prunable
+      assert(m.files.forall(_.stats.contains("doc_id")))
+    } finally q.stop()
+  }
+
+  test("native streaming sink: re-delivered micro-batch is a no-op (crash-recovery token)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val tdir = freshDir("v1sink-redeliver")
+    val sink = new graft.sources.GraftTableSink(
+      spark.sqlContext, tdir, "app-x", Seq("doc_id"), OutputMode.Append())
+    val two = spark.range(0, 2).select(col("id").as("doc_id"))
+    sink.addBatch(0, two)
+    val v0 = GraftTable.currentVersion(tdir).get
+    sink.addBatch(0, two) // re-delivery after crash recovery
+    assert(GraftTable.currentVersion(tdir).contains(v0),
+      "a re-delivered batchId must not publish a second commit")
+    assert(GraftTable.read(spark, tdir).count() == 2)
+    sink.addBatch(1, spark.range(2, 5).select(col("id").as("doc_id")))
+    assert(GraftTable.read(spark, tdir).count() == 5)
+  }
+
+  test("native streaming sink: Complete mode maintains the aggregate head exactly-once") {
+    val src = freshDir("v1sink-csrc")
+    val dst = freshDir("v1sink-cdst")
+    val ckpt = freshDir("v1sink-cckpt")
+    GraftTable.create(spark, src, docs(TestSpark.sf0001).limit(40), Nil)
+
+    val q = spark.readStream.format("graft-table").option("path", src).load()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-table")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val expect1 = docs(TestSpark.sf0001).limit(40).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def headMap() = GraftTable.read(spark, dst)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(headMap() == expect1)
+
+      GraftTable.append(spark, src, docs(TestSpark.sf0001)
+        .orderBy(col("doc_id").desc).limit(25), Nil)
+      q.processAllAvailable()
+      // each batch OVERWRITES: the head is always exactly the latest full
+      // aggregate, never an append-mode union of successive results
+      val m = GraftTable.manifest(dst, GraftTable.currentVersion(dst).get)
+      assert(m.op == "overwrite" && m.txn.nonEmpty)
+      assert(headMap().values.sum == 65)
+      // pre-overwrite snapshots stay time-travelable
+      assert(GraftTable.read(spark, dst, Some(0))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect1)
+    } finally q.stop()
+  }
+
+  test("native streaming sink: Update mode and missing identity refuse with clear errors") {
+    val src = freshDir("v1sink-rsrc")
+    GraftTable.create(spark, src, docs(TestSpark.sf0001).limit(5), Nil)
+    val stream = spark.readStream.format("graft-table").option("path", src).load()
+    val eMode = intercept[IllegalArgumentException] {
+      stream.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .writeStream.format("graft-table")
+        .option("path", freshDir("v1sink-rdst"))
+        .option("checkpointLocation", freshDir("v1sink-rckpt"))
+        .outputMode("update").start()
+    }
+    assert(eMode.getMessage.contains("Append and Complete"))
+    val eId = intercept[IllegalArgumentException] {
+      stream.writeStream.format("graft-table")
+        .option("path", freshDir("v1sink-rdst2")).start()
+    }
+    assert(eId.getMessage.contains("appId"))
+  }
 }

@@ -163,4 +163,53 @@ class MultimodalTest extends AnyFunSuite {
       assert(a == b, s"$fmt content")
     }
   }
+
+  /** m5: perceptual dedup — planted variants recovered exactly, unrelated
+    * content keeps a wide Hamming margin, and the pair join is a banded
+    * equi-join (never a cartesian). */
+  test("m5 contract: planted image/audio near-dups recovered exactly, no false pairs") {
+    import org.apache.spark.sql.functions._
+    val pairs = Multimodal.nearDupMediaPairs(
+        Multimodal.mediaDedupTable(spark, TestSpark.sf001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // fixture: sf0.01 has doc_ids 0..499; every 7th id (>0) carries a
+    // variant of id-1 → planted pairs (id-1, id) per kind
+    val planted = (1 to 499).filter(i => i % 7 == 0).map(i => (i - 1, i))
+    val expImg = planted.map { case (a, b) => (2000000L + a, 2000000L + b) }.toSet
+    val expWav = planted.map { case (a, b) => (1000000L + a, 1000000L + b) }.toSet
+    val gotImg = pairs.filter(_._1 == "image/bmp").map(p => (p._2, p._3)).toSet
+    val gotWav = pairs.filter(_._1 == "audio/wav").map(p => (p._2, p._3)).toSet
+    assert(gotImg == expImg, "image pairs must be exactly the planted corruption copies")
+    assert(gotWav == expWav, "audio pairs must be exactly the re-leveled copies")
+    // the re-leveled audio copy hashes IDENTICALLY (scale-invariance)
+    assert(pairs.filter(_._1 == "audio/wav").forall(_._4 == 0))
+    // one corrupted pixel moves the image dHash by at most 2 bits
+    assert(pairs.filter(_._1 == "image/bmp").forall(_._4 <= 2))
+  }
+
+  test("m5 margins: unrelated noise media sit far outside tau; hashes deterministic") {
+    val imgHashes = (0 until 30).filterNot(i => i % 7 == 0 && i > 0)
+      .map(i => Multimodal.dHashBmp(Multimodal.synthNoiseBmpBytes(i.toLong)))
+    val wavHashes = (0 until 30).filterNot(i => i % 7 == 0 && i > 0)
+      .map(i => Multimodal.envHashWav(Multimodal.synthNoiseWavBytes(i.toLong)))
+    def minHamming(hs: Seq[Long]): Int =
+      (for { i <- hs.indices; j <- (i + 1) until hs.size }
+        yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minHamming(imgHashes) > 10, "unrelated images must sit far outside tau=3")
+    assert(minHamming(wavHashes) > 10, "unrelated audio must sit far outside tau=3")
+    // determinism: same bytes, same fingerprint
+    assert(Multimodal.dHashBmp(Multimodal.synthNoiseBmpBytes(5L)) == imgHashes(5))
+    assert(Multimodal.envHashWav(Multimodal.synthNoiseWavBytes(5L)) == wavHashes(5))
+    // scale invariance of the envelope hash, directly
+    assert(Multimodal.envHashWav(Multimodal.synthNoiseWavBytes(11L, 0.9)) ==
+      Multimodal.envHashWav(Multimodal.synthNoiseWavBytes(11L)))
+  }
+
+  test("m5 plan: the candidate join is a banded equi-join, never a cartesian") {
+    val pairs = Multimodal.nearDupMediaPairs(
+      Multimodal.mediaDedupTable(spark, TestSpark.sf0001))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"banded candidate generation must plan as an equi-join:\n$plan")
+  }
 }

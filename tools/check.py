@@ -71,7 +71,7 @@ def main():
             n_fail += 1
         else:
             # schema note (types) for awareness, not a failure
-            et = [str(f.type) for f in exp.schema]
+            et = [str(exp.schema.field(c).type) for c in ecols]
             gt = [str(got.schema.field(c).type) for c in ecols]
             note = "" if et == gt else f"  [type note: oracle {et} vs spark {gt}]"
             print(f"PASS {name} ({len(erows)} rows){note}")
