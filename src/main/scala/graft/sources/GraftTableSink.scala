@@ -53,16 +53,25 @@ class GraftTableSink(ctx: SQLContext, dir: String, appId: String,
     val batch = GraftShims.internalDf(data.sparkSession,
       data.queryExecution.toRdd, data.schema)
     // first batch of a fresh table honors the declared statsColumns; once
-    // the table exists the manifest IS the declaration (batch-writer rule)
+    // the table exists the manifest IS the declaration (batch-writer rule).
+    // A BOUNDLESS head (no snapshot's files carry bounds — e.g. batch 0
+    // delivered zero rows, so the create wrote no files) yields Nil from
+    // statsColsOf: the stream's declaration must survive that, not die on
+    // a disagreement check against an empty declaration — otherwise an
+    // empty first micro-batch would permanently erase the skipping schema
+    // and fail every later batch of the same query.
     val stats = GraftTable.currentVersion(dir) match {
       case None => declaredStats
       case Some(_) =>
         val existing = GraftTable.statsColsOf(dir)
-        require(declaredStats.isEmpty || declaredStats.sorted == existing,
-          s"statsColumns ${declaredStats.mkString(",")} disagree with the " +
-            s"table's manifest-declared ${existing.mkString(",")} — the " +
-            "skipping schema is fixed at create time")
-        existing
+        if (existing.isEmpty) declaredStats
+        else {
+          require(declaredStats.isEmpty || declaredStats.sorted == existing,
+            s"statsColumns ${declaredStats.mkString(",")} disagree with the " +
+              s"table's manifest-declared ${existing.mkString(",")} — the " +
+              "skipping schema is fixed at create time")
+          existing
+        }
     }
     if (mode == OutputMode.Complete())
       GraftTable.exactlyOnceComplete(s, dir, batch, appId, batchId, stats)

@@ -229,10 +229,15 @@ class GraftTableSourceProvider extends RelationProvider
       case None =>
         GraftTable.create(ctx.sparkSession, dir, data, optCols)
       case Some(_) =>
-        val stats = GraftTable.statsColsOf(dir)
-        require(optCols.isEmpty || optCols.sorted == stats,
+        // a boundless head (statsColsOf == Nil: created empty, or every
+        // bound so far was null/over-cap) has no declaration to disagree
+        // with — adopt the writer's so the skipping schema can still be
+        // (re-)established rather than erased forever
+        val existing = GraftTable.statsColsOf(dir)
+        val stats = if (existing.isEmpty) optCols else existing
+        require(optCols.isEmpty || existing.isEmpty || optCols.sorted == existing,
           s"statsColumns ${optCols.mkString(",")} disagree with the table's " +
-            s"manifest-declared ${stats.mkString(",")} — the skipping schema " +
+            s"manifest-declared ${existing.mkString(",")} — the skipping schema " +
             "is fixed at create time")
         mode match {
           case SaveMode.Append => GraftTable.append(ctx.sparkSession, dir, data, stats)

@@ -351,8 +351,17 @@ object Multimodal {
 
   /** 64-bit byte-level SimHash (4-byte shingles, splitmix-mixed): the
     * text/unknown-payload member of the perceptual family — small edits
-    * move few bits, unrelated payloads land ~32 apart. */
+    * move few bits, unrelated payloads land ~32 apart. Payloads too short
+    * to shingle (< 4 bytes) hash their exact content instead: with zero
+    * votes every such payload would land on 0L and every pair of tiny
+    * unrelated blobs would report as a Hamming-0 duplicate. */
   def simHashBytes(bytes: Array[Byte]): Long = {
+    if (bytes.length < 4) {
+      var z = bytes.length.toLong
+      var i = 0
+      while (i < bytes.length) { z = (z << 8) | (bytes(i) & 0xffL); i += 1 }
+      return mix64(z)
+    }
     val votes = new Array[Int](64)
     var i = 0
     val end = math.max(bytes.length - 3, 0)
@@ -376,7 +385,12 @@ object Multimodal {
     hash
   }
 
-  /** Kind-dispatched 64-bit perceptual fingerprint. */
+  /** Kind-dispatched 64-bit perceptual fingerprint. Malformed media of any
+    * shape degrades to the byte SimHash — not just declared-invalid headers
+    * (IllegalArgumentException) but also bytes that pass the header checks
+    * and then index out of bounds (truncated pixel/sample data, a negative
+    * dimension steering the offset arithmetic): a corrupt blob must flag as
+    * its byte-level self, never kill the job ([[decode]]'s rule). */
   def perceptualHash(kind: String, bytes: Array[Byte]): Long =
     try {
       kind match {
@@ -384,7 +398,7 @@ object Multimodal {
         case "audio/wav" => envHashWav(bytes)
         case _ => simHashBytes(bytes)
       }
-    } catch { case _: IllegalArgumentException => simHashBytes(bytes) }
+    } catch { case scala.util.control.NonFatal(_) => simHashBytes(bytes) }
 
   /** Kind-dispatched decode; malformed bytes degrade to byte statistics
     * (real pipelines flag, not fail, on corrupt media). */
@@ -551,9 +565,14 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     require(tau <= 3, s"tau=$tau breaks the 4-band pigeonhole exactness (max 3)")
+    // persisted so the self-join's two sides share ONE decode pass — the
+    // blob scan + fingerprint is the dominant cost, and this frame is the
+    // ~20-bytes-per-item "only hashes leave the scan" projection (plan-keyed
+    // CacheManager entry: repeated calls on the same input reuse it)
     val hashed = media.as[MediaRow].mapPartitions { rows =>
       rows.map(r => (r.media_id, r.kind, perceptualHash(r.kind, r.media)))
     }.toDF("media_id", "kind", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("media_id"), col("kind"), col("phash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey",

@@ -1344,6 +1344,23 @@ class GraftTableTest extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native streaming sink: an empty first micro-batch does not erase the declared stats schema") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val tdir = freshDir("v1sink-empty0")
+    val sink = new graft.sources.GraftTableSink(
+      spark.sqlContext, tdir, "app-e", Seq("doc_id"), OutputMode.Append())
+    // batch 0 delivers zero rows: the create commits no files, so the head
+    // is BOUNDLESS and statsColsOf yields Nil — the declared statsColumns
+    // must survive into batch 1 instead of tripping the disagreement check
+    sink.addBatch(0, spark.range(0, 0).select(col("id").as("doc_id")))
+    assert(GraftTable.currentVersion(tdir).contains(0))
+    sink.addBatch(1, spark.range(0, 4).select(col("id").as("doc_id")))
+    val m = GraftTable.manifest(tdir, GraftTable.currentVersion(tdir).get)
+    assert(m.files.nonEmpty && m.files.forall(_.stats.contains("doc_id")),
+      "the stream's declared skipping schema must re-establish after an empty batch 0")
+    assert(GraftTable.read(spark, tdir).count() == 4)
+  }
+
   test("native streaming sink: Update mode and missing identity refuse with clear errors") {
     val src = freshDir("v1sink-rsrc")
     GraftTable.create(spark, src, docs(TestSpark.sf0001).limit(5), Nil)

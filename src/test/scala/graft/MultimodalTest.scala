@@ -205,6 +205,30 @@ class MultimodalTest extends AnyFunSuite {
       Multimodal.envHashWav(Multimodal.synthNoiseWavBytes(11L)))
   }
 
+  test("m5 robustness: corrupt media degrades to the byte fallback, never kills the job") {
+    // valid 54-byte BMP header, truncated pixel data: passes every header
+    // require(), then indexes past the array — must degrade, not throw
+    val truncated = Multimodal.synthNoiseBmpBytes(3L).take(80)
+    assert(Multimodal.perceptualHash("image/bmp", truncated) ==
+      Multimodal.simHashBytes(truncated))
+    // negative height steers the pixel offset arithmetic negative
+    val negH = Multimodal.synthNoiseBmpBytes(3L).clone()
+    java.nio.ByteBuffer.wrap(negH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -16)
+    assert(Multimodal.perceptualHash("image/bmp", negH) ==
+      Multimodal.simHashBytes(negH))
+    // WAV with its data chunk cut mid-sample
+    val cutWav = Multimodal.synthNoiseWavBytes(3L).take(60)
+    Multimodal.perceptualHash("audio/wav", cutWav) // must not throw
+    // payloads too short to shingle must NOT all collapse to one hash
+    val tiny = Seq(Array[Byte](), Array[Byte](1), Array[Byte](2),
+      Array[Byte](1, 2), Array[Byte](2, 1)).map(Multimodal.simHashBytes)
+    assert(tiny.distinct.size == tiny.size,
+      "distinct tiny payloads must fingerprint distinctly (no Hamming-0 false dups)")
+    assert(Multimodal.simHashBytes(Array[Byte](1, 2)) ==
+      Multimodal.simHashBytes(Array[Byte](1, 2)))
+  }
+
   test("m5 plan: the candidate join is a banded equi-join, never a cartesian") {
     val pairs = Multimodal.nearDupMediaPairs(
       Multimodal.mediaDedupTable(spark, TestSpark.sf0001))
