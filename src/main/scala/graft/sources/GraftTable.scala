@@ -512,7 +512,8 @@ object GraftTable {
     require(toVersion >= 0 && toVersion <= head,
       s"no snapshot v$toVersion to restore (head is v$head)")
     val target = manifest(dir, toVersion)
-    val missing = target.files.filterNot(f => Files.exists(Paths.get(s"$dir/${f.path}")))
+    val missing = target.files.filterNot(f =>
+      Files.exists(Paths.get(resolvePath(dir, f.path))))
     require(missing.isEmpty,
       s"cannot restore v$toVersion: ${missing.size} of its data files were " +
         s"vacuumed (first: ${missing.headOption.map(_.path).getOrElse("-")})")
@@ -1039,7 +1040,7 @@ object GraftTable {
         if (m.cdcFiles.nonEmpty) {
           val cdcSchema = StructType.fromDDL(m.schemaDdl).add(ChangeTypeCol, "string")
           Seq(s.read.schema(cdcSchema)
-            .parquet(m.cdcFiles.map(f => s"$dir/${f.path}"): _*))
+            .parquet(m.cdcFiles.map(f => resolvePath(dir, f.path)): _*))
         } else m.op match {
           case "compact" => Nil
           case "delete" | "update" => throw new IllegalStateException(
@@ -1104,6 +1105,49 @@ object GraftTable {
     if (m.files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else
-      s.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+      s.read.schema(schema).parquet(m.files.map(f => resolvePath(dir, f.path)): _*)
+  }
+
+  /** Manifest file paths are table-relative (`data/…`) — except in a
+    * [[cloneShallow shallow clone]], whose v0 references the SOURCE
+    * table's files by absolute path. Every read site resolves through
+    * here so both shapes work. */
+  private[sources] def resolvePath(dir: String, p: String): String =
+    if (p.startsWith("/")) p else s"$dir/$p"
+
+  /** Zero-copy SHALLOW CLONE (the Delta `CLONE` shape): `dstDir` becomes
+    * an independent graft table whose v0 manifest references the source
+    * snapshot's data files by ABSOLUTE path — no data is copied, so
+    * cloning a 100 TB table is one manifest write. From then on the two
+    * tables share nothing but those initial bytes: mutations on the clone
+    * rewrite only touched files into the clone's own `data/` (untouched
+    * files carry over by reference), appends land locally, and
+    * [[compact]] fully MATERIALIZES the clone (its head then references
+    * only local files). Stats ride along, so file skipping works on the
+    * clone from the first scan; the cloned files count as the clone's
+    * arrivals — a changelog stream feeding from the clone's inception
+    * sees them once as the initial backfill, exactly like a create.
+    *
+    * `version` pins the source snapshot (time-travel clone); default is
+    * the source head. The standard shallow-clone caveat applies (as in
+    * Delta): [[vacuum]] on the SOURCE does not know about clone
+    * references — vacuuming source history past the cloned snapshot
+    * breaks the clone unless it was materialized first. The clone's own
+    * vacuum can never delete source files (they live outside its root). */
+  def cloneShallow(s: SparkSession, srcDir: String, dstDir: String,
+                   version: Option[Int] = None): Int = {
+    require(currentVersion(dstDir).isEmpty,
+      s"cannot clone into $dstDir: a graft table already exists there")
+    val v = version.getOrElse(currentVersion(srcDir).getOrElse(
+      throw new IllegalStateException(s"no graft table at $srcDir")))
+    val m = manifest(srcDir, v)
+    val srcRoot = Paths.get(srcDir).toAbsolutePath.normalize
+    val files = m.files.map { f =>
+      val abs = if (f.path.startsWith("/")) f.path // clone of a clone
+        else srcRoot.resolve(f.path).toString
+      f.copy(path = abs, arrival = true)
+    }
+    publish(dstDir, Manifest(0, "clone", m.schemaDdl, files))
+    0
   }
 }

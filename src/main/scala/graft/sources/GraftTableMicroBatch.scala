@@ -327,7 +327,7 @@ class GraftTableMicroBatchStream(dir: String, pinned: StructType,
     }
     GraftTableMicroBatchStream.lastPlanned.set((kept.size, files.size))
     kept.map { case (f, stamp, cv) =>
-      GraftFilePartition(s"$dir/${f.path}", pinned.toDDL,
+      GraftFilePartition(GraftTable.resolvePath(dir, f.path), pinned.toDDL,
         filterEq.map(fe => s"${fe._1}=${fe._2}"),
         changeType = stamp,
         commitVersion = if (cdcMode) cv else -1): InputPartition

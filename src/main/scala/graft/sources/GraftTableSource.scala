@@ -135,7 +135,7 @@ class GraftTableRelation(ctx: SQLContext, val dir: String, val version: Option[I
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema)
-        .parquet(kept.map(f => s"$dir/${f.path}"): _*)
+        .parquet(kept.map(f => GraftTable.resolvePath(dir, f.path)): _*)
     df.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
   }
 }

@@ -1344,6 +1344,78 @@ class GraftTableTest extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Shallow clone: zero-copy branching — the dev/test workflow over a
+    * 100 TB production table (clone = one manifest write; mutations
+    * copy-on-write into the clone; compact materializes). */
+  test("shallow clone: zero data copied, reads equal, stats carried, changelog backfills") {
+    val src = freshDir("clone-src")
+    val dst = freshDir("clone-dst")
+    GraftTable.create(spark, src, docs(TestSpark.sf0001).limit(20), Seq("doc_id"))
+    GraftTable.append(spark, src,
+      docs(TestSpark.sf0001).orderBy(col("doc_id").desc).limit(10), Seq("doc_id"))
+
+    assert(GraftTable.cloneShallow(spark, src, dst) == 0)
+    // zero-copy: the clone owns NO parquet of its own
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$dst/data")) ||
+      Files.walk(java.nio.file.Paths.get(s"$dst/data")).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet")) == 0)
+    // reads equal the source head
+    val srcIds = GraftTable.read(spark, src).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(GraftTable.read(spark, dst).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == srcIds)
+    // the skipping declaration rides along
+    assert(GraftTable.statsColsOf(dst) == Seq("doc_id"))
+    // the cloned files are the clone's ARRIVALS — a stream feeding from
+    // the clone's inception backfills them once, exactly like a create
+    // (v0 backfill is the streaming source's job; readChanges(from,to) is
+    // exclusive of `from`, so the equivalent batch read is over v0's files)
+    val m0 = GraftTable.manifest(dst, 0)
+    assert(m0.op == "clone" && m0.files.nonEmpty && m0.files.forall(_.arrival))
+    assert(m0.files.forall(_.path.startsWith("/")),
+      "clone v0 must reference the source's files absolutely")
+    // cloning over an existing table refuses
+    intercept[IllegalArgumentException] {
+      GraftTable.cloneShallow(spark, src, dst)
+    }
+  }
+
+  test("shallow clone: divergence is independent both ways; compact materializes the clone") {
+    val src = freshDir("clone2-src")
+    val dst = freshDir("clone2-dst")
+    GraftTable.create(spark, src, docs(TestSpark.sf0001).limit(20), Seq("doc_id"))
+    GraftTable.cloneShallow(spark, src, dst)
+    val srcN = GraftTable.read(spark, src).count()
+
+    // mutate the CLONE: copy-on-write rewrite lands in the clone's data/,
+    // the source is untouched
+    GraftTable.delete(spark, dst, col("doc_id") % 2 === 0, Seq("doc_id"))
+    assert(GraftTable.read(spark, src).count() == srcN)
+    val dstN = GraftTable.read(spark, dst).count()
+    assert(dstN < srcN && dstN > 0)
+    // mutate the SOURCE: the clone is pinned to the cloned snapshot
+    GraftTable.append(spark, src, docs(TestSpark.sf0001)
+      .orderBy(col("doc_id").desc).limit(5), Seq("doc_id"))
+    assert(GraftTable.read(spark, dst).count() == dstN)
+
+    // time-travel clone of the pre-delete source snapshot
+    val dst0 = freshDir("clone2-dst0")
+    GraftTable.cloneShallow(spark, src, dst0, version = Some(0))
+    assert(GraftTable.read(spark, dst0).count() == srcN)
+
+    // compact = materialize: the head references only clone-local files
+    GraftTable.compact(spark, dst, targetFiles = 2, statsCols = Seq("doc_id"))
+    val head = GraftTable.manifest(dst, GraftTable.currentVersion(dst).get)
+    assert(head.files.nonEmpty && head.files.forall(!_.path.startsWith("/")),
+      s"materialized head must hold table-relative files, got ${head.files.map(_.path)}")
+    assert(GraftTable.read(spark, dst).count() == dstN)
+    // clone-side vacuum never reaches the source's files (they live
+    // outside the clone's root); the clone survives it fully
+    GraftTable.vacuum(dst, retainVersions = 0, retainAgeMs = 0)
+    assert(GraftTable.read(spark, src).count() == srcN + 5)
+    assert(GraftTable.read(spark, dst).count() == dstN)
+  }
+
   test("native streaming sink: an empty first micro-batch does not erase the declared stats schema") {
     import org.apache.spark.sql.streaming.OutputMode
     val tdir = freshDir("v1sink-empty0")
