@@ -592,6 +592,20 @@ object GraftTable {
     * This turns the d9 keep-one dedup survivors into a TABLE operation:
     * delete the non-canonical group members in place, and every reader —
     * batch, SQL relation, changelog key — sees the deduped corpus. */
+  /** `input_file_name()` yields the scan file's URI form
+    * (`file:/…`, percent-encoded) — DECODE it back to a raw filesystem
+    * path before comparing with manifest entries. Relative manifest
+    * paths are salted-hex-safe ASCII where the two forms agree, but a
+    * clone's ABSOLUTE entries inherit the source directory's characters:
+    * matching the encoded URI against a raw path containing a space
+    * would silently find no touched files, turning a delete/upsert into
+    * a no-op that reports success. */
+  private def decodeScanPath(raw: String): String =
+    try {
+      val u = new java.net.URI(raw)
+      if (u.getPath != null) u.getPath else raw
+    } catch { case _: java.net.URISyntaxException => raw }
+
   /** Touched-file probe of the PREDICATE mutations (delete/updateWhere):
     * the data files containing a match, split from the carried rest. One
     * column-pruned scan; bounded collect — one row per matching FILE. */
@@ -600,7 +614,7 @@ object GraftTable {
       : (Seq[TableFile], Seq[TableFile]) = {
     val touched = readFiles(s, dir, m).filter(pred)
       .select(input_file_name().as("_f")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => decodeScanPath(r.getString(0))).toSet
     m.files.partition(f => touched.exists(_.endsWith(f.path)))
   }
 
@@ -614,7 +628,8 @@ object GraftTable {
     val touched = readFiles(s, dir, m).withColumn("_f", input_file_name())
       .join(keys, Seq(keyCol), "semi")
       .select(col("_f")).distinct()
-      .collect().map(_.getString(0)).filter(_.nonEmpty).toSet // one row per FILE
+      .collect().map(_.getString(0)).filter(_.nonEmpty) // one row per FILE
+      .map(decodeScanPath).toSet
     m.files.partition(f => touched.exists(_.endsWith(f.path)))
   }
 
@@ -1138,15 +1153,22 @@ object GraftTable {
                    version: Option[Int] = None): Int = {
     require(currentVersion(dstDir).isEmpty,
       s"cannot clone into $dstDir: a graft table already exists there")
-    val v = version.getOrElse(currentVersion(srcDir).getOrElse(
-      throw new IllegalStateException(s"no graft table at $srcDir")))
+    val head = currentVersion(srcDir).getOrElse(
+      throw new IllegalStateException(s"no graft table at $srcDir"))
+    val v = version.getOrElse(head)
+    require(v >= 0 && v <= head,
+      s"no snapshot v$v of $srcDir to clone (head is v$head)")
     val m = manifest(srcDir, v)
-    val srcRoot = Paths.get(srcDir).toAbsolutePath.normalize
-    val files = m.files.map { f =>
-      val abs = if (f.path.startsWith("/")) f.path // clone of a clone
-        else srcRoot.resolve(f.path).toString
-      f.copy(path = abs, arrival = true)
-    }
+    val srcRoot = Paths.get(srcDir).toAbsolutePath.normalize.toString
+    val files = m.files
+      .map(f => f.copy(path = resolvePath(srcRoot, f.path), arrival = true))
+    // fail BEFORE publishing if the snapshot was vacuumed under us —
+    // restore's rule: a clone referencing deleted parquet would be a
+    // permanently broken table (the exists-check above blocks re-cloning)
+    val missing = files.filterNot(f => Files.exists(Paths.get(f.path)))
+    require(missing.isEmpty,
+      s"cannot clone v$v of $srcDir: ${missing.size} of its data files were " +
+        s"vacuumed (first: ${missing.headOption.map(_.path).getOrElse("-")})")
     publish(dstDir, Manifest(0, "clone", m.schemaDdl, files))
     0
   }

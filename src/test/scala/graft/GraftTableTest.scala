@@ -1356,9 +1356,13 @@ class GraftTableTest extends AnyFunSuite {
 
     assert(GraftTable.cloneShallow(spark, src, dst) == 0)
     // zero-copy: the clone owns NO parquet of its own
-    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$dst/data")) ||
-      Files.walk(java.nio.file.Paths.get(s"$dst/data")).iterator().asScala
+    val dataDir = java.nio.file.Paths.get(s"$dst/data")
+    if (Files.isDirectory(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try assert(walk.iterator().asScala
         .count(p => p.toString.endsWith(".parquet")) == 0)
+      finally walk.close()
+    }
     // reads equal the source head
     val srcIds = GraftTable.read(spark, src).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
@@ -1378,6 +1382,41 @@ class GraftTableTest extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftTable.cloneShallow(spark, src, dst)
     }
+    // an out-of-range pin fails with the restore-style message, not raw IO
+    val eV = intercept[IllegalArgumentException] {
+      GraftTable.cloneShallow(spark, src, freshDir("clone-badv"), Some(99))
+    }
+    assert(eV.getMessage.contains("no snapshot v99"))
+  }
+
+  test("shallow clone: refuses a vacuumed snapshot before publishing; survives encoded paths") {
+    // source directory with a URI-encodable character: input_file_name()
+    // yields file:/…my%20tables%2F… — the touched-file probe must decode
+    // before matching the clone's raw absolute manifest entries, or a
+    // delete on the clone silently rewrites nothing
+    val root = Files.createTempDirectory("graft clone enc")
+    val src = root.resolve("s").toString
+    val dst = root.resolve("d").toString
+    GraftTable.create(spark, src, docs(TestSpark.sf0001).limit(20), Seq("doc_id"))
+    GraftTable.cloneShallow(spark, src, dst)
+    val before = GraftTable.read(spark, dst).count()
+    GraftTable.delete(spark, dst, col("doc_id") % 2 === 0, Seq("doc_id"))
+    val after = GraftTable.read(spark, dst).count()
+    assert(after < before && after > 0,
+      s"delete on an encoded-path clone must rewrite the touched files (kept $after of $before)")
+
+    // clone of a vacuumed-away snapshot refuses BEFORE publishing
+    GraftTable.overwrite(spark, src, docs(TestSpark.sf0001).limit(5), Seq("doc_id"))
+    GraftTable.vacuum(src, retainVersions = 0, retainAgeMs = 0)
+    val dead = root.resolve("dead").toString
+    val eGone = intercept[IllegalArgumentException] {
+      GraftTable.cloneShallow(spark, src, dead, version = Some(0))
+    }
+    assert(eGone.getMessage.contains("vacuumed"))
+    // nothing was published: the dir is still clonable from a live snapshot
+    assert(GraftTable.currentVersion(dead).isEmpty)
+    GraftTable.cloneShallow(spark, src, dead)
+    assert(GraftTable.read(spark, dead).count() == 5)
   }
 
   test("shallow clone: divergence is independent both ways; compact materializes the clone") {
