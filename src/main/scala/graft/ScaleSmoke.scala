@@ -321,6 +321,34 @@ object ScaleSmoke {
       } finally spark.conf.unset("spark.graft.cdc")
     }
 
+    // shallow clone at growing corpus (round-10): cloning is ONE manifest
+    // write — cost tracks the snapshot's FILE COUNT (a driver-side
+    // metadata pass), never its bytes. The first read of the clone then
+    // costs the same as reading the source. Tables reuse the `table`
+    // mode's dirs when present, else build fresh.
+    if (mode == "all" || mode == "clone") {
+      import graft.sources.GraftTable
+      def rmrf(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rmrf)); p.delete(); ()
+      }
+      for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        val tdir = s"$Out/clonesrc_x$f"
+        if (GraftTable.currentVersion(tdir).isEmpty) {
+          rmrf(new java.io.File(tdir))
+          GraftTable.create(spark, tdir,
+            spark.read.parquet(s"$dir/documents.parquet"), Seq("doc_id"))
+        }
+        val cdir = s"$Out/clonedst_x$f"
+        rmrf(new java.io.File(cdir))
+        val (sec, _) = time(GraftTable.cloneShallow(spark, tdir, cdir).toLong)
+        report("clone_publish", s"x$f", sec,
+          GraftTable.manifest(cdir, 0).files.size.toLong)
+        val (rSec, rows) = time(GraftTable.read(spark, cdir).count())
+        report("clone_first_read", s"x$f", rSec, rows)
+      }
+    }
+
     // d20 BM25 retrieval at growing corpus (round-10): the QUERY set is
     // fixed (3 queries), the corpus grows ×k. The only corpus-sized stage
     // is the shared token scan + tf/dl aggregation — the posting join
