@@ -575,6 +575,24 @@ object GraftTable {
     } finally it.close()
   }
 
+  /** TIME-based retention (the production `RETAIN n HOURS` policy, as in
+    * Delta's VACUUM): keep every snapshot whose manifest was committed
+    * inside the window (plus the head — always kept), reclaim files
+    * referenced only by older history. Resolves the window to a version
+    * horizon against the manifests' commit mtimes, then delegates to
+    * [[vacuum]] — one retention implementation. The head is retained
+    * even when it is older than the window (a cold table must stay
+    * readable); `retainAgeMs` keeps its separate in-flight-writer role. */
+  def vacuumRetainTime(dir: String, retainMs: Long,
+                       retainAgeMs: Long = DefaultVacuumRetainAgeMs): Int = {
+    val head = currentVersion(dir).getOrElse(return 0)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keepFrom = (0 to head).find(v =>
+      Files.getLastModifiedTime(manifestPath(dir, v)).toMillis > cutoff
+    ).getOrElse(head)
+    vacuum(dir, retainVersions = head - keepFrom, retainAgeMs = retainAgeMs)
+  }
+
   /** Row-level DELETE, copy-on-write (the Delta/Iceberg CoW shape): rows
     * matching `predicate` disappear from the NEW snapshot; history is
     * untouched — time travel to any pre-delete version still reads the

@@ -1389,6 +1389,66 @@ class GraftTableTest extends AnyFunSuite {
     assert(eV.getMessage.contains("no snapshot v99"))
   }
 
+  test("shallow clone: the changelog stream backfills the cloned snapshot through absolute paths") {
+    val src = freshDir("clone-stream-src")
+    val dst = freshDir("clone-stream-dst")
+    GraftTable.create(spark, src, docs(TestSpark.sf0001).limit(12), Seq("doc_id"))
+    GraftTable.cloneShallow(spark, src, dst)
+    val q = spark.readStream.format("graft-table").option("path", dst).load()
+      .writeStream.format("memory").queryName("clone_backfill")
+      .option("checkpointLocation", freshDir("clone-stream-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // the v0 backfill planned the clone's ABSOLUTE file entries
+      assert(spark.table("clone_backfill").count() == 12)
+      // a post-clone append streams incrementally like any table
+      GraftTable.append(spark, dst,
+        docs(TestSpark.sf0001).orderBy(col("doc_id").desc).limit(4), Seq("doc_id"))
+      q.processAllAvailable()
+      assert(spark.table("clone_backfill").count() == 16)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS clone_backfill")
+    }
+  }
+
+  test("time-based vacuum retention: snapshots inside the window survive, older history reclaims") {
+    val tdir = freshDir("vac-time")
+    GraftTable.create(spark, tdir, docs(TestSpark.sf0001).limit(10), Seq("doc_id"))
+    GraftTable.overwrite(spark, tdir, docs(TestSpark.sf0001).limit(6), Seq("doc_id"))
+    GraftTable.overwrite(spark, tdir, docs(TestSpark.sf0001).limit(3), Seq("doc_id"))
+    // backdate v0/v1 manifests past the retention window (v2 = head stays
+    // fresh); their exclusive data files age with them
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    for (v <- 0 to 1)
+      Files.setLastModifiedTime(
+        java.nio.file.Paths.get(f"$tdir/_log/v$v%05d.manifest"), old)
+    val dataW = Files.walk(java.nio.file.Paths.get(s"$tdir/data"))
+    try dataW.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .foreach { p =>
+        // v2's own files must stay "fresh"; only v0/v1 exclusives are old.
+        // All files were written seconds apart — backdate those NOT in head.
+        val rel = java.nio.file.Paths.get(tdir).relativize(p).toString
+        if (!GraftTable.manifest(tdir, 2).files.exists(_.path == rel))
+          Files.setLastModifiedTime(p, old)
+      }
+    finally dataW.close()
+
+    val n = GraftTable.vacuumRetainTime(tdir, retainMs = 24L * 3600 * 1000,
+      retainAgeMs = 0)
+    assert(n > 0, "expired history must reclaim files")
+    // the head survives and reads exactly
+    assert(GraftTable.read(spark, tdir).count() == 3)
+    // time travel INSIDE the window works, past it is gone
+    intercept[Exception] { GraftTable.read(spark, tdir, Some(0)).count() }
+    // a cold table (head older than the window) must stay readable
+    Files.setLastModifiedTime(
+      java.nio.file.Paths.get(f"$tdir/_log/v00002.manifest"), old)
+    GraftTable.vacuumRetainTime(tdir, retainMs = 1000, retainAgeMs = 0)
+    assert(GraftTable.read(spark, tdir).count() == 3)
+  }
+
   test("shallow clone: refuses a vacuumed snapshot before publishing; survives encoded paths") {
     // source directory with a URI-encodable character: input_file_name()
     // yields file:/…my%20tables%2F… — the touched-file probe must decode
