@@ -158,6 +158,19 @@ object Tables {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Per-(doc, token) term frequency over [[docTokens]] — the posting-list
+    * base frame of p18 (TF-IDF) and d20 (BM25). Memoized + persisted so
+    * the (doc_id, tok) aggregation runs once per session and every
+    * retrieval scorer joins the same cached frame; at cluster scale this
+    * is the materialized inverted-index fact table a search tier maintains
+    * incrementally, not a per-query recompute. */
+  def docTermFreq(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, "docTermFreq")) {
+      docTokens(spark, sfDir)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Cache the frequently-scanned fact tables in memory — called by Bench
     * (one scan instead of ~40 across the declared set). At cluster scale the
     * analog is a shared InMemoryRelation / warmed storage layer, not a

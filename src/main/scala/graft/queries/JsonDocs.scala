@@ -979,8 +979,7 @@ object JsonDocs {
         val qt = q.select(col("query_id"),
             explode(split(col("qtext"), " ")).as("tok"))
           .filter(col("tok") =!= "").distinct()
-        val tf = Tables.docTokens(s, dir)
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (p18 too)
         val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val c = Tables.table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
           .crossJoin(tf.agg(sum(col("tf")).as("total")))

@@ -428,9 +428,7 @@ object TextPipeline {
         |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
         |ORDER BY score DESC, tf.doc_id, tf.tok LIMIT 20""".stripMargin) {
       (s, dir) =>
-        val tf = Tables.docTokens(s, dir)
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
+        val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (d20 too)
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val n = Tables.table(s, dir, "documents").select(count(lit(1)).as("n"))
         tf.join(df, "tok")
