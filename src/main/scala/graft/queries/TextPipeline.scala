@@ -500,9 +500,7 @@ object TextPipeline {
         |FROM tf JOIN lp ON tf.tok = lp.tok
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) {
       (s, dir) =>
-        val tf = Tables.docTokens(s, dir)
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
+        val tf = Tables.docTermFreq(s, dir) // shared posting-list frame
         val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
         val tot = freq.agg(sum(col("cnt")).as("total"))
         val lp = freq.crossJoin(broadcast(tot))
@@ -587,9 +585,7 @@ object TextPipeline {
         |       ROUND(CAST(SUM(c) AS BIGINT) / CAST(MAX(n) AS BIGINT) / 1e6, 6) AS entropy
         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val tf = Tables.docTokens(s, dir)
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
+        val tf = Tables.docTermFreq(s, dir) // shared posting-list frame
         val wd = Window.partitionBy(col("doc_id"))
         tf.select(col("doc_id"), col("tf"), sum(col("tf")).over(wd).as("n"))
           .select(col("doc_id"), col("n"),
