@@ -1034,6 +1034,52 @@ object TextPipeline {
           .groupBy(col("source"))
           .agg(max(col("n")).as("n_docs"), sum(col("t_nano")).as("psi_nano"))
           .orderBy(col("source"))
+    },
+
+    // WEIGHTED sampling without replacement (Efraimidis–Spirtsis A-ES) —
+    // the "sample training docs proportional to weight" op p17's uniform
+    // stratified sampler deliberately is not: each doc draws key
+    // ln(u)/w with u a doc-id-seeded uniform in (0,1] and w its token
+    // count; the top-10 keys per source are EXACTLY a weighted sample
+    // without replacement. Fully deterministic and engine-portable: u
+    // comes from the proven md5-prefix int64 path (p28's recipe), so the
+    // sample is reproducible across engines, runs, partitionings, AND
+    // corpus growth (a doc's key never changes when new docs arrive —
+    // only the top-10 cut moves, the property reservoir sampling lacks).
+    // Scale shape: one scan + the bounded two-stage per-group rank — no
+    // global sort, no driver state; at 100 TB each source's heap carries
+    // 10 rows per partition. Keys are IEEE doubles but 60-bit-uniform
+    // spread makes 1-ulp ln() divergence between engines rank-safe
+    // (ties broken by doc_id); the output carries no float column.
+    DeclaredQuery("p32_weighted_sample",
+      """WITH d AS (SELECT doc_id, source,
+        |             len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS w,
+        |             CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+        |           FROM documents),
+        |k AS (SELECT source, doc_id, w,
+        |        ln((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |          / CAST(w AS DOUBLE) AS k
+        |      FROM d)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id, CAST(w AS BIGINT) AS w FROM (
+        |  SELECT source, doc_id, w,
+        |         row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rk
+        |  FROM k) r
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin) {
+      (s, dir) =>
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long")
+              + lit(1L)).as("w"),
+            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        val keyed = d.select(col("source"), col("doc_id"), col("w"),
+          (log((col("h").cast("double") + lit(1.0)) / lit(1152921504606846976.0))
+            / col("w").cast("double")).as("k"))
+        graft.operators.Rank.topKPerGroup(keyed, Seq(col("source")),
+            Seq(col("k").desc, col("doc_id")), 10,
+            bucketKey = col("doc_id"), rankCol = "rk")
+          .select(col("source"), col("rk"), col("doc_id"), col("w"))
+          .orderBy(col("source"), col("rk"))
     }
   )
 }
