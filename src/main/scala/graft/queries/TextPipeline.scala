@@ -1080,6 +1080,66 @@ object TextPipeline {
             bucketKey = col("doc_id"), rankCol = "rk")
           .select(col("source"), col("rk"), col("doc_id"), col("w"))
           .orderBy(col("source"), col("rk"))
+    },
+
+    // Post-split LEAKAGE audit — the eval-hygiene check that belongs right
+    // after p28's split (d5 decontaminates against an EXTERNAL benchmark;
+    // this audits the split itself): an 8-gram appearing in a train doc
+    // AND a val/test doc is leaked eval signal (Lee et al. ACL'22 span
+    // semantics, d8's gram recipe). Per eval split: distinct leaked grams,
+    // eval docs carrying at least one, and the gram-bearing doc total.
+    // Scale shape: grams collapse to 64-bit xxhash64 INSIDE the projection
+    // (no string ever shuffles — d8's rule; the DuckDB oracle joins the
+    // full gram strings, equal up to ~2⁻⁴⁰ hash-collision odds); the
+    // train-distinct side and the eval side meet in one gid equi-join —
+    // no pair space, AQE-sized. The split assignment is p28's pure hash,
+    // so the audit is reproducible and append-stable.
+    DeclaredQuery("p33_split_leakage",
+      """WITH l AS (SELECT doc_id,
+        |             list_filter(string_split(text,' '), x -> x <> '') AS toks,
+        |             CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS hm
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        CASE WHEN hm < 90 THEN 'train' WHEN hm < 95 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM l WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, split, unnest(list_transform(range(1, len(toks)-6),
+        |        i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM s),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+        |ev AS (SELECT split, doc_id, gram FROM g WHERE split <> 'train')
+        |SELECT ev.split,
+        |       CAST(COUNT(DISTINCT ev.gram)
+        |              FILTER (WHERE tr.gram IS NOT NULL) AS BIGINT) AS n_leaked_grams,
+        |       CAST(COUNT(DISTINCT ev.doc_id)
+        |              FILTER (WHERE tr.gram IS NOT NULL) AS BIGINT) AS n_leaky_docs,
+        |       CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_docs
+        |FROM ev LEFT JOIN tr ON ev.gram = tr.gram
+        |GROUP BY ev.split ORDER BY ev.split""".stripMargin) {
+      (s, dir) =>
+        val l = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"),
+            (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+              % 100).as("hm"))
+          .filter(size(col("toks")) >= 8) // sequence(0, n-8) needs n ≥ 8
+          .withColumn("split",
+            when(col("hm") < 90, "train").when(col("hm") < 95, "val")
+              .otherwise("test"))
+        val g = l.select(col("doc_id"), col("split"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 8)," +
+              " i -> xxhash64(array_join(slice(toks, i + 1, 8), ' ')))")).as("gid"))
+        val tr = g.filter(col("split") === "train")
+          .select(col("gid")).distinct().withColumn("leak", lit(1))
+        g.filter(col("split") =!= "train")
+          .join(tr, Seq("gid"), "left")
+          .groupBy(col("split"))
+          .agg(
+            countDistinct(when(col("leak") === 1, col("gid"))).as("n_leaked_grams"),
+            countDistinct(when(col("leak") === 1, col("doc_id"))).as("n_leaky_docs"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("split"))
     }
   )
 }
