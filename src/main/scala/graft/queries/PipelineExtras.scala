@@ -104,7 +104,9 @@ object PipelineExtras {
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("id2")).as("n_dup_items"),
             sum(col("hamming")).as("hamming_sum"),
-            expr("bit_xor(id1 * 4194304 + id2)").as("pair_ck"))
+            // xxhash64 keeps the pair encoding injective for any id range
+            // (a fixed-width shift would alias once ids outgrow the slot).
+            expr("bit_xor(xxhash64(id1, id2))").as("pair_ck"))
           .orderBy(col("kind"))
     },
 

@@ -86,9 +86,14 @@ object GraftTable {
     * under `spark.graft.cdc=true`): never part of the snapshot's data —
     * only [[readCdc]] reads them, and [[vacuum]] retains them with their
     * version. */
+  /** `commitMs` = wall-clock commit time recorded INSIDE the manifest at
+    * publish (as Delta logs commit time); 0 for pre-field manifests.
+    * Time-based retention resolves against this, not file mtimes — a
+    * backup/restore or rsync that perturbs mtimes must not silently shift
+    * the vacuum horizon. */
   final case class Manifest(version: Int, op: String, schemaDdl: String,
                             files: Seq[TableFile], txn: Option[(String, Long)] = None,
-                            cdcFiles: Seq[TableFile] = Nil)
+                            cdcFiles: Seq[TableFile] = Nil, commitMs: Long = 0L)
 
   /** Thrown when a commit loses the optimistic race for its version slot. */
   final class CommitConflict(v: Int)
@@ -180,7 +185,8 @@ object GraftTable {
       val i = t.lastIndexOf(':'); (t.substring(0, i), t.substring(i + 1).toLong)
     }
     Manifest(kv("version").toInt, kv("op"), kv("schema"), files.map(_._2), txn,
-      cdcFiles = cdc.map(_._2))
+      cdcFiles = cdc.map(_._2),
+      commitMs = kv.get("commitMs").map(_.toLong).getOrElse(0L))
   }
 
   /** The change feed's metadata column names — reserved at schema ENTRY
@@ -579,17 +585,23 @@ object GraftTable {
     * Delta's VACUUM): keep every snapshot whose manifest was committed
     * inside the window (plus the head — always kept), reclaim files
     * referenced only by older history. Resolves the window to a version
-    * horizon against the manifests' commit mtimes, then delegates to
-    * [[vacuum]] — one retention implementation. The head is retained
-    * even when it is older than the window (a cold table must stay
-    * readable); `retainAgeMs` keeps its separate in-flight-writer role. */
+    * horizon against the commit time each manifest RECORDS (falling back
+    * to the manifest file's mtime only for legacy pre-`commitMs`
+    * manifests — mtimes don't survive a timestamp-losing backup/restore),
+    * then delegates to [[vacuum]] — one retention implementation. The
+    * head is retained even when it is older than the window (a cold
+    * table must stay readable); `retainAgeMs` keeps its separate
+    * in-flight-writer role. */
   def vacuumRetainTime(dir: String, retainMs: Long,
                        retainAgeMs: Long = DefaultVacuumRetainAgeMs): Int = {
     val head = currentVersion(dir).getOrElse(return 0)
     val cutoff = System.currentTimeMillis() - retainMs
-    val keepFrom = (0 to head).find(v =>
-      Files.getLastModifiedTime(manifestPath(dir, v)).toMillis > cutoff
-    ).getOrElse(head)
+    def commitTime(v: Int): Long = {
+      val recorded = manifest(dir, v).commitMs
+      if (recorded > 0) recorded
+      else Files.getLastModifiedTime(manifestPath(dir, v)).toMillis
+    }
+    val keepFrom = (0 to head).find(commitTime(_) > cutoff).getOrElse(head)
     vacuum(dir, retainVersions = head - keepFrom, retainAgeMs = retainAgeMs)
   }
 
@@ -933,6 +945,10 @@ object GraftTable {
       .append(s"version\t${m.version}\n")
       .append(s"op\t${m.op}\n")
       .append(s"schema\t${m.schemaDdl}\n")
+      // stamp the commit time INSIDE the manifest (mtimes don't survive
+      // backup/restore; see Manifest.commitMs)
+      .append(s"commitMs\t${if (m.commitMs > 0) m.commitMs
+        else System.currentTimeMillis()}\n")
     m.txn.foreach { case (a, b) => body.append(s"txn\t$a:$b\n") }
     m.files.foreach { f =>
       val stats = if (f.stats.isEmpty) "-"

@@ -48,6 +48,14 @@ class GraftTableSink(ctx: SQLContext, dir: String, appId: String,
                      declaredStats: Seq[String], mode: OutputMode)
   extends Sink {
 
+  // The provider's createSink refuses Update mode, but the invariant must
+  // hold regardless of construction path (tests and programmatic callers
+  // build the sink directly) — Update-mode re-emissions would silently
+  // append as duplicate rows.
+  require(mode == OutputMode.Append() || mode == OutputMode.Complete(),
+    s"graft-table sink supports Append and Complete, not $mode — use " +
+      "foreachBatch with GraftTable.upsert for keyed Update maintenance")
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = ctx.sparkSession
     val batch = GraftShims.internalDf(data.sparkSession,

@@ -126,6 +126,10 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val cid = new String(bytes, pos, 4, "US-ASCII")
       val clen = buf.getInt(pos + 4)
+      // A corrupt/crafted negative chunk length would make the position step
+      // zero or negative and hang the executor; fail fast so callers'
+      // degrade paths (simHashBytes fallback) can take over.
+      require(clen >= 0, s"bad RIFF chunk length $clen")
       if (cid == "fmt ") {
         channels = buf.getShort(pos + 10).toInt
         sampleRate = buf.getInt(pos + 12)
@@ -271,6 +275,7 @@ object Multimodal {
     while (pos + 8 <= bytes.length && dataOff < 0) {
       val cid = new String(bytes, pos, 4, "US-ASCII")
       val clen = buf.getInt(pos + 4)
+      require(clen >= 0, s"bad RIFF chunk length $clen") // see decodeWav
       if (cid == "data") dataOff = pos + 8
       else pos += 8 + clen + (clen & 1)
     }
@@ -340,6 +345,7 @@ object Multimodal {
     while (pos + 8 <= bytes.length && dataOff < 0) {
       val cid = new String(bytes, pos, 4, "US-ASCII")
       val clen = buf.getInt(pos + 4)
+      require(clen >= 0, s"bad RIFF chunk length $clen") // see decodeWav
       if (cid == "data") dataOff = pos + 8
       else pos += 8 + clen + (clen & 1)
     }

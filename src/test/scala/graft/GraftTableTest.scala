@@ -1308,6 +1308,19 @@ class GraftTableTest extends AnyFunSuite {
     assert(GraftTable.read(spark, tdir).count() == 5)
   }
 
+  test("native streaming sink: Update mode refuses on ANY construction path") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // the provider's createSink refuses Update, but a directly-constructed
+    // sink must hold the same invariant — Update re-emissions would
+    // silently append as duplicate rows
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.GraftTableSink(
+        spark.sqlContext, freshDir("v1sink-upd"), "app-u", Nil,
+        OutputMode.Update())
+    }
+    assert(e.getMessage.contains("Append and Complete"))
+  }
+
   test("native streaming sink: Complete mode maintains the aggregate head exactly-once") {
     val src = freshDir("v1sink-csrc")
     val dst = freshDir("v1sink-cdst")
@@ -1417,23 +1430,27 @@ class GraftTableTest extends AnyFunSuite {
     GraftTable.create(spark, tdir, docs(TestSpark.sf0001).limit(10), Seq("doc_id"))
     GraftTable.overwrite(spark, tdir, docs(TestSpark.sf0001).limit(6), Seq("doc_id"))
     GraftTable.overwrite(spark, tdir, docs(TestSpark.sf0001).limit(3), Seq("doc_id"))
-    // backdate v0/v1 manifests past the retention window (v2 = head stays
-    // fresh); their exclusive data files age with them
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 48L * 3600 * 1000)
-    for (v <- 0 to 1)
-      Files.setLastModifiedTime(
-        java.nio.file.Paths.get(f"$tdir/_log/v$v%05d.manifest"), old)
-    val dataW = Files.walk(java.nio.file.Paths.get(s"$tdir/data"))
-    try dataW.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-      .foreach { p =>
-        // v2's own files must stay "fresh"; only v0/v1 exclusives are old.
-        // All files were written seconds apart — backdate those NOT in head.
-        val rel = java.nio.file.Paths.get(tdir).relativize(p).toString
-        if (!GraftTable.manifest(tdir, 2).files.exists(_.path == rel))
-          Files.setLastModifiedTime(p, old)
-      }
-    finally dataW.close()
+    // backdate v0/v1's RECORDED commit time past the retention window (v2 =
+    // head stays fresh). Manifest file MTIMES are deliberately left fresh —
+    // the restore/rsync scenario — proving retention reads the recorded
+    // commit time, not filesystem metadata.
+    val oldMs = System.currentTimeMillis() - 48L * 3600 * 1000
+    def backdateCommit(v: Int): Unit = {
+      val p = java.nio.file.Paths.get(f"$tdir/_log/v$v%05d.manifest")
+      val body = new String(Files.readAllBytes(p), "UTF-8")
+      assert(body.contains("commitMs\t"), "publish must record a commit time")
+      Files.write(p, body.replaceAll("(?m)^commitMs\t\\d+$",
+        s"commitMs\t$oldMs").getBytes("UTF-8"))
+    }
+    backdateCommit(0); backdateCommit(1)
+    // legacy manifests (no commitMs field) fall back to the file mtime:
+    // strip v0's field and backdate its mtime — it must still count as old
+    val p0 = java.nio.file.Paths.get(f"$tdir/_log/v00000.manifest")
+    Files.write(p0, new String(Files.readAllBytes(p0), "UTF-8")
+      .replaceAll("(?m)^commitMs\t\\d+\n", "").getBytes("UTF-8"))
+    Files.setLastModifiedTime(p0,
+      java.nio.file.attribute.FileTime.fromMillis(oldMs))
+    assert(GraftTable.manifest(tdir, 0).commitMs == 0L)
 
     val n = GraftTable.vacuumRetainTime(tdir, retainMs = 24L * 3600 * 1000,
       retainAgeMs = 0)
@@ -1443,8 +1460,7 @@ class GraftTableTest extends AnyFunSuite {
     // time travel INSIDE the window works, past it is gone
     intercept[Exception] { GraftTable.read(spark, tdir, Some(0)).count() }
     // a cold table (head older than the window) must stay readable
-    Files.setLastModifiedTime(
-      java.nio.file.Paths.get(f"$tdir/_log/v00002.manifest"), old)
+    backdateCommit(2)
     GraftTable.vacuumRetainTime(tdir, retainMs = 1000, retainAgeMs = 0)
     assert(GraftTable.read(spark, tdir).count() == 3)
   }

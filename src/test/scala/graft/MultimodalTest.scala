@@ -227,6 +227,18 @@ class MultimodalTest extends AnyFunSuite {
       "distinct tiny payloads must fingerprint distinctly (no Hamming-0 false dups)")
     assert(Multimodal.simHashBytes(Array[Byte](1, 2)) ==
       Multimodal.simHashBytes(Array[Byte](1, 2)))
+    // negative RIFF chunk length: clen = -8 makes the naive chunk-walk step
+    // ZERO — an infinite loop no NonFatal catch can recover. Must fail fast
+    // in the decoder so the degrade paths trigger instead of hanging.
+    val badChunk = Multimodal.synthNoiseWavBytes(3L).clone()
+    java.nio.ByteBuffer.wrap(badChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8) // fmt chunk length
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(badChunk) }
+    assert(Multimodal.perceptualHash("audio/wav", badChunk) ==
+      Multimodal.simHashBytes(badChunk))
+    // decode() degrades the same way (byte stats), never loops
+    val (_, feats) = Multimodal.decode("audio/wav", badChunk)
+    assert(feats.nonEmpty)
   }
 
   test("m5 plan: the candidate join is a banded equi-join, never a cartesian") {
