@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding MERGE TRAINING (Sennrich et al., ACL 2016) — the
+  * operator that LEARNS a subword vocabulary from the corpus (p10 only
+  * segments by fixed char classes; a pretraining pipeline tokenizes with a
+  * trained merge table).
+  *
+  * Exact-integer contract (§2.7b): pair counts are BIGINT sums of word
+  * frequencies, the per-round winner is argmax with lexicographic (lhs,
+  * rhs) tie-break, and merge APPLICATION is the standard greedy
+  * left-to-right scan — all deterministic, so a DuckDB oracle can replay
+  * the identical K rounds relationally and hash-match the merge table.
+  *
+  * Spark shape: train on the DISTINCT-WORD vocabulary weighted by
+  * frequency (the classic formulation — corpus size only enters through
+  * the one word-count aggregation), one row per word carrying its symbol
+  * ARRAY. Each round is then:
+  *   1. pair counts — explode adjacent symbol pairs, one groupBy-sum
+  *      (map-side partial agg; the only shuffle of the round);
+  *   2. winner — a bounded 1-row collect (the t27 precedent: driver work
+  *      per step is one ≤1-row collect, K bounded steps);
+  *   3. merge application — a pure codegen'd `aggregate` fold per word
+  *      (greedy scan as a left fold: merge the incoming symbol into the
+  *      accumulator's last element iff (last, x) = (lhs, rhs); the merged
+  *      symbol lhs||rhs can never re-match as lhs since rhs is non-empty),
+  *      NO shuffle, no explode.
+  * Each round's vocabulary persists and the previous round unpersists, so
+  * the lineage never stacks: at 100 TB the cost is one corpus token scan
+  * plus K vocabulary-sized rounds — the vocabulary (distinct words) is
+  * orders of magnitude smaller than the corpus and fully partitioned.
+  *
+  * Returns one row per learned merge: (merge_rank INT, lhs, rhs,
+  * pair_count BIGINT, n_symbols_after BIGINT) where n_symbols_after is the
+  * corpus-level symbol (token) count after applying that merge — the
+  * compression curve a tokenizer trainer reports.
+  */
+object Bpe {
+
+  /** Memo of learned merge tables per (session, dir-key, k): the result is
+    * a K-row LOCAL frame, so eviction needs no unpersist. */
+  private val memo = new graft.util.Memo[(SparkSession, String, Int), DataFrame]()(_ => ())
+
+  /** Learn the top-`k` merges over the whitespace vocabulary of `textCol`.
+    * `cacheKey` keys the session memo (pass the sf dir). */
+  def learnMerges(spark: SparkSession, words: DataFrame, cacheKey: String,
+                  k: Int): DataFrame =
+    memo.getOrElseUpdate((spark, cacheKey, k)) { train(spark, words, k) }
+
+  /** (word, freq BIGINT) vocabulary of whitespace tokens of `textCol`. */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  private def train(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    // initial symbols: the word's codepoint characters (explicit substring
+    // indexing — codepoint semantics match DuckDB's word[i]; words are
+    // short, so the quadratic indexing is bounded per row)
+    var syms = words.select(col("word"), col("freq"),
+        expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    for (r <- 1 to k) {
+      val pairs = syms.select(col("freq"), explode(expr(
+          """CASE WHEN size(syms) >= 2
+            |     THEN transform(sequence(0, size(syms)-2),
+            |            i -> struct(element_at(syms, i+1) AS lhs,
+            |                        element_at(syms, i+2) AS rhs))
+            |     ELSE array() END""".stripMargin)).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+      val bestRows = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect() // bounded: exactly one row
+      require(bestRows.nonEmpty, s"no pairs left after ${r - 1} merges")
+      val (lhs, rhs, cnt) =
+        (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+      // greedy merge as a left fold (Column lambdas — corpus symbols enter
+      // as lit(), never spliced into SQL text). The size guard is the FIRST
+      // conjunct: And short-circuits, so element_at(acc,-1) never evaluates
+      // on the empty accumulator (ANSI mode would throw).
+      val mergeFold = aggregate(col("syms"), lit(Array.empty[String]),
+        (acc, x) =>
+          when(size(acc) > lit(0)
+               && element_at(acc, lit(-1)) === lit(lhs) && x === lit(rhs),
+            concat(slice(acc, lit(1), size(acc) - lit(1)),
+              array(concat(element_at(acc, lit(-1)), x))))
+          .otherwise(concat(acc, array(x))))
+      val next = syms.select(col("word"), col("freq"), mergeFold.as("syms"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nSymbols = next.agg(sum(col("freq") * size(col("syms"))))
+        .collect()(0).getLong(0) // bounded: one scalar
+      syms.unpersist()
+      syms = next
+      out += ((r, lhs, rhs, cnt, nSymbols))
+    }
+    syms.unpersist()
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count", "n_symbols_after")
+  }
+}

@@ -27,6 +27,85 @@ object JsonDocs {
   private def duckDot(a: String, b: String) =
     s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
 
+  // --- shared BM25 machinery (d20 retrieval + d21 hybrid fusion) ----------
+
+  /** The fixed retrieval query set d20/d21 rank against. */
+  private val bm25QuerySet = Seq(
+    (0, "spark fast query"),
+    (1, "hash join merge"),
+    (2, "stream window batch table"))
+
+  /** DuckDB CTE chain ending in `agg(query_id, doc_id, bm25_micro)` — the
+    * oracle half of [[bm25Micro]], spliced into BOTH d20's and d21's
+    * oracles so the engines share exactly one score expression (§2.7b:
+    * fixed-point micro-units per (doc,term), exact BIGINT sums). */
+  private val bm25AggSql: String =
+    """q AS (SELECT * FROM (VALUES (0, 'spark fast query'),
+      |                                 (1, 'hash join merge'),
+      |                                 (2, 'stream window batch table'))
+      |            AS t(query_id, qtext)),
+      |qt AS (SELECT DISTINCT query_id,
+      |         unnest(list_filter(string_split(qtext,' '), x -> x <> '')) AS tok
+      |       FROM q),
+      |toks AS (SELECT doc_id,
+      |           unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |         FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+      |             (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS total),
+      |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      |       WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |         CAST(FLOOR(
+      |           LN(1.0 + (CAST(c.n_docs - df.df AS DOUBLE) + 0.5)
+      |                    / (CAST(df.df AS DOUBLE) + 0.5))
+      |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+      |              / (CAST(tf.tf AS DOUBLE)
+      |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |                          / (CAST(c.total AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+      |           * 1e6 + 0.5) AS BIGINT) AS s_micro
+      |       FROM qt JOIN tf ON qt.tok = tf.tok
+      |       JOIN df ON df.tok = qt.tok
+      |       JOIN dl ON dl.doc_id = tf.doc_id
+      |       CROSS JOIN c),
+      |agg AS (SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
+      |        FROM sc GROUP BY query_id, doc_id)""".stripMargin
+
+  /** Per-(query,doc) BM25 scores (Robertson/Okapi, k1=1.2 b=0.75) in exact
+    * integer micro-units — the Spark half shared by d20/d21. Scale shape
+    * (see d20's declaration): corpus work = the memoized token scan; query
+    * terms broadcast; df/idf frames query-term-sized. */
+  private def bm25Micro(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val q = s.createDataFrame(bm25QuerySet).toDF("query_id", "qtext")
+    val qt = q.select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (p18 too)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val c = Tables.table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("total")))
+    val dfTok = tf.join(broadcast(qt.select(col("tok")).distinct()), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val sat = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    tf.join(broadcast(qt), "tok")
+      .join(broadcast(dfTok), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(c))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * sat * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_micro")).as("bm25_micro"))
+  }
+
   /** Build-once versioned-table fixture for d16: snapshot v0 = the corpus
     * roster's documents (range-laid-out on doc_id so manifest stats carry
     * disjoint per-file ranges), commit v1 = the batch append. Lives under
@@ -932,38 +1011,7 @@ object JsonDocs {
     // (§2.7b): all inputs are exact BIGINTs, each engine evaluates the same
     // double expression tree, so the fixed-pointed scores hash-match.
     DeclaredQuery("d20_bm25_topk",
-      """WITH q AS (SELECT * FROM (VALUES (0, 'spark fast query'),
-        |                                 (1, 'hash join merge'),
-        |                                 (2, 'stream window batch table'))
-        |            AS t(query_id, qtext)),
-        |qt AS (SELECT DISTINCT query_id,
-        |         unnest(list_filter(string_split(qtext,' '), x -> x <> '')) AS tok
-        |       FROM q),
-        |toks AS (SELECT doc_id,
-        |           unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
-        |         FROM documents),
-        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY doc_id, tok),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
-        |             (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS total),
-        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-        |       WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |         CAST(FLOOR(
-        |           LN(1.0 + (CAST(c.n_docs - df.df AS DOUBLE) + 0.5)
-        |                    / (CAST(df.df AS DOUBLE) + 0.5))
-        |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
-        |              / (CAST(tf.tf AS DOUBLE)
-        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
-        |                          / (CAST(c.total AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
-        |           * 1e6 + 0.5) AS BIGINT) AS s_micro
-        |       FROM qt JOIN tf ON qt.tok = tf.tok
-        |       JOIN df ON df.tok = qt.tok
-        |       JOIN dl ON dl.doc_id = tf.doc_id
-        |       CROSS JOIN c),
-        |agg AS (SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
-        |        FROM sc GROUP BY query_id, doc_id)
+      s"""WITH $bm25AggSql
         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25_micro FROM (
         |  SELECT query_id, doc_id, bm25_micro,
         |         row_number() OVER (PARTITION BY query_id
@@ -971,39 +1019,83 @@ object JsonDocs {
         |  FROM agg) r
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) {
       (s, dir) =>
-        val q = s.createDataFrame(Seq(
-            (0, "spark fast query"),
-            (1, "hash join merge"),
-            (2, "stream window batch table")))
-          .toDF("query_id", "qtext")
-        val qt = q.select(col("query_id"),
-            explode(split(col("qtext"), " ")).as("tok"))
-          .filter(col("tok") =!= "").distinct()
-        val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (p18 too)
-        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        val c = Tables.table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-          .crossJoin(tf.agg(sum(col("tf")).as("total")))
-        val dfTok = tf.join(broadcast(qt.select(col("tok")).distinct()), "tok")
-          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val avgdl = col("total").cast("double") / col("n_docs").cast("double")
-        val idf = log(lit(1.0) +
-          ((col("n_docs") - col("df")).cast("double") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)))
-        val sat = (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-        val agg = tf.join(broadcast(qt), "tok")
-          .join(broadcast(dfTok), "tok")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(c))
-          .select(col("query_id"), col("doc_id"),
-            floor(idf * sat * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(sum(col("s_micro")).as("bm25_micro"))
+        val agg = bm25Micro(s, dir)
         graft.operators.Rank.topKPerGroup(agg, Seq(col("query_id")),
             Seq(col("bm25_micro").desc, col("doc_id")), 5,
             bucketKey = col("doc_id"), rankCol = "rk")
           .select(col("query_id"), col("rk"), col("doc_id"), col("bm25_micro"))
+          .orderBy(col("query_id"), col("rk"))
+    },
+
+    // HYBRID retrieval fusion (Reciprocal Rank Fusion, k=60) — completes
+    // the retrieval story: d20's lexical BM25 ranks and the exact-cosine
+    // dense ranks (v13's machinery; query embedding = the query's vec_id
+    // row) fuse per (query, doc) as Σ floor(1e6/(60+rank)) — exact integer
+    // micro-units from integer ranks, so the fused scores are
+    // order-independent BIGINTs and hash-match the oracle. Each ranker
+    // contributes its top-20 shortlist; absent ranks contribute 0. Scale
+    // shape: both rank frames are QUERY-bounded (≤ |q|·20 rows) — the only
+    // corpus-sized work is the shared token scan and the dense scoring
+    // pass, and the dense side swaps for the IVF route (v14) at 100 TB
+    // with the fusion unchanged; the full-outer fusion join and final
+    // top-10 never touch the corpus again.
+    DeclaredQuery("d21_rrf_fusion",
+      s"""WITH $bm25AggSql,
+        |lexr AS (SELECT query_id, doc_id, rk FROM (
+        |    SELECT query_id, doc_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY bm25_micro DESC, doc_id) AS rk
+        |    FROM agg) r WHERE rk <= 20),
+        |qv AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |den AS (SELECT qv.query_id, a.vec_id AS doc_id,
+        |          ROUND(${duckDot("a.embedding", "qv.q_emb")} /
+        |            (SQRT(${duckSq("qv.q_emb")}) * SQRT(${duckSq("a.embedding")})), 6) AS cos_r6
+        |        FROM embeddings a JOIN qv ON a.vec_id <> qv.query_id),
+        |denr AS (SELECT query_id, doc_id, rk FROM (
+        |    SELECT query_id, doc_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cos_r6 DESC, doc_id) AS rk
+        |    FROM den) r WHERE rk <= 20),
+        |fus AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+        |               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |               COALESCE(CAST(FLOOR(1000000.0/(60+l.rk)) AS BIGINT), 0)
+        |             + COALESCE(CAST(FLOOR(1000000.0/(60+d.rk)) AS BIGINT), 0) AS rrf_micro
+        |        FROM lexr l FULL OUTER JOIN denr d
+        |          ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+        |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_micro FROM (
+        |  SELECT query_id, doc_id, rrf_micro,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf_micro DESC, doc_id) AS rk
+        |  FROM fus) r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) {
+      (s, dir) =>
+        graft.functions.FloatDotProduct.register(s)
+        val lexr = graft.operators.Rank.topKPerGroup(bm25Micro(s, dir),
+            Seq(col("query_id")), Seq(col("bm25_micro").desc, col("doc_id")), 20,
+            bucketKey = col("doc_id"), rankCol = "rk")
+          .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+        val em = Tables.table(s, dir, "embeddings")
+        val qv = em.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val den = em.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            round(expr("graft_dot(q_emb, embedding)") /
+              (sqrt(expr(sq.format("q_emb"))) * sqrt(expr(sq.format("embedding")))), 6)
+              .as("cos_r6"))
+        val denr = graft.operators.Rank.topKPerGroup(den, Seq(col("query_id")),
+            Seq(col("cos_r6").desc, col("doc_id")), 20,
+            bucketKey = col("doc_id"), rankCol = "rk")
+          .select(col("query_id"), col("doc_id"), col("rk").as("rk_den"))
+        def rrf(rk: org.apache.spark.sql.Column) =
+          coalesce(floor(lit(1000000.0) / (lit(60) + rk)).cast("long"), lit(0L))
+        val fus = lexr.join(denr, Seq("query_id", "doc_id"), "full_outer")
+          .select(col("query_id"), col("doc_id"),
+            (rrf(col("rk_lex")) + rrf(col("rk_den"))).as("rrf_micro"))
+        graft.operators.Rank.topKPerGroup(fus, Seq(col("query_id")),
+            Seq(col("rrf_micro").desc, col("doc_id")), 10,
+            bucketKey = col("doc_id"), rankCol = "rk")
+          .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_micro"))
           .orderBy(col("query_id"), col("rk"))
     },
 

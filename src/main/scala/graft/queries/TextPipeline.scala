@@ -14,6 +14,58 @@ import graft.{DeclaredQuery, Tables}
   */
 object TextPipeline {
 
+  /** p34's DuckDB oracle: the identical K BPE rounds replayed RELATIONALLY
+    * (lead-window pair counts, 1-row argmax with the same lexicographic
+    * tie-break, greedy merge application as gaps-and-islands — within each
+    * run of consecutive matched positions only odd-offset matches apply,
+    * which is exactly the left-to-right scan; overlap requires lhs = rhs).
+    * Generated from one template so the K rounds can't drift apart.
+    * Declared BEFORE `queries` — interpolated at init. */
+  private val bpeOracleSql: String = {
+    val k = 3
+    val rounds = (1 to k).map { r =>
+      val prev = s"s${r - 1}"
+      s"""m$r AS (SELECT word, freq, pos, sym,
+         |          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |        FROM $prev),
+         |p$r AS (SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+         |        FROM m$r WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+         |b$r AS (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |mm$r AS (SELECT m.word, m.freq, m.pos, m.sym, m.nxt,
+         |           CASE WHEN m.sym = b.lhs AND m.nxt = b.rhs THEN 1 ELSE 0 END AS matched
+         |         FROM m$r m CROSS JOIN b$r b),
+         |sel$r AS (SELECT word, pos FROM (
+         |            SELECT word, pos,
+         |                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+         |            FROM (SELECT word, pos,
+         |                    pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+         |                  FROM mm$r WHERE matched = 1) q1) q2
+         |          WHERE rn % 2 = 1),
+         |s$r AS (SELECT word, freq,
+         |          ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+         |        FROM (SELECT t.word, t.freq, t.pos,
+         |                CASE WHEN a.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END AS sym
+         |              FROM mm$r t
+         |              LEFT JOIN sel$r a ON a.word = t.word AND a.pos = t.pos
+         |              LEFT JOIN sel$r d ON d.word = t.word AND d.pos = t.pos - 1
+         |              WHERE d.pos IS NULL) q)""".stripMargin
+    }
+    val union = (1 to k).map { r =>
+      s"""SELECT $r AS r, b$r.lhs, b$r.rhs, b$r.cnt AS pair_count,
+         |       (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS n_symbols_after
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |       SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+       |       FROM documents) q GROUP BY tok),
+       |s0 AS (SELECT word, freq, u.pos AS pos, u.sym AS sym FROM (
+       |         SELECT word, freq, unnest(list_transform(range(1, length(word)+1),
+       |                  i -> {'pos': i, 'sym': word[i]})) AS u FROM w) q),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(r AS INT) AS merge_rank, lhs, rhs, pair_count, n_symbols_after
+       |FROM ($union) f ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     DeclaredQuery("p1_token_counts",
@@ -1140,6 +1192,24 @@ object TextPipeline {
             countDistinct(when(col("leak") === 1, col("doc_id"))).as("n_leaky_docs"),
             countDistinct(col("doc_id")).as("n_docs"))
           .orderBy(col("split"))
+    },
+
+    // BPE tokenizer TRAINING (operators.Bpe): learn the top-3 merge pairs
+    // from the corpus vocabulary — exact integer pair counts weighted by
+    // word frequency, lexicographic (lhs, rhs) tie-break, greedy
+    // left-to-right merge application; ships the merge table plus the
+    // corpus symbol count after each merge (the trainer's compression
+    // curve). The DuckDB oracle replays the SAME 3 rounds relationally
+    // (windowed pair counts + gaps-and-islands greedy), so the learned
+    // merges hash-match across two independent implementations. Scale
+    // shape in Bpe's scaladoc: per round ONE vocabulary-sized groupBy, a
+    // 1-row argmax collect, and a shuffle-free codegen fold.
+    DeclaredQuery("p34_bpe_merges", bpeOracleSql) {
+      (s, dir) =>
+        graft.operators.Bpe.learnMerges(s,
+            graft.operators.Bpe.vocabulary(Tables.table(s, dir, "documents"), "text"),
+            cacheKey = dir, k = 3)
+          .orderBy(col("merge_rank"))
     }
   )
 }

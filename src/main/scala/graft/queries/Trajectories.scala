@@ -24,6 +24,12 @@ object Trajectories {
 
   private val frechetUdf = graft.functions.MetricUdfs.frechet
 
+  /** t29's fixed geofence: a non-convex (top-notched) pentagon with integer
+    * vertices inside the pts fixture's (x=days, y=value) domain. Declared
+    * BEFORE `queries` — the oracle string interpolates it at init. */
+  private[queries] val fencePolygon: Seq[(Double, Double)] =
+    Seq((5.0, 40.0), (15.0, 40.0), (15.0, 160.0), (10.0, 90.0), (5.0, 160.0))
+
   import graft.Fns.ptsViewS
 
   val queries: Seq[DeclaredQuery] = Seq(
@@ -842,6 +848,37 @@ object Trajectories {
           ta.filter(col("user_id") % 5 =!= 0),
           ta.filter(col("user_id") % 5 === 0),
           tau = 11.0)
+    },
+
+    // Point-in-polygon (ray casting) — the polygon member of the spatial
+    // predicate surface (t4's box, t22's corridor): per-user count of
+    // points inside a fixed non-convex polygon, by exact integer crossing
+    // parity of the +x ray (geo.Polygon — cross-product sign test, no
+    // division, both engines evaluate the identical IEEE expression tree
+    // generated from ONE vertex list). The predicate is a pure codegen'd
+    // projection riding the scan — no explode/join — so at 100 TB the only
+    // shuffle is the per-user aggregate; a geofence test over a petabyte
+    // of GPS points is exactly this plan. crossings_sum is the stronger
+    // per-edge checksum (parity alone would mask paired errors); boundary
+    // convention pinned in TrajectoryExprTest.
+    DeclaredQuery("t29_polygon_count",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |c AS (SELECT user_id,
+         |        ${graft.geo.Polygon.crossingsSql(fencePolygon, "x", "y")} AS nc
+         |      FROM pts)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |       ${bsumS("CASE WHEN nc % 2 = 1 THEN 1 ELSE 0 END")} AS n_inside,
+         |       ${bsumS("nc")} AS crossings_sum
+         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        Tables.pts(s, dir, "purchase")
+          .select(col("user_id"),
+            graft.geo.Polygon.crossings(fencePolygon, col("x"), col("y")).as("nc"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pts"),
+            sum(when(col("nc") % 2 === 1, lit(1L)).otherwise(lit(0L))).as("n_inside"),
+            sum(col("nc")).as("crossings_sum"))
+          .orderBy(col("user_id"))
     }
   )
 

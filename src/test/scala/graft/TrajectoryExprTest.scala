@@ -97,4 +97,55 @@ class TrajectoryExprTest extends AnyFunSuite {
       assert(n == users * (users - 1) / 2, "bound must hold for every pair under codegen")
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("polygon ray casting: parity matches an independent caster; boundary rule pinned") {
+    import graft.geo.Polygon
+    // independent reference: classic division-form ray caster
+    def refInside(vs: Seq[(Double, Double)], px: Double, py: Double): Boolean = {
+      var in = false
+      var j = vs.length - 1
+      for (i <- vs.indices) {
+        val (xi, yi) = vs(i); val (xj, yj) = vs(j)
+        if ((yi > py) != (yj > py) &&
+            px < (xj - xi) * (py - yi) / (yj - yi) + xi) in = !in
+        j = i
+      }
+      in
+    }
+    val P = Seq((5.0, 40.0), (15.0, 40.0), (15.0, 160.0), (10.0, 90.0), (5.0, 160.0))
+    val rnd = new scala.util.Random(29)
+    val planted = Seq(
+      (10.0, 50.0, true),   // deep inside
+      (10.0, 155.0, false), // inside the top notch
+      (7.0, 120.0, true),   // left lobe
+      (13.0, 120.0, true),  // right lobe
+      (20.0, 100.0, false), // right of the polygon
+      (2.0, 100.0, false),  // left of the polygon
+      (10.0, 30.0, false))  // below
+    planted.foreach { case (x, y, want) =>
+      assert(refInside(P, x, y) == want, s"reference caster sanity at ($x,$y)") }
+    val rand = Seq.fill(400)((rnd.nextDouble() * 30, rnd.nextDouble() * 200))
+    val rows = (planted.map(p => (p._1, p._2)) ++ rand).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+    val got = rows.toDF("id", "x", "y")
+      .select(col("id"), Polygon.inside(P, col("x"), col("y")).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, x, y) =>
+      assert(got(id) == refInside(P, x, y), s"parity mismatch at ($x,$y)") }
+    // boundary convention pinned (deterministic either way): half-open
+    // y-span + strict-left ⇒ ON the left edge = inside (the right edge's
+    // span still crosses), ON the right edge = outside (strict-left fails),
+    // ON the bottom horizontal edge = inside (the right vertical edge's
+    // half-open span starts at its y), the notch vertex = inside (only the
+    // right edge crosses; both notch edges yield t = 0)
+    def ins(x: Double, y: Double): Boolean = {
+      val r = Seq((0L, x, y)).toDF("id", "x", "y")
+        .select(Polygon.inside(P, col("x"), col("y"))).collect()
+      r(0).getBoolean(0)
+    }
+    assert(ins(5.0, 100.0), "on the left edge -> inside")
+    assert(!ins(15.0, 100.0), "on the right edge -> outside")
+    assert(ins(10.0, 40.0), "on the horizontal bottom edge -> inside")
+    assert(ins(10.0, 90.0), "the notch vertex -> inside")
+  }
 }
