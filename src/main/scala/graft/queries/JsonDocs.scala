@@ -645,7 +645,11 @@ object JsonDocs {
         graft.functions.FloatDotProduct.register(s)
         val em = Tables.table(s, dir, "embeddings")
         val q = em.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-        // embeddings are unit-norm (FIXTURES.md) → dot IS cosine relevance
+        // embeddings are unit-norm (FIXTURES.md) → dot IS cosine relevance.
+        // INVARIANT: the driver-side greedy below is bounded by THIS cap —
+        // shortlist (50) must stay a small constant multiple of k (10); if
+        // k or the shortlist ever becomes a parameter, scale the cap with
+        // it or move the greedy back into the distributed path.
         val shortlist = em.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"), col("embedding"),

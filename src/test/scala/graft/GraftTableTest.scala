@@ -47,6 +47,94 @@ class GraftTableTest extends AnyFunSuite {
       == corpus.schema.fieldNames.toSeq)
   }
 
+  test("partition-column layout: day-clustered files prune like hive partition directories; evolution-free append stays correct") {
+    // the deliberate design (SCALE.md "Partition-directory layout"): a
+    // hive-style dt=.../ directory tree is equivalent, for pruning, to
+    // files whose per-file [min,max] stats on the partition column are
+    // single-valued — which is exactly what clustering the write by that
+    // column produces. This test pins the equivalence contract.
+    val tdir = freshDir("partlayout")
+    val base = docs(TestSpark.sf0001)
+      .withColumn("day", col("doc_id") % 8)
+    GraftTable.create(spark, tdir,
+      base.repartition(8, col("day")), Seq("day", "doc_id"))
+
+    val m0 = GraftTable.manifest(tdir, 0)
+    val dayFiles = m0.files.count(f =>
+      f.stats.get("day").forall { case (mn, mx) => mx >= 3 && mn <= 3 })
+    assert(dayFiles < m0.files.size,
+      "day-clustered layout must make SOME files skippable for one day")
+
+    // the pruned scan reads exactly the day-3 rows from exactly the files
+    // whose stats admit day 3 — the partition-directory read, via stats
+    val scan = GraftTable.scanWhereAll(spark, tdir, None, Seq(("day", 3L, 3L)))
+    assert(scan.count() == base.filter(col("day") === 3).count())
+    assert(scan.inputFiles.length == dayFiles,
+      s"scan opened ${scan.inputFiles.length} files, stats admit $dayFiles")
+
+    // "partition evolution" for free: a later batch written WITHOUT day
+    // clustering coexists — its wide-stats files always scan, cluster
+    // layout of old commits is untouched, answers stay exact (a hive tree
+    // would need a layout migration here)
+    GraftTable.append(spark, tdir,
+      base.orderBy(col("doc_id")).limit(40).withColumn("day", col("doc_id") % 8 + 100),
+      Seq("day", "doc_id"))
+    val scan2 = GraftTable.scanWhereAll(spark, tdir, None, Seq(("day", 103L, 103L)))
+    assert(scan2.count() == 5, "post-evolution day values must read exactly")
+    val scan3 = GraftTable.scanWhereAll(spark, tdir, None, Seq(("day", 3L, 3L)))
+    assert(scan3.count() == base.filter(col("day") === 3).count())
+  }
+
+  test("crash-injection: a mid-publish crash never exposes a half-commit; retry is idempotent; vacuum reclaims the debris") {
+    val tdir = freshDir("crash")
+    GraftTable.create(spark, tdir, docs(TestSpark.sf0001).limit(12), Seq("doc_id"))
+    GraftTable.append(spark, tdir, docs(TestSpark.sf0001)
+      .orderBy(col("doc_id").desc).limit(5), Seq("doc_id"))
+    val n01 = GraftTable.read(spark, tdir).count()
+
+    // simulate a writer killed MID-publish of v2, at every torn stage:
+    // (a) its data files landed but no manifest references them
+    val dataDir = java.nio.file.Paths.get(tdir, "data")
+    val someData = Files.walk(dataDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val orphan = someData.resolveSibling("part-crashed-orphan.parquet")
+    Files.copy(someData, orphan)
+    // (b) the manifest temp was HALF-written (torn bytes) when the JVM died
+    val v1Bytes = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tdir/_log/v00001.manifest"))
+    Files.write(java.nio.file.Paths.get(s"$tdir/_log/.tmp_crashed01"),
+      v1Bytes.take(v1Bytes.length / 2))
+    // (c) a fully-written temp that never got linked into the slot
+    Files.write(java.nio.file.Paths.get(s"$tdir/_log/.tmp_crashed02"), v1Bytes)
+    // (d) the head hint was torn too
+    Files.write(java.nio.file.Paths.get(s"$tdir/_log/_head"),
+      "garb".getBytes("UTF-8"))
+
+    // REOPEN: readers must see exactly the committed history — the torn
+    // debris is invisible (manifest link is the only commit point; the
+    // unreadable hint falls back to the listing)
+    assert(GraftTable.currentVersion(tdir).contains(1),
+      "torn temps/hint must not surface as a commit")
+    assert(GraftTable.read(spark, tdir).count() == n01)
+    assert(GraftTable.read(spark, tdir, Some(0)).count() == 12)
+
+    // the crashed writer's RETRY is an ordinary commit into the next free
+    // slot — nothing about the debris blocks it, and it lands exactly once
+    val v2 = GraftTable.append(spark, tdir, docs(TestSpark.sf0001)
+      .orderBy(col("doc_id")).limit(3), Seq("doc_id"))
+    assert(v2 == 2)
+    assert(GraftTable.read(spark, tdir).count() == n01 + 3)
+
+    // vacuum (age 0 = no writer in flight) reclaims the orphan data file
+    // and both torn temps; committed history still reads exactly
+    val reclaimed = GraftTable.vacuum(tdir, retainAgeMs = 0)
+    assert(reclaimed >= 3, s"expected orphan+2 temps reclaimed, got $reclaimed")
+    assert(!Files.exists(orphan))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tdir/_log/.tmp_crashed01")))
+    assert(GraftTable.read(spark, tdir).count() == n01 + 3)
+    assert(GraftTable.read(spark, tdir, Some(1)).count() == n01)
+  }
+
   test("commit is atomic: losing writer gets CommitConflict, data files never collide, retry lands") {
     val tdir = freshDir("conflict")
     val base = docs(TestSpark.sf0001).limit(10)
