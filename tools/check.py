@@ -7,7 +7,7 @@ Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB over views of
 the parquet tables in <sfDir>, reads the Spark result parquet from
 <verifyOutDir>/<name>/, sorts columns by name, and compares values row by row.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, threading
 
 import duckdb
 
@@ -34,16 +34,38 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    # GRAFT_ORACLE_TIMEOUT=<seconds>: per-query DuckDB budget. At sf0.1 the
+    # recursive-closure oracles (d6/d9/d17/p24 transitive reach over ~1.8M
+    # near-dup edges) are intractable in DuckDB; a timed-out query is
+    # reported as TIMEOUT (a documented exception, not a FAIL) so the rest
+    # of the roster still verifies. Unset = no budget (driver-compatible).
+    budget = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or "0")
+    n_pass = n_fail = n_timeout = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        timer = None
+        timed_out = [False]
+        if budget > 0:
+            def fire():
+                timed_out[0] = True
+                con.interrupt()
+            timer = threading.Timer(budget, fire)
+            timer.start()
         try:
             exp = con.execute(sql).fetch_arrow_table()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
+            if timer:
+                timer.cancel()
+            if timed_out[0]:
+                print(f"TIMEOUT {name}: oracle exceeded {budget:.0f}s", flush=True)
+                n_timeout += 1
+            else:
+                print(f"FAIL {name}: oracle SQL error: {e}", flush=True)
+                n_fail += 1
             continue
+        if timer:
+            timer.cancel()
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -76,7 +98,7 @@ def main():
             note = "" if et == gt else f"  [type note: oracle {et} vs spark {gt}]"
             print(f"PASS {name} ({len(erows)} rows){note}")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_timeout} oracle-timeout ==")
     sys.exit(1 if n_fail else 0)
 
 

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Cross-partitioning determinism check: compare two graft.Verify dumps
+(e.g. SPARK_GRAFT_CPUS=4 vs 7) query by query — sorted columns, row-by-row
+canonical values, same recipe as check.py. Covers EVERY declared query,
+including the oracle-exempt ones the DuckDB gate can't see.
+
+Usage: python3 tools/crosscheck.py <dumpA> <dumpB> [query ...]
+"""
+import sys, json, glob, math
+
+import duckdb
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            v = 0.0
+        return f"{v!r}"
+    return str(v)
+
+
+def main():
+    a, b = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    names = sorted(json.load(open(f"{a}/oracle_sql.json")).keys() |
+                   {g.split("/")[-1] for g in glob.glob(f"{a}/*") if "." not in g.split("/")[-1]})
+    n_pass = n_fail = 0
+    for name in names:
+        if only and name not in only:
+            continue
+        fa = glob.glob(f"{a}/{name}/*.parquet")
+        fb = glob.glob(f"{b}/{name}/*.parquet")
+        if not fa or not fb:
+            print(f"SKIP {name}: missing dump ({len(fa)}/{len(fb)})", flush=True)
+            continue
+        ta = duckdb.read_parquet(fa).fetch_arrow_table()
+        tb = duckdb.read_parquet(fb).fetch_arrow_table()
+        ca, cb = sorted(ta.column_names), sorted(tb.column_names)
+        if ca != cb:
+            print(f"FAIL {name}: columns {ca} != {cb}", flush=True)
+            n_fail += 1
+            continue
+        ra = sorted([tuple(canon(r[c]) for c in ca) for r in ta.to_pylist()])
+        rb = sorted([tuple(canon(r[c]) for c in cb) for r in tb.to_pylist()])
+        if ra != rb:
+            bad = sum(1 for x, y in zip(ra, rb) if x != y) + abs(len(ra) - len(rb))
+            print(f"FAIL {name}: {bad} row diffs ({len(ra)} vs {len(rb)} rows)", flush=True)
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(ra)} rows)", flush=True)
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
