@@ -174,20 +174,33 @@ object Windows {
     // customers by account balance within their nation. The order key is
     // (exact cents, custkey) so the distribution is tie-free and the 6dp
     // round is portable.
+    // cume_dist in EXACT integer micro-units: the order (cents, custkey) is
+    // tie-free, so CUME_DIST ≡ row_number/partition_count — computed as
+    // (rn·10⁶) DIV n and filtered as 4·rn ≤ n, never a rounded double.
+    // (Round-11 finding at sf0.1: ROUND(CUME_DIST(),6) hit a decimal .5
+    // boundary — k/N landing exactly on …x5 at 6dp — where Spark's
+    // BigDecimal HALF_UP and DuckDB's float rounding disagree on 1 row in
+    // 3 741: §2.7b rule 3 applies to ratio outputs too.)
     DeclaredQuery("w9_cume_dist",
-      s"""SELECT * FROM (
+      s"""SELECT c_custkey, c_nationkey, (rn * 1000000) // n AS cd_micro FROM (
          |  SELECT c_custkey, c_nationkey,
-         |         ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
-         |               ORDER BY ${centsS("c_acctbal")}, c_custkey), 6) AS cd
+         |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+         |               ORDER BY ${centsS("c_acctbal")}, c_custkey) AS rn,
+         |         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
          |  FROM customer) t
-         |WHERE cd <= 0.25 ORDER BY c_custkey""".stripMargin) {
+         |WHERE 4*rn <= n
+         |ORDER BY c_custkey""".stripMargin) {
       (s, dir) =>
         val w = Window.partitionBy(col("c_nationkey"))
           .orderBy(cents(col("c_acctbal")), col("c_custkey"))
+        val wAll = Window.partitionBy(col("c_nationkey"))
         Tables.table(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"),
-            round(cume_dist().over(w), 6).as("cd"))
-          .filter(col("cd") <= 0.25)
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(wAll).as("n"))
+          .filter(col("rn") * 4 <= col("n"))
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("(rn * 1000000) DIV n").as("cd_micro"))
           .orderBy(col("c_custkey"))
     },
 
