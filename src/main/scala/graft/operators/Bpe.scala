@@ -40,15 +40,27 @@ import org.apache.spark.storage.StorageLevel
   */
 object Bpe {
 
-  /** Memo of learned merge tables per (session, dir-key, k): the result is
-    * a K-row LOCAL frame, so eviction needs no unpersist. */
-  private val memo = new graft.util.Memo[(SparkSession, String, Int), DataFrame]()(_ => ())
+  /** Memo of (merge table, post-merge segmented vocabulary) per (session,
+    * dir-key, k): the merge table is a K-row LOCAL frame; the vocabulary
+    * frame is persisted and released on eviction. */
+  private val memo =
+    new graft.util.Memo[(SparkSession, String, Int), (DataFrame, DataFrame)](
+    )(v => v._2.unpersist())
 
   /** Learn the top-`k` merges over the whitespace vocabulary of `textCol`.
     * `cacheKey` keys the session memo (pass the sf dir). */
   def learnMerges(spark: SparkSession, words: DataFrame, cacheKey: String,
                   k: Int): DataFrame =
-    memo.getOrElseUpdate((spark, cacheKey, k)) { train(spark, words, k) }
+    memo.getOrElseUpdate((spark, cacheKey, k)) { train(spark, words, k) }._1
+
+  /** The vocabulary AFTER the `k` learned merges: (word, freq,
+    * syms ARRAY<STRING>) — the trained tokenizer's segmentation of every
+    * distinct word, the frame the ENCODE step (p35) joins against. Shares
+    * [[learnMerges]]'s memo entry, so train-then-encode costs one
+    * training. */
+  def segmentedVocabulary(spark: SparkSession, words: DataFrame,
+                          cacheKey: String, k: Int): DataFrame =
+    memo.getOrElseUpdate((spark, cacheKey, k)) { train(spark, words, k) }._2
 
   /** (word, freq BIGINT) vocabulary of whitespace tokens of `textCol`. */
   def vocabulary(docs: DataFrame, textCol: String): DataFrame =
@@ -56,7 +68,8 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  private def train(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
+  private def train(spark: SparkSession, words: DataFrame,
+                    k: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     // initial symbols: the word's codepoint characters (explicit substring
     // indexing — codepoint semantics match DuckDB's word[i]; words are
@@ -99,7 +112,9 @@ object Bpe {
       syms = next
       out += ((r, lhs, rhs, cnt, nSymbols))
     }
-    syms.unpersist()
-    out.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count", "n_symbols_after")
+    // the final vocabulary stays persisted — it IS the trained tokenizer's
+    // segmentation table; released by the memo's eviction hook
+    (out.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count", "n_symbols_after"),
+      syms)
   }
 }

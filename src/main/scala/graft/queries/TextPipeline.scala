@@ -21,8 +21,13 @@ object TextPipeline {
     * which is exactly the left-to-right scan; overlap requires lhs = rhs).
     * Generated from one template so the K rounds can't drift apart.
     * Declared BEFORE `queries` — interpolated at init. */
-  private val bpeOracleSql: String = {
-    val k = 3
+  private val bpeK = 3
+
+  /** The shared CTE chain `w, s0, …, s3` (no `WITH`): vocabulary →
+    * symbolized words → K merge rounds. p34 selects the merge table off
+    * it; p35 selects the encode aggregates off the same chain. */
+  private val bpeCtes: String = {
+    val k = bpeK
     val rounds = (1 to k).map { r =>
       val prev = s"s${r - 1}"
       s"""m$r AS (SELECT word, freq, pos, sym,
@@ -50,21 +55,43 @@ object TextPipeline {
          |              LEFT JOIN sel$r d ON d.word = t.word AND d.pos = t.pos - 1
          |              WHERE d.pos IS NULL) q)""".stripMargin
     }
-    val union = (1 to k).map { r =>
-      s"""SELECT $r AS r, b$r.lhs, b$r.rhs, b$r.cnt AS pair_count,
-         |       (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS n_symbols_after
-         |FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    s"""w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |       SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
        |       FROM documents) q GROUP BY tok),
        |s0 AS (SELECT word, freq, u.pos AS pos, u.sym AS sym FROM (
        |         SELECT word, freq, unnest(list_transform(range(1, length(word)+1),
        |                  i -> {'pos': i, 'sym': word[i]})) AS u FROM w) q),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeOracleSql: String = {
+    val union = (1 to bpeK).map { r =>
+      s"""SELECT $r AS r, b$r.lhs, b$r.rhs, b$r.cnt AS pair_count,
+         |       (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS n_symbols_after
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
        |SELECT CAST(r AS INT) AS merge_rank, lhs, rhs, pair_count, n_symbols_after
        |FROM ($union) f ORDER BY merge_rank""".stripMargin
   }
+
+  /** p35's oracle: ENCODE the corpus with the s$bpeK segmentation — per
+    * lang: word occurrences, subword occurrences, distinct subword types. */
+  private val bpeEncodeOracleSql: String =
+    s"""WITH $bpeCtes,
+       |tok AS (SELECT lang,
+       |          unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+       |        FROM documents),
+       |pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+       |       FROM s$bpeK GROUP BY word),
+       |agg1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |                CAST(SUM(pw.n_sub) AS BIGINT) AS n_subwords
+       |         FROM tok JOIN pw USING (word) GROUP BY lang),
+       |dv AS (SELECT t.lang, CAST(COUNT(DISTINCT s.sym) AS BIGINT) AS n_subword_types
+       |       FROM (SELECT DISTINCT lang, word FROM tok) t
+       |       JOIN s$bpeK s USING (word) GROUP BY t.lang)
+       |SELECT agg1.lang, n_words, n_subwords, n_subword_types
+       |FROM agg1 JOIN dv ON agg1.lang = dv.lang ORDER BY agg1.lang""".stripMargin
 
   val queries: Seq[DeclaredQuery] = Seq(
 
@@ -1208,8 +1235,34 @@ object TextPipeline {
       (s, dir) =>
         graft.operators.Bpe.learnMerges(s,
             graft.operators.Bpe.vocabulary(Tables.table(s, dir, "documents"), "text"),
-            cacheKey = dir, k = 3)
+            cacheKey = dir, k = bpeK)
           .orderBy(col("merge_rank"))
+    },
+
+    // BPE ENCODE — the apply half of p34's train (train→apply is the
+    // tokenizer lifecycle): segment the corpus with the learned merge
+    // table and report per-lang word occurrences, subword occurrences,
+    // and distinct subword types — all exact BIGINTs. Scale shape: the
+    // segmentation table is VOCABULARY-sized (one row per distinct word,
+    // shared memo entry with p34 — train-then-encode costs one training);
+    // the corpus-sized work is the memoized token scan joining that table
+    // on an equi key, then per-lang sums — at 100 TB this is the standard
+    // "tokenize the crawl" job: broadcast-able vocab join + one groupBy.
+    DeclaredQuery("p35_bpe_encode", bpeEncodeOracleSql) {
+      (s, dir) =>
+        val seg = graft.operators.Bpe.segmentedVocabulary(s,
+          graft.operators.Bpe.vocabulary(Tables.table(s, dir, "documents"), "text"),
+          cacheKey = dir, k = bpeK)
+        val perWord = seg.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+        val tok = Tables.docTokens(s, dir).select(col("lang"), col("tok").as("word"))
+        val agg1 = tok.join(perWord, "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        val dv = tok.distinct()
+          .join(seg.select(col("word"), explode(col("syms")).as("sym")), "word")
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("sym")).as("n_subword_types"))
+        agg1.join(dv, "lang").orderBy(col("lang"))
     }
   )
 }

@@ -501,6 +501,13 @@ class OperatorsTest extends AnyFunSuite {
       (1, "a", "a", 5L, 18L),
       (2, "a", "b", 3L, 15L),
       (3, "aa", "b", 2L, 13L)))
+    // the encode half: segmentation after the 3 merges, word by word
+    val seg = graft.operators.Bpe
+      .segmentedVocabulary(spark, vocab, cacheKey = "bpe-fixture-1", k = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(seg == Map(
+      "ab" -> List("ab"), "aab" -> List("aab"), "b" -> List("b"),
+      "cd" -> List("c", "d"), "aaaa" -> List("aa", "aa")))
   }
 
   test("p32 A-ES stability: selected SET invariant across partitionings under near-tie keys") {
