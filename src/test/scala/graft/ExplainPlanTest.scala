@@ -441,4 +441,18 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(p.contains("BuildRight"), p) // the batch side as written
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("t29: the polygon predicate rides the scan — no join, no explode, one agg") {
+    val p = plan("t29_polygon_count")
+    // ray casting is a pure projection: any Join/Generate here means the
+    // polygon test left the scan stage and would shuffle points at 100 TB
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("p35: the encode join is vocabulary-keyed, never a cartesian") {
+    val p = plan("p35_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
