@@ -363,6 +363,33 @@ object ScaleSmoke {
       report("bm25_topk", s"x$f", sec, rows)
     }
 
+    // BPE training at growing corpus (round-11): the ×k copies REPEAT the
+    // same documents, so the distinct-word VOCABULARY is clone-invariant —
+    // only word frequencies scale ×k. The claim under test (Bpe scaladoc):
+    // the corpus enters training through ONE token-count aggregation; the
+    // K merge rounds run over the vocabulary. The curve must be ~flat in k
+    // past the token scan, and the learned merge table must be IDENTICAL
+    // at every factor (counts ×k, same pairs in the same order).
+    if (mode == "all" || mode == "bpe") {
+      var basePairs: Seq[(Int, String, String)] = Nil
+      for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        val (sec, rows) = time {
+          val m = graft.operators.Bpe.learnMerges(spark,
+            graft.operators.Bpe.vocabulary(
+              spark.read.parquet(s"$dir/documents.parquet"), "text"),
+            cacheKey = s"smoke-$dir", k = 3)
+          val got = m.orderBy(col("merge_rank")).collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+          if (f == 1) basePairs = got
+          else require(got == basePairs,
+            s"x$f merge table drifted from x1: $got vs $basePairs")
+          got.size.toLong
+        }
+        report("bpe_train", s"x$f", sec, rows)
+      }
+    }
+
     // m5 perceptual media dedup at growing corpus (round-10): docs grow
     // ×k, so media items grow ×k (two per doc) and planted near-dups grow
     // ×k with them. One linear decode pass (8 hash bytes per item leave
