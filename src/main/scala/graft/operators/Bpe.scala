@@ -47,8 +47,13 @@ object Bpe {
     new graft.util.Memo[(SparkSession, String, Int), (DataFrame, DataFrame)](
     )(v => v._2.unpersist())
 
-  /** Learn the top-`k` merges over the whitespace vocabulary of `textCol`.
-    * `cacheKey` keys the session memo (pass the sf dir). */
+  /** Learn the top-`k` merges over the `words` vocabulary.
+    *
+    * `cacheKey` MUST pin the corpus identity — the memo keys on it, not on
+    * the `words` plan (the `artifactPathKeyed` convention): pass the data
+    * dir for an immutable dump, `table@version` for a versioned table. A
+    * key reused across corpus mutations would serve a stale merge table
+    * and a segmentation missing the new words. */
   def learnMerges(spark: SparkSession, words: DataFrame, cacheKey: String,
                   k: Int): DataFrame =
     memo.getOrElseUpdate((spark, cacheKey, k)) { train(spark, words, k) }._1

@@ -40,9 +40,8 @@ object JsonDocs {
     * oracles so the engines share exactly one score expression (§2.7b:
     * fixed-point micro-units per (doc,term), exact BIGINT sums). */
   private val bm25AggSql: String =
-    """q AS (SELECT * FROM (VALUES (0, 'spark fast query'),
-      |                                 (1, 'hash join merge'),
-      |                                 (2, 'stream window batch table'))
+    s"""q AS (SELECT * FROM (VALUES ${bm25QuerySet.map { case (i, t) =>
+            s"($i, '$t')" }.mkString(", ")})
       |            AS t(query_id, qtext)),
       |qt AS (SELECT DISTINCT query_id,
       |         unnest(list_filter(string_split(qtext,' '), x -> x <> '')) AS tok
@@ -1053,13 +1052,14 @@ object JsonDocs {
         |qv AS (SELECT vec_id AS query_id, embedding AS q_emb
         |       FROM embeddings WHERE vec_id IN (0, 1, 2)),
         |den AS (SELECT qv.query_id, a.vec_id AS doc_id,
-        |          ROUND(${duckDot("a.embedding", "qv.q_emb")} /
-        |            (SQRT(${duckSq("qv.q_emb")}) * SQRT(${duckSq("a.embedding")})), 6) AS cos_r6
+        |          CAST(FLOOR(${duckDot("a.embedding", "qv.q_emb")} /
+        |            (SQRT(${duckSq("qv.q_emb")}) * SQRT(${duckSq("a.embedding")}))
+        |            * 1000000 + 0.5) AS BIGINT) AS cos_micro
         |        FROM embeddings a JOIN qv ON a.vec_id <> qv.query_id),
         |denr AS (SELECT query_id, doc_id, rk FROM (
         |    SELECT query_id, doc_id,
         |           row_number() OVER (PARTITION BY query_id
-        |                              ORDER BY cos_r6 DESC, doc_id) AS rk
+        |                              ORDER BY cos_micro DESC, doc_id) AS rk
         |    FROM den) r WHERE rk <= 20),
         |fus AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
         |               COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -1082,13 +1082,16 @@ object JsonDocs {
         val em = Tables.table(s, dir, "embeddings")
         val qv = em.filter(col("vec_id").isin(0L, 1L, 2L))
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        // ranking key in exact fixed-point (floor(x·10⁶+0.5): same IEEE
+        // expression tree in both engines — ROUND(x,6) is NOT that; see
+        // w9's round-11 boundary finding)
         val den = em.join(broadcast(qv), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("doc_id"),
-            round(expr("graft_dot(q_emb, embedding)") /
-              (sqrt(expr(sq.format("q_emb"))) * sqrt(expr(sq.format("embedding")))), 6)
-              .as("cos_r6"))
+            floor(expr("graft_dot(q_emb, embedding)") /
+              (sqrt(expr(sq.format("q_emb"))) * sqrt(expr(sq.format("embedding"))))
+              * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"))
         val denr = graft.operators.Rank.topKPerGroup(den, Seq(col("query_id")),
-            Seq(col("cos_r6").desc, col("doc_id")), 20,
+            Seq(col("cos_micro").desc, col("doc_id")), 20,
             bucketKey = col("doc_id"), rankCol = "rk")
           .select(col("query_id"), col("doc_id"), col("rk").as("rk_den"))
         def rrf(rk: org.apache.spark.sql.Column) =

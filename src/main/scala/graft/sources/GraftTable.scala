@@ -596,8 +596,16 @@ object GraftTable {
                        retainAgeMs: Long = DefaultVacuumRetainAgeMs): Int = {
     val head = currentVersion(dir).getOrElse(return 0)
     val cutoff = System.currentTimeMillis() - retainMs
+    // header-only read: scan the kv prefix, never parse the file list —
+    // resolving the horizon on a long table must cost O(versions), not
+    // O(files in history) (vacuum() parses the retained range anyway)
     def commitTime(v: Int): Long = {
-      val recorded = manifest(dir, v).commitMs
+      val recorded = new String(Files.readAllBytes(manifestPath(dir, v)),
+          StandardCharsets.UTF_8).linesIterator
+        .takeWhile(!_.startsWith("file\t"))
+        .collectFirst { case l if l.startsWith("commitMs\t") =>
+          l.stripPrefix("commitMs\t").toLong }
+        .getOrElse(0L)
       if (recorded > 0) recorded
       else Files.getLastModifiedTime(manifestPath(dir, v)).toMillis
     }

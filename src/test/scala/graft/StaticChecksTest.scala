@@ -49,11 +49,12 @@ class StaticChecksTest extends AnyFunSuite {
     // bounds aggregation and its artifact reload — 64 rows each,
     // compact(zorderBy)'s one-row per-column mins aggregate, t27's
     // expanding-box kNN probe — ≤k rows per step, O(log domain) steps —
-    // and Bpe.train's two per-round collects: the 1-row pair argmax and
-    // the one-scalar symbol count, K bounded rounds).
+    // Bpe.train's two per-round collects: the 1-row pair argmax and
+    // the one-scalar symbol count, K bounded rounds — and ScaleSmoke's
+    // bpe-mode 3-row merge-table collect, a diagnostic main).
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 28, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 29, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }

@@ -66,6 +66,13 @@ def main():
             continue
         if timer:
             timer.cancel()
+            # the timer may have fired in the gap between query completion
+            # and cancel(); absorb a stale pending interrupt on `con` so it
+            # can't abort the NEXT oracle (misreported as a FAIL)
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")

@@ -24,9 +24,20 @@ def canon(v):
 def main():
     a, b = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    names = sorted(json.load(open(f"{a}/oracle_sql.json")).keys() |
-                   {g.split("/")[-1] for g in glob.glob(f"{a}/*") if "." not in g.split("/")[-1]})
-    n_pass = n_fail = 0
+
+    def dump_names(d):
+        names = {g.split("/")[-1] for g in glob.glob(f"{d}/*")
+                 if "." not in g.split("/")[-1]}
+        try:
+            names |= json.load(open(f"{d}/oracle_sql.json")).keys()
+        except Exception:
+            pass
+        return names
+
+    # union of BOTH dumps: a query present in only one must surface as a
+    # SKIP (counted, and fatal below), never silently vanish
+    names = sorted(dump_names(a) | dump_names(b))
+    n_pass = n_fail = n_skip = 0
     for name in names:
         if only and name not in only:
             continue
@@ -34,6 +45,7 @@ def main():
         fb = glob.glob(f"{b}/{name}/*.parquet")
         if not fa or not fb:
             print(f"SKIP {name}: missing dump ({len(fa)}/{len(fb)})", flush=True)
+            n_skip += 1
             continue
         ta = duckdb.read_parquet(fa).fetch_arrow_table()
         tb = duckdb.read_parquet(fb).fetch_arrow_table()
@@ -51,8 +63,10 @@ def main():
         else:
             print(f"PASS {name} ({len(ra)} rows)", flush=True)
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
+    # zero comparisons (wrong paths, disjoint dumps) must read as FAILURE,
+    # not as a green determinism gate that verified nothing
+    sys.exit(1 if (n_fail or n_pass == 0) else 0)
 
 
 if __name__ == "__main__":
