@@ -132,6 +132,13 @@ class TrajectoryExprTest extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     rows.foreach { case (id, x, y) =>
       assert(got(id) == refInside(P, x, y), s"parity mismatch at ($x,$y)") }
+    // the generated SQL text must agree with the Column form row-for-row
+    // (the two are emitted from one vertex list — this pins the generator)
+    val drift = rows.toDF("id", "x", "y")
+      .select(Polygon.crossings(P, col("x"), col("y")).as("a"),
+        expr(Polygon.crossingsSql(P, "x", "y")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(drift == 0, "crossingsSql drifted from the Column form")
     // boundary convention pinned (deterministic either way): half-open
     // y-span + strict-left ⇒ ON the left edge = inside (the right edge's
     // span still crosses), ON the right edge = outside (strict-left fails),
