@@ -65,8 +65,10 @@ def main():
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
     # zero comparisons (wrong paths, disjoint dumps) must read as FAILURE,
-    # not as a green determinism gate that verified nothing
-    sys.exit(1 if (n_fail or n_pass == 0) else 0)
+    # and so must ANY skip: a query present in only one dump is a query
+    # that crashed or was dropped under one partitioning — exactly the
+    # determinism failure this gate exists to catch
+    sys.exit(1 if (n_fail or n_skip or n_pass == 0) else 0)
 
 
 if __name__ == "__main__":
