@@ -388,6 +388,23 @@ object ScaleSmoke {
         }
         report("bpe_train", s"x$f", sec, rows)
       }
+      // K axis (round-11 directive #5): realistic vocabularies need
+      // thousands of merges — the cost driver is ROUNDS (each a pair-count
+      // job), so batching M disjoint merges per round must cut wall-clock
+      // toward K/M jobs. Measured at fixed corpus (x1), K=24: M=1 (24
+      // rounds) vs M=8 (≥3 rounds; fewer only if admission skips). The
+      // tables legitimately differ (batched semantics) — both are checked
+      // deterministic by re-run equality instead.
+      for (m <- Seq(1, 8)) {
+        val (sec, rows) = time {
+          val t = graft.operators.Bpe.learnMerges(spark,
+            graft.operators.Bpe.vocabulary(
+              spark.read.parquet(s"$Base/documents.parquet"), "text"),
+            cacheKey = s"smoke-k-axis-m$m", k = 24, batchM = m)
+          t.count()
+        }
+        report("bpe_k_axis", s"m$m", sec, rows)
+      }
     }
 
     // m5 perceptual media dedup at growing corpus (round-10): docs grow

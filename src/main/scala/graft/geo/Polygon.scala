@@ -54,4 +54,25 @@ object Polygon {
   /** Odd crossing parity = inside. */
   def inside(verts: Seq[(Double, Double)], px: Column, py: Column): Column =
     crossings(verts, px, py) % lit(2L) === lit(1L)
+
+  /** Crossing count from an EDGES ARRAY column — the data-driven form for
+    * polygon TABLES (t30), where the fence varies per row so the vertex
+    * list can't be baked into the expression tree like [[crossings]].
+    * `edges` is `ARRAY<STRUCT<x1,y1,x2,y2 DOUBLE>>`; the fold is the same
+    * half-open y-span + cross-product sign test, evaluated per
+    * (point, fence) row as one codegen'd `aggregate` — no explode, so the
+    * blocked join's row count never multiplies by the edge count. The
+    * branch order (upward edge, downward edge, else) mirrors
+    * [[crossings]]'s three-way split exactly, so a fixed polygon run
+    * through either form counts identically (pinned in
+    * TrajectoryExprTest). */
+  def crossingsEdges(edges: Column, px: Column, py: Column): Column =
+    aggregate(edges, lit(0L), (acc, e) => {
+      val x1 = e.getField("x1"); val y1 = e.getField("y1")
+      val x2 = e.getField("x2"); val y2 = e.getField("y2")
+      val t = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+      acc + when(y2 > y1 && py >= y1 && py < y2 && t > lit(0.0), lit(1L))
+        .when(y2 < y1 && py >= y2 && py < y1 && t < lit(0.0), lit(1L))
+        .otherwise(lit(0L))
+    })
 }

@@ -31,6 +31,22 @@ object Sketches {
         s"queryId $queryId not found in embeddings under $dir"))
       .getSeq[Float](0)
 
+  /** Embedding dimensionality, inferred FROM THE DATA in one place (one
+    * bounded 1-row read — round-11 directive #4): 64 is a property of the
+    * shipped fixture, not of the sketch family, so every index build
+    * threads this through instead of assuming it. Memoized per (session,
+    * dir) alongside the Tables cache so repeated builds don't re-probe. */
+  private val dimMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+  private[graft] def embeddingDim(s: SparkSession, dir: String): Int =
+    dimMemo.computeIfAbsent((s, dir), _ =>
+      embeddingDimOf(Tables.table(s, dir, "embeddings")))
+  private[graft] def embeddingDimOf(vecs: DataFrame): Int =
+    vecs.limit(1).select(size(col("embedding"))).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot infer embedding dim from an empty vector frame"))
+
   /** 64-bit SimHash over the token multiset (two seeded 32-bit murmurs). */
   private def simhash64(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)
@@ -329,7 +345,7 @@ object Sketches {
     * The single query point is collected to the driver (bounded, one row —
     * the same way the reference broadcasts the query trajectory). */
   def annCosineKnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val dim = 64
+    val dim = embeddingDim(s, dir)
     val nPlanes = 8
     val rnd = new scala.util.Random(1234)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
@@ -392,7 +408,7 @@ object Sketches {
                       cacheKey: Option[String] = None): DataFrame = {
     val s = vecs.sparkSession
     graft.functions.FloatDotProduct.register(s)
-    val dim = 64
+    val dim = embeddingDimOf(vecs)
     val rnd = new scala.util.Random(20240812L)
     val planes = Array.fill(tables, nPlanes, dim)(rnd.nextGaussian())
     val bPlanes = s.sparkContext.broadcast(planes)
@@ -1132,7 +1148,10 @@ object Sketches {
   def buildPqIndex(s: SparkSession, dir: String, m: Int = 16, k: Int = 16): PqIndex =
     pqMemo.getOrElseUpdate((s, dir, m, k)) {
       import graft.sources.IndexStore
-      val dim = 64
+      val dim = embeddingDim(s, dir)
+      require(dim % m == 0,
+        s"PQ subspace count m=$m must divide the embedding dim $dim " +
+          s"(subDim would be fractional)")
       val subDim = dim / m
       val cPath = IndexStore.artifactPath(s, dir, s"pq${m}x${k}_codebooks")
       val ePath = IndexStore.artifactPath(s, dir, s"pq${m}x${k}_codes")
@@ -1210,7 +1229,7 @@ object Sketches {
   def pqEncodeBatch(s: SparkSession, index: PqIndex, newVecs: DataFrame): DataFrame = {
     val books = index.codebooks
     val m = books.length
-    val subDim = 64 / m
+    val subDim = books(0)(0).length // the codebook carries its own subDim
     val bBooks = s.sparkContext.broadcast(books)
     val encodeUnit = udf { (emb: Seq[Float]) =>
       val a = emb.map(_.toDouble).toArray
@@ -1245,8 +1264,7 @@ object Sketches {
                m: Int = 16, kCodes: Int = 16, shortlist: Int = 128): DataFrame = {
     graft.functions.FloatDotProduct.register(s)
     val index = buildPqIndex(s, dir, m, kCodes)
-    val dim = 64
-    val subDim = dim / m
+    val subDim = index.codebooks(0)(0).length
     val qEmb = queryEmbedding(s, dir, queryId)
     val qa = qEmb.map(_.toDouble).toArray
     val qn = math.sqrt(qa.map(x => x * x).sum)
@@ -1295,7 +1313,7 @@ object Sketches {
   def buildSqIndex(s: SparkSession, dir: String): SqIndex =
     sqMemo.getOrElseUpdate((s, dir)) {
       import graft.sources.IndexStore
-      val dim = 64
+      val dim = embeddingDim(s, dir)
       val bPath = IndexStore.artifactPath(s, dir, "sq8_bounds")
       val cPath = IndexStore.artifactPath(s, dir, "sq8_codes")
       val canLoad = IndexStore.persistEnabled(s) &&
@@ -1418,8 +1436,7 @@ object Sketches {
     graft.functions.FloatDotProduct.register(s)
     val ivf = buildIvfIndex(s, dir, nlist)
     val pq = buildPqIndex(s, dir, m, kCodes)
-    val dim = 64
-    val subDim = dim / m
+    val subDim = pq.codebooks(0)(0).length
     val qEmb = queryEmbedding(s, dir, queryId)
     val qa = qEmb.map(_.toDouble).toArray
     // coarse routing: nlist center distances on the driver (bounded scalars)

@@ -56,7 +56,7 @@ object TextPipeline {
          |              WHERE d.pos IS NULL) q)""".stripMargin
     }
     s"""w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |       SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+       |       SELECT unnest(regexp_extract_all(text, '${graft.operators.Bpe.PretokenPatternSql}')) AS tok
        |       FROM documents) q GROUP BY tok),
        |s0 AS (SELECT word, freq, u.pos AS pos, u.sym AS sym FROM (
        |         SELECT word, freq, unnest(list_transform(range(1, length(word)+1),
@@ -80,7 +80,7 @@ object TextPipeline {
   private val bpeEncodeOracleSql: String =
     s"""WITH $bpeCtes,
        |tok AS (SELECT lang,
-       |          unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+       |          unnest(regexp_extract_all(text, '${graft.operators.Bpe.PretokenPatternSql}')) AS word
        |        FROM documents),
        |pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
        |       FROM s$bpeK GROUP BY word),
@@ -1254,7 +1254,8 @@ object TextPipeline {
           graft.operators.Bpe.vocabulary(Tables.table(s, dir, "documents"), "text"),
           cacheKey = dir, k = bpeK)
         val perWord = seg.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
-        val tok = Tables.docTokens(s, dir).select(col("lang"), col("tok").as("word"))
+        val tok = graft.operators.Bpe.corpusTokens(
+          Tables.table(s, dir, "documents"), "text", Seq("lang"))
         val agg1 = tok.join(perWord, "word")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
@@ -1263,6 +1264,42 @@ object TextPipeline {
           .groupBy(col("lang"))
           .agg(countDistinct(col("sym")).as("n_subword_types"))
         agg1.join(dv, "lang").orderBy(col("lang"))
+    },
+
+    // Training-export SHARD MANIFEST (operators.ShardPack): deterministic
+    // shard assignment by exact integer exclusive-prefix token count DIV
+    // 2048, doc_id order — the fixed-token-budget shard layout a training
+    // run consumes. Per shard: doc count, token count, and the p28-style
+    // bit_xor membership checksum so the oracle verifies the exact doc SET
+    // of every shard, not just sizes. Scale shape in ShardPack's scaladoc:
+    // the prefix sum is DISTRIBUTED (group rollup + tiny serial offsets +
+    // group-partitioned windows) — never one global-window partition.
+    // GraftTableTest additionally writes the shards to a versioned table
+    // and proves the manifest-pruned per-shard reads match these counts.
+    DeclaredQuery("p36_shard_manifest",
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS ntok,
+        |             CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+        |           FROM documents),
+        |c AS (SELECT doc_id, ntok, h,
+        |             CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+        |      FROM d)
+        |SELECT CAST(cum0 // 2048 AS BIGINT) AS shard_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(BIT_XOR(h), 0) AS BIGINT) AS member_ck
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin) {
+      (s, dir) =>
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("size(filter(split(text,' '), x -> x <> ''))").cast("long").as("ntok"),
+            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        graft.operators.ShardPack.assignShards(d, "ntok", targetTokens = 2048L)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            coalesce(expr("bit_xor(h)"), lit(0L)).as("member_ck"))
+          .orderBy(col("shard_id"))
     }
   )
 }

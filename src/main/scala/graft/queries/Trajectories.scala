@@ -879,6 +879,72 @@ object Trajectories {
             sum(when(col("nc") % 2 === 1, lit(1L)).otherwise(lit(0L))).as("n_inside"),
             sum(col("nc")).as("crossings_sum"))
           .orderBy(col("user_id"))
+    },
+
+    // Polygon-RELATION spatial join (round-11 directive #1): points × a
+    // geofence TABLE (geo.Fences — 100 non-convex pentagons), the t29
+    // predicate promoted to a join. Blocking is the DistanceJoinRule
+    // grid-cell idea adapted to bboxes: each fence explodes to the ≤4
+    // cells its bbox overlaps (4.0 × 20.0 cells ≥ the max fence extent),
+    // each point maps to its ONE home cell, and the pair space is a
+    // broadcast HASH equi-join on (cx, cy) — never point × fence. A
+    // qualifying (point, fence) meets in exactly one cell (the point has
+    // one), so multiplicities are exact without dedup; the closed-bbox
+    // residual only prunes (a point outside the closed bbox always has
+    // even parity). Refine = the exact edge-array ray-cast fold
+    // (Polygon.crossingsEdges, codegen'd, no explode). At 100 TB: the
+    // fence side is tiny and broadcast, the point side NEVER shuffles
+    // before the per-fence partial aggregate — the geofence-attribution
+    // plan. The oracle computes the UNBLOCKED point × edge crossing sums
+    // relationally from the same VALUES text, so the blocked join must
+    // land the exact per-fence point sets (plan-guarded: no cartesian).
+    DeclaredQuery("t30_geofence_join",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |fe AS (SELECT * FROM ${graft.geo.Fences.edgesSql}),
+         |nc AS (SELECT p.event_id, p.user_id, f.fence_id,
+         |         SUM(CASE WHEN f.y2 > f.y1 AND p.y >= f.y1 AND p.y < f.y2
+         |                   AND ((p.y - f.y1)*(f.x2 - f.x1) - (p.x - f.x1)*(f.y2 - f.y1)) > 0.0 THEN 1
+         |                  WHEN f.y2 < f.y1 AND p.y >= f.y2 AND p.y < f.y1
+         |                   AND ((p.y - f.y1)*(f.x2 - f.x1) - (p.x - f.x1)*(f.y2 - f.y1)) < 0.0 THEN 1
+         |                  ELSE 0 END) AS nc
+         |       FROM pts p CROSS JOIN fe f
+         |       GROUP BY p.event_id, p.user_id, f.fence_id),
+         |agg AS (SELECT fence_id, CAST(COUNT(*) AS BIGINT) AS n_inside,
+         |               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |               ${bsumS("event_id % 10007")} AS id_checksum
+         |        FROM nc WHERE nc % 2 = 1 GROUP BY fence_id)
+         |SELECT f.fence_id, CAST(COALESCE(n_inside, 0) AS BIGINT) AS n_inside,
+         |       CAST(COALESCE(n_users, 0) AS BIGINT) AS n_users,
+         |       CAST(COALESCE(id_checksum, 0) AS BIGINT) AS id_checksum
+         |FROM (SELECT DISTINCT fence_id FROM fe) f LEFT JOIN agg USING (fence_id)
+         |ORDER BY fence_id""".stripMargin) {
+      (s, dir) =>
+        val fences = s.createDataFrame(graft.geo.Fences.all)
+        val fenceCells = fences
+          .withColumn("cx", explode(sequence(
+            floor(col("minx") / 4.0).cast("long"), floor(col("maxx") / 4.0).cast("long"))))
+          .withColumn("cy", explode(sequence(
+            floor(col("miny") / 20.0).cast("long"), floor(col("maxy") / 20.0).cast("long"))))
+        val p = Tables.pts(s, dir)
+          .withColumn("pcx", floor(col("x") / 4.0).cast("long"))
+          .withColumn("pcy", floor(col("y") / 20.0).cast("long"))
+        val counts = p.join(broadcast(fenceCells),
+            col("pcx") === col("cx") && col("pcy") === col("cy") &&
+            col("x") >= col("minx") && col("x") <= col("maxx") &&
+            col("y") >= col("miny") && col("y") <= col("maxy"))
+          .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
+            % 2 === 1)
+          .groupBy(col("fence_id"))
+          .agg(count(lit(1)).as("n_inside"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("event_id") % 10007).as("id_checksum"))
+        fences.select(col("fence_id"))
+          .join(counts, Seq("fence_id"), "left")
+          .select(col("fence_id"),
+            coalesce(col("n_inside"), lit(0L)).as("n_inside"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+          .orderBy(col("fence_id"))
     }
   )
 

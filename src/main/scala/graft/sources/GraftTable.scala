@@ -604,7 +604,9 @@ object GraftTable {
           StandardCharsets.UTF_8).linesIterator
         .takeWhile(!_.startsWith("file\t"))
         .collectFirst { case l if l.startsWith("commitMs\t") =>
-          l.stripPrefix("commitMs\t").toLong }
+          // a corrupted value degrades to the mtime fallback below, the
+          // same path a missing field takes — never an unguided NFE
+          scala.util.Try(l.stripPrefix("commitMs\t").trim.toLong).getOrElse(0L) }
         .getOrElse(0L)
       if (recorded > 0) recorded
       else Files.getLastModifiedTime(manifestPath(dir, v)).toMillis

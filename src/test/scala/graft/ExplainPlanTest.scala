@@ -455,4 +455,16 @@ class ExplainPlanTest extends AnyFunSuite {
     val p = plan("p35_bpe_encode")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("t30: geofence join is a broadcast HASH join on cell keys, never point x fence") {
+    val p = plan("t30_geofence_join")
+    // the fence side (≤400 cell rows) broadcasts; the cell-key equalities
+    // must reach the planner as equi-join keys — a BNLJ/cartesian here is
+    // the O(points × fences) plan that dies at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the ray-cast refine stays a post-join filter (no Generate: the edge
+    // fold must not explode the joined rows per edge)
+    assert(!p.contains("Generate(explode(edges"), p)
+  }
 }

@@ -1654,4 +1654,38 @@ class GraftTableTest extends AnyFunSuite {
     }
     assert(eId.getMessage.contains("appId"))
   }
+
+  test("p36 shard export: shard-clustered table manifest counts match the declared manifest query") {
+    val tdir = freshDir("shards")
+    val d = docs(TestSpark.sf0001)
+      .select(col("doc_id"),
+        expr("size(filter(split(text,' '), x -> x <> ''))").cast("long").as("ntok"))
+    val assigned = graft.operators.ShardPack.assignShards(d, "ntok", targetTokens = 2048L)
+    val expected = assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nShards = expected.size
+    // shard-clustered write: range partitioning keeps each shard in ONE
+    // partition (never split across files), so manifest shard stats are
+    // tight and a per-shard read prunes to that shard's files
+    GraftTable.create(spark, tdir,
+      assigned.repartitionByRange(nShards, col("shard_id")), Seq("shard_id"))
+    val m = GraftTable.manifest(tdir, 0)
+    assert(m.files.map(_.records).sum == d.count(),
+      "manifest total records must equal the corpus")
+    // range files must not overlap in shard span
+    val spans = m.files.flatMap(_.stats.get("shard_id")).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping shard spans in the manifest: $spans")
+      case _ =>
+    }
+    // manifest-pruned per-shard reads land exactly the declared counts
+    expected.keys.toSeq.sorted.take(5).foreach { sid =>
+      val got = GraftTable.scanWhere(spark, tdir, None, "shard_id", sid, sid)
+      assert(got.count() == expected(sid)._1, s"shard $sid doc count")
+      assert(got.agg(sum(col("ntok"))).collect()(0).getLong(0) == expected(sid)._2,
+        s"shard $sid token count")
+    }
+  }
 }

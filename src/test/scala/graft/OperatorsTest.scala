@@ -510,6 +510,92 @@ class OperatorsTest extends AnyFunSuite {
       "cd" -> List("c", "d"), "aaaa" -> List("aa", "aa")))
   }
 
+  test("BPE pretokenizer: CJK rows enter as per-codepoint symbols, never sentence-length words") {
+    // zh text has no spaces — a space split would hand BPE one unlearnable
+    // sentence-length "word"; the codepoint-class pretokenizer must yield
+    // single-ideograph tokens (and keep letter/digit runs intact)
+    val docs = Seq("中文中 数据", "中abc123文", "spark 查询 engine").toDF("text")
+    val vm = graft.operators.Bpe.vocabulary(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vm == Map("中" -> 3L, "文" -> 2L, "数" -> 1L, "据" -> 1L,
+      "abc" -> 1L, "123" -> 1L, "spark" -> 1L, "查" -> 1L, "询" -> 1L,
+      "engine" -> 1L), s"got $vm")
+    vm.keys.filter(_.head >= '一').foreach(w =>
+      assert(w.length == 1, s"CJK pretoken '$w' must be a single codepoint"))
+  }
+
+  test("BPE M=1 == independent sequential implementation (CJK + tie fixture)") {
+    // naive reference: plain Scala maps, the textbook sequential algorithm
+    def naive(words: Map[String, Long], k: Int): Seq[(Int, String, String, Long, Long)] = {
+      var segs: Map[String, (Long, List[String])] =
+        words.map { case (w, f) => w -> (f, w.map(_.toString).toList) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+      var stop = false
+      while (out.size < k && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.values.foreach { case (f, ss) =>
+          ss.zip(ss.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f) }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((lhs, rhs), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          segs = segs.map { case (w, (f, ss)) =>
+            val acc = scala.collection.mutable.ListBuffer.empty[String]
+            ss.foreach { x =>
+              if (acc.nonEmpty && acc.last == lhs && x == rhs)
+                acc(acc.size - 1) = lhs + rhs
+              else acc += x
+            }
+            w -> (f, acc.toList)
+          }
+          val nSym = segs.values.map { case (f, ss) => f * ss.size }.sum
+          out += ((out.size + 1, lhs, rhs, cnt, nSym))
+        }
+      }
+      out.toSeq
+    }
+    val docs = Seq("中文中 中文 ab ab", "aab 中文 123 12", "b 文中 ab aa").toDF("text")
+    val vocab = graft.operators.Bpe.vocabulary(docs, "text")
+    val words = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.operators.Bpe
+      .learnMerges(spark, vocab, cacheKey = "bpe-naive-parity", k = 6)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == naive(words, 6), s"M=1 drifted from the sequential reference: $got")
+  }
+
+  test("BPE batched rounds: disjoint-support admission and one-fold application") {
+    import graft.operators.Bpe
+    // unit: greedy disjoint filter — shared symbol blocks, PRODUCT blocks
+    val ranked = Seq(("a", "b", 10L), ("b", "c", 9L), ("x", "y", 8L),
+      ("ab", "z", 7L), ("p", "q", 6L))
+    assert(Bpe.admitDisjoint(ranked, 3) ==
+      Seq(("a", "b", 10L), ("x", "y", 8L), ("p", "q", 6L)))
+    // end-to-end, hand-computed on the p34 fixture: batch 1 admits (a,a)
+    // [ (a,b) blocked on 'a' ] + (c,d); batch 2 admits (a,b) + (aa,aa)
+    // [ (aa,b) blocked on 'b' ]; per-batch n_symbols_after
+    val docs = Seq("ab ab ab", "aab aab", "b b", "cd cd", "aaaa").toDF("text")
+    val vocab = graft.operators.Bpe.vocabulary(docs, "text")
+    val merges = graft.operators.Bpe
+      .learnMerges(spark, vocab, cacheKey = "bpe-batched-1", k = 4, batchM = 2)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", 5L, 16L),
+      (2, "c", "d", 2L, 16L),
+      (3, "a", "b", 3L, 12L),
+      (4, "aa", "aa", 1L, 12L)), s"got ${merges.toSeq}")
+    // truncation contract: asking for more merges than exist returns the
+    // learned prefix, never throws (single-symbol words merge to nothing)
+    val tiny = Seq("ab ab").toDF("text")
+    val t = graft.operators.Bpe.learnMerges(spark,
+        graft.operators.Bpe.vocabulary(tiny, "text"),
+        cacheKey = "bpe-truncate-1", k = 10)
+      .orderBy($"merge_rank").collect()
+    assert(t.length == 1 && t(0).getString(1) == "a" && t(0).getString(2) == "b",
+      s"got ${t.toSeq}")
+  }
+
   test("p32 A-ES stability: selected SET invariant across partitionings under near-tie keys") {
     // adversarial fixture: keys equal or 1-2 ulp apart (the judge's
     // worst case for the two-stage heap) — the selected set and ranks

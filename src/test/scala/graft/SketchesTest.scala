@@ -534,4 +534,66 @@ class SketchesTest extends AnyFunSuite {
       Tables.resetCaches()
     }
   }
+
+  test("dim parameterization: IVF + SQ8 + PQ hold at dim 8 and dim 96; divisibility refuses clearly") {
+    import java.nio.file.Files
+    // synthetic clustered fixture at an arbitrary dim: 4 unit prototypes,
+    // 48 vectors each with a small id-seeded perturbation, unit-normalized
+    // — same schema as the shipped embeddings table
+    def writeFixture(dim: Int): String = {
+      val data = Files.createTempDirectory(s"graft-dim$dim").toString
+      val rnd = new scala.util.Random(dim)
+      val protos = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+        .map { p => val n = math.sqrt(p.map(x => x * x).sum); p.map(x => x / n) }
+      val rows = (0L until 192L).map { id =>
+        val c = (id % 4).toInt
+        val v = protos(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        (id, v.map(_ / n).toSeq, c)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$data/embeddings.parquet")
+      data
+    }
+    def bruteTop10(dir: String): Set[Long] = {
+      val rows = Tables.table(spark, dir, "embeddings").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val q = rows.find(_._1 == 0L).get._2
+      rows.filter(_._1 != 0L)
+        .map { case (id, v) => id -> v.zip(q).map { case (a, b) => a.toDouble * b }.sum }
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    }
+    for ((dim, m) <- Seq((8, 4), (96, 16))) {
+      val dir = writeFixture(dim)
+      try {
+        val exact = bruteTop10(dir)
+        // IVF: centers at the inferred dim, every vector assigned, recall holds
+        val ivf = Sketches.buildIvfIndex(spark, dir, nlist = 4)
+        assert(ivf.centers.length == 4 && ivf.centers.forall(_.length == dim))
+        assert(ivf.assigned.count() == 192)
+        val gotIvf = Sketches.annIvfKnn(spark, dir, nprobe = 3)
+          .collect().map(_.getLong(0)).toSet
+        assert(exact.count(gotIvf.contains) >= 7, s"dim $dim IVF recall")
+        // PQ: codebooks m × k × dim/m, ADC knn fills and recalls
+        val pq = Sketches.buildPqIndex(spark, dir, m = m, k = 8)
+        assert(pq.codebooks.length == m &&
+          pq.codebooks.forall(_.forall(_.length == dim / m)))
+        val gotPq = Sketches.annPqKnn(spark, dir, m = m, kCodes = 8)
+          .collect().map(_.getLong(0)).toSet
+        assert(gotPq.size == 10 && exact.count(gotPq.contains) >= 7,
+          s"dim $dim PQ recall: ${exact.count(gotPq.contains)}")
+        // SQ8: per-dimension bounds at the inferred dim, recall holds
+        val sq = Sketches.buildSqIndex(spark, dir)
+        assert(sq.lo.length == dim && sq.hi.length == dim)
+        val gotSq = Sketches.annSqKnn(spark, dir)
+          .collect().map(_.getLong(0)).toSet
+        assert(exact.count(gotSq.contains) >= 8, s"dim $dim SQ8 recall")
+        // fractional subDim must refuse with a clear diagnostic
+        val e = intercept[IllegalArgumentException] {
+          Sketches.buildPqIndex(spark, dir, m = 5, k = 8)
+        }
+        assert(e.getMessage.contains("must divide"), e.getMessage)
+      } finally { Sketches.resetCaches(); Tables.resetCaches() }
+    }
+  }
 }

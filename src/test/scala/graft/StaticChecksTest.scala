@@ -23,8 +23,14 @@ class StaticChecksTest extends AnyFunSuite {
     // `Window.orderBy(...)` (the static form) sorts the whole input through
     // ONE reducer task — a single-partition global sort that cannot survive
     // 100 TB. Per-key windows must be `Window.partitionBy(...).orderBy(...)`.
+    // exemption: a file may carry `graft:allow-global-window` ONLY for a
+    // provably reduced serial stage (ShardPack's group-offset window runs
+    // over corpus/groupSize rows — ~2M scalar rows for 10^10 docs — after
+    // a map-side-combined rollup; the bound argument must sit next to the
+    // marker). Unannotated uses still fail.
     val offenders = mainSources.collect {
-      case (path, text) if text.contains("Window.orderBy(") => path
+      case (path, text) if text.contains("Window.orderBy(") &&
+        !text.contains("graft:allow-global-window") => path
     }
     assert(offenders.isEmpty, s"unpartitioned global windows in: $offenders")
   }
@@ -49,12 +55,15 @@ class StaticChecksTest extends AnyFunSuite {
     // bounds aggregation and its artifact reload — 64 rows each,
     // compact(zorderBy)'s one-row per-column mins aggregate, t27's
     // expanding-box kNN probe — ≤k rows per step, O(log domain) steps —
-    // Bpe.train's two per-round collects: the 1-row pair argmax and
-    // the one-scalar symbol count, K bounded rounds — and ScaleSmoke's
-    // bpe-mode 3-row merge-table collect, a diagnostic main).
+    // Bpe.train's two per-round collects: the ≤4·M-row ranked-pair batch
+    // and the one-scalar symbol count, ⌈K/M⌉ bounded rounds — ScaleSmoke's
+    // bpe-mode 3-row merge-table collect, a diagnostic main —
+    // Sketches.embeddingDimOf's 1-row dim probe (memoized per dir) — and
+    // RrfIncremental.freeze's four QUERY-bounded collects (one corpus-total
+    // scalar, |terms| df rows, |q| query embeddings, |q|·20 top-list rows).
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 29, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 34, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }

@@ -1086,4 +1086,83 @@ class StreamingEquivalenceTest extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == want)
   }
+
+  test("d21 incremental twin: frozen state == declared d21; self-play exact; stream == batch") {
+    import graft.operators.RrfIncremental
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
+    val dir0 = TestSpark.sf0001
+    val querySet = Seq(0L -> "spark fast query", 1L -> "hash join merge",
+      2L -> "stream window batch table") // d21's fixed query set
+    val docs = Tables.table(spark, dir0, "documents").select($"doc_id", $"text")
+    val em = Tables.table(spark, dir0, "embeddings")
+
+    // 1) freeze over the FULL corpus: the fused top-10 must be EXACTLY the
+    //    declared d21 output (ties the twin's duplicated score arithmetic
+    //    to the oracle-checked query, term for term)
+    val full = RrfIncremental.freeze(spark, docs, em, querySet)
+    val wantFused = SparkEntry.queries("d21_rrf_fusion")(spark, dir0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val gotFused = full.fused10.toSeq.flatMap { case (q, lst) =>
+      lst.zipWithIndex.map { case ((d, sc), i) => (q, i + 1, d, sc) }
+    }.sortBy(t => (t._1, t._2))
+    assert(gotFused == wantFused.toSeq.sortBy(t => (t._1, t._2)),
+      "frozen fused top-10 drifted from the declared d21 result")
+
+    // 2) self-play: a corpus doc probed against its own frozen state must
+    //    land exactly its own rank in each list (rank-if-inserted over a
+    //    full list is exact, incl. the equal-key tie rule)
+    val arrivalsAll = docs.join(em.select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
+    val lexMembers = full.lex20.toSeq.flatMap { case (q, lst) =>
+      lst.zipWithIndex.map { case ((d, _), i) => (q, d, i + 1) } }
+    val probeIds = lexMembers.map(_._2).distinct.take(8)
+    val self = RrfIncremental
+      .rankAgainst(full, arrivalsAll.filter($"doc_id".isin(probeIds: _*)))
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), (r.getInt(2), r.getInt(3), r.getBoolean(5)))).toMap
+    lexMembers.filter(m => probeIds.contains(m._2)).foreach { case (q, d, rk) =>
+      assert(self((q, d))._1 == rk, s"self-play lex rank of doc $d query $q: ${self((q, d))._1} != $rk") }
+    full.den20.toSeq.flatMap { case (q, lst) =>
+      lst.zipWithIndex.map { case ((d, _), i) => (q, d, i + 1) } }
+      .filter(m => probeIds.contains(m._2)).foreach { case (q, d, rk) =>
+        assert(self((q, d))._2 == rk, s"self-play den rank of doc $d query $q") }
+    // a doc in the fused top-10 must read as admitted (it ranks at or
+    // ahead of the 10th slot by construction)
+    full.fused10.toSeq.flatMap { case (q, lst) => lst.map(e => (q, e._1)) }
+      .filter(m => probeIds.contains(m._2))
+      .foreach { case (q, d) => assert(self((q, d))._3, s"top-10 member ($q,$d) not admitted") }
+
+    // 3) arrivals (doc_id % 10 == 7 held OUT of the corpus) streamed in 3
+    //    micro-batches == the batch probe of the same frame
+    val corpusDocs = docs.filter($"doc_id" % 10 =!= 7)
+    val corpusEm = em.filter($"vec_id" % 10 =!= 7)
+    val frozen = RrfIncremental.freeze(spark, corpusDocs, corpusEm, querySet)
+    val arrivals = arrivalsAll.filter($"doc_id" % 10 === 7)
+    val want = RrfIncremental.rankAgainst(frozen, arrivals).collect()
+      .map(_.toString).sorted.toSeq
+    assert(want.nonEmpty)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = arrivals.orderBy($"doc_id").collect()
+    val n = rows.length
+    val sdir = Files.createTempDirectory("graft-rrf-stream")
+    (0 until 3).foreach { b =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1),
+        arrivals.schema)
+      val tmp2 = Files.createTempDirectory("graft-rrf-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+      val part = Files.list(tmp2).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, sdir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(sdir.toString)
+    val q = RrfIncremental.rankAgainst(frozen, stream)
+      .writeStream.format("memory").queryName("s_d21")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s_d21").collect().map(_.toString).sorted.toSeq
+    assert(got == want, "streamed incremental re-rank must equal the batch probe")
+  }
 }

@@ -155,4 +155,39 @@ class TrajectoryExprTest extends AnyFunSuite {
     assert(ins(10.0, 40.0), "on the horizontal bottom edge -> inside")
     assert(ins(10.0, 90.0), "the notch vertex -> inside")
   }
+
+  test("t30 fixtures: crossingsEdges == baked crossings; fences exact and non-convex") {
+    import graft.geo.{Fences, Polygon}
+    // every fence coordinate is a multiple of 1/8 (exactly representable,
+    // shortest-decimal round-trip — the Spark/DuckDB parity argument)
+    Fences.all.foreach { f =>
+      f.edges.foreach { e =>
+        Seq(e.x1, e.y1, e.x2, e.y2).foreach(v =>
+          assert(v * 8 == math.rint(v * 8), s"fence ${f.fence_id}: $v not an eighth"))
+      }
+      assert(f.edges.length == 5, "pentagon")
+      // non-convex: the notch vertex (edge 3's start) sits strictly below maxy
+      assert(f.edges(3).x1 > f.minx && f.edges(3).x1 < f.maxx &&
+        f.edges(3).y1 < f.maxy && f.edges(3).y1 > f.miny,
+        s"fence ${f.fence_id}: notch vertex not interior to the bbox span")
+    }
+    // the data-driven edge-array fold must count crossings identically to
+    // the baked-vertex Column form for EVERY fence over a point grid
+    // covering the whole domain (boundaries included via integer steps)
+    val rnd = new scala.util.Random(30)
+    val pts = (for (i <- 0 until 300) yield
+      (i.toLong, rnd.nextDouble() * 30, rnd.nextDouble() * 200)) ++
+      (for (x <- 0 to 30; y <- 0 to 200 by 25) yield
+        ((x * 1000 + y).toLong, x.toDouble, y.toDouble))
+    val df = pts.toDF("id", "x", "y")
+    Fences.all.foreach { f =>
+      val verts = f.edges.map(e => (e.x1, e.y1))
+      val edgesLit = typedLit(f.edges)
+      val drift = df.select(
+          Polygon.crossings(verts, col("x"), col("y")).as("a"),
+          Polygon.crossingsEdges(edgesLit, col("x"), col("y")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(drift == 0, s"fence ${f.fence_id}: crossingsEdges drifted from crossings")
+    }
+  }
 }
