@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   *      (greedy scan as a left fold: merge the incoming symbol into the
   *      accumulator's last element iff (last, x) is an admitted pair),
   *      NO shuffle, no explode.
-  * Each round's vocabulary persists and the previous round unpersists, so
-  * the lineage never stacks: at 100 TB the cost is one corpus token scan
+  * Each round's vocabulary is an eager localCheckpoint and the previous
+  * round's frame is dereferenced (its blocks reclaimed by Spark's
+  * ContextCleaner), so neither lineage nor storage stacks: at 100 TB the cost is one corpus token scan
   * plus ⌈K/M⌉ vocabulary-sized rounds — the vocabulary (distinct words)
   * is orders of magnitude smaller than the corpus and fully partitioned.
   *
@@ -197,6 +198,8 @@ object Bpe {
           .localCheckpoint(true)
         val nSymbols = next.agg(sum(col("freq") * size(col("syms"))))
           .collect()(0).getLong(0) // bounded: one scalar
+        // checkpointed blocks have no CacheManager entry — unpersist() is
+        // advisory; dropping the reference lets the ContextCleaner reclaim
         syms.unpersist()
         syms = next
         admitted.foreach { case (lhs, rhs, cnt) =>

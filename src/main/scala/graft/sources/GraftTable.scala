@@ -186,7 +186,11 @@ object GraftTable {
     }
     Manifest(kv("version").toInt, kv("op"), kv("schema"), files.map(_._2), txn,
       cdcFiles = cdc.map(_._2),
-      commitMs = kv.get("commitMs").map(_.toLong).getOrElse(0L))
+      // a corrupted value degrades like a missing field (0 = "no recorded
+      // time", callers fall back to mtime) — commit time is advisory
+      // metadata and must never make a manifest unreadable
+      commitMs = kv.get("commitMs")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L))
   }
 
   /** The change feed's metadata column names — reserved at schema ENTRY

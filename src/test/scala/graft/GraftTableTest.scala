@@ -1553,6 +1553,25 @@ class GraftTableTest extends AnyFunSuite {
     assert(GraftTable.read(spark, tdir).count() == 3)
   }
 
+  test("time-based vacuum: a corrupted commitMs value degrades to the mtime fallback, never throws") {
+    val tdir = freshDir("vac-corrupt")
+    GraftTable.create(spark, tdir, docs(TestSpark.sf0001).limit(6), Seq("doc_id"))
+    GraftTable.overwrite(spark, tdir, docs(TestSpark.sf0001).limit(3), Seq("doc_id"))
+    // corrupt v0's recorded commit time (torn write / bit rot in the kv
+    // header) and backdate its MTIME: the horizon resolver must treat it
+    // exactly like a legacy pre-commitMs manifest (mtime path), so the old
+    // snapshot still expires — and nothing throws NumberFormatException
+    val p0 = java.nio.file.Paths.get(f"$tdir/_log/v00000.manifest")
+    Files.write(p0, new String(Files.readAllBytes(p0), "UTF-8")
+      .replaceAll("(?m)^commitMs\t\\d+$", "commitMs\tgarbage!!").getBytes("UTF-8"))
+    Files.setLastModifiedTime(p0, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    val n = GraftTable.vacuumRetainTime(tdir, retainMs = 24L * 3600 * 1000,
+      retainAgeMs = 0)
+    assert(n > 0, "the corrupted-header snapshot must still expire via mtime")
+    assert(GraftTable.read(spark, tdir).count() == 3)
+  }
+
   test("shallow clone: refuses a vacuumed snapshot before publishing; survives encoded paths") {
     // source directory with a URI-encodable character: input_file_name()
     // yields file:/…my%20tables%2F… — the touched-file probe must decode
