@@ -85,7 +85,8 @@ object Bpe {
     * vocabulary frame is persisted and released on eviction. */
   private val memo =
     new graft.util.Memo[(SparkSession, String, Int, Int), (DataFrame, DataFrame)](
-    )(v => v._2.unpersist())
+    )(v => graft.util.Memo.releaseCheckpoint(v._2)) // checkpoint-backed: plain
+    // unpersist() is a no-op on a LogicalRDD-rooted frame
 
   /** Learn the top-`k` merges over the `words` vocabulary, `batchM` per
     * round (see the batched-rounds contract above; 1 = pure sequential).
@@ -198,9 +199,10 @@ object Bpe {
           .localCheckpoint(true)
         val nSymbols = next.agg(sum(col("freq") * size(col("syms"))))
           .collect()(0).getLong(0) // bounded: one scalar
-        // checkpointed blocks have no CacheManager entry — unpersist() is
-        // advisory; dropping the reference lets the ContextCleaner reclaim
-        syms.unpersist()
+        // checkpointed blocks have no CacheManager entry — release the
+        // round's RDD storage EAGERLY (at K=32k, waiting for driver GC
+        // would stack thousands of vocabulary copies on the executors)
+        graft.util.Memo.releaseCheckpoint(syms)
         syms = next
         admitted.foreach { case (lhs, rhs, cnt) =>
           out += ((out.size + 1, lhs, rhs, cnt, nSymbols))

@@ -34,13 +34,14 @@ object Sketches {
   /** Embedding dimensionality, inferred FROM THE DATA in one place (one
     * bounded 1-row read — round-11 directive #4): 64 is a property of the
     * shipped fixture, not of the sketch family, so every index build
-    * threads this through instead of assuming it. Memoized per (session,
-    * dir) alongside the Tables cache so repeated builds don't re-probe. */
-  private val dimMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+    * threads this through instead of assuming it. A bounded session Memo
+    * like every other per-(session, dir) cache — cleared by
+    * [[resetCaches]], so a rewritten fixture re-probes. */
+  private val dimMemo = new graft.util.Memo[(SparkSession, String), Int]()(_ => ())
   private[graft] def embeddingDim(s: SparkSession, dir: String): Int =
-    dimMemo.computeIfAbsent((s, dir), _ =>
-      embeddingDimOf(Tables.table(s, dir, "embeddings")))
+    dimMemo.getOrElseUpdate((s, dir)) {
+      embeddingDimOf(Tables.table(s, dir, "embeddings"))
+    }
   private[graft] def embeddingDimOf(vecs: DataFrame): Int =
     vecs.limit(1).select(size(col("embedding"))).collect().headOption
       .map(_.getInt(0))
@@ -483,7 +484,7 @@ object Sketches {
   def resetCaches(): Unit = {
     ivfMemo.clear(); mhMemo.clear(); lshCandMemo.clear()
     pqMemo.clear(); hamMemo.clear(); ivfOverMemo.clear(); mhGateMemo.clear()
-    sqMemo.clear()
+    sqMemo.clear(); dimMemo.clear()
   }
 
   /** Build (or load) the IVF index: if the (centers, assigned) parquet

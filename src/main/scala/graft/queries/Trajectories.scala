@@ -945,6 +945,67 @@ object Trajectories {
             coalesce(col("n_users"), lit(0L)).as("n_users"),
             coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
           .orderBy(col("fence_id"))
+    },
+
+    // Geofence DWELL TIME — the time-in-zone analytics query t30's
+    // membership counts stop short of: per fence, how long users spent
+    // inside (each point carries the µs gap to its user's NEXT point —
+    // point-sample dwell attribution, the standard telemetry convention;
+    // a user's last point contributes 0). One user-PARTITIONED window on
+    // the scan (parallel — never a global sort), then exactly t30's
+    // broadcast cell-blocked join + ray-cast refine, then one per-fence
+    // aggregate. All integer µs arithmetic — the oracle replays it
+    // relationally over the same VALUES edge table.
+    DeclaredQuery("t31_geofence_dwell",
+      s"""WITH pts AS ${ptsViewS("purchase")},
+         |pd AS (SELECT user_id, event_id, x, y,
+         |         COALESCE(LEAD(ts_us) OVER (PARTITION BY user_id
+         |                                    ORDER BY ts_us, event_id) - ts_us, 0) AS dt
+         |       FROM pts),
+         |fe AS (SELECT * FROM ${graft.geo.Fences.edgesSql}),
+         |nc AS (SELECT p.event_id, p.user_id, p.dt, f.fence_id,
+         |         SUM(CASE WHEN f.y2 > f.y1 AND p.y >= f.y1 AND p.y < f.y2
+         |                   AND ((p.y - f.y1)*(f.x2 - f.x1) - (p.x - f.x1)*(f.y2 - f.y1)) > 0.0 THEN 1
+         |                  WHEN f.y2 < f.y1 AND p.y >= f.y2 AND p.y < f.y1
+         |                   AND ((p.y - f.y1)*(f.x2 - f.x1) - (p.x - f.x1)*(f.y2 - f.y1)) < 0.0 THEN 1
+         |                  ELSE 0 END) AS nc
+         |       FROM pd p CROSS JOIN fe f
+         |       GROUP BY p.event_id, p.user_id, p.dt, f.fence_id),
+         |agg AS (SELECT fence_id, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |               ${bsumS("dt")} AS dwell_us
+         |        FROM nc WHERE nc % 2 = 1 GROUP BY fence_id)
+         |SELECT f.fence_id, CAST(COALESCE(n_users, 0) AS BIGINT) AS n_users,
+         |       CAST(COALESCE(dwell_us, 0) AS BIGINT) AS dwell_us
+         |FROM (SELECT DISTINCT fence_id FROM fe) f LEFT JOIN agg USING (fence_id)
+         |ORDER BY fence_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val fences = s.createDataFrame(graft.geo.Fences.all)
+        val fenceCells = fences
+          .withColumn("cx", explode(sequence(
+            floor(col("minx") / 4.0).cast("long"), floor(col("maxx") / 4.0).cast("long"))))
+          .withColumn("cy", explode(sequence(
+            floor(col("miny") / 20.0).cast("long"), floor(col("maxy") / 20.0).cast("long"))))
+        val pd = Tables.pts(s, dir)
+          .select(col("user_id"), col("event_id"), col("x"), col("y"),
+            coalesce(lead(col("ts_us"), 1).over(w) - col("ts_us"), lit(0L)).as("dt"))
+          .withColumn("pcx", floor(col("x") / 4.0).cast("long"))
+          .withColumn("pcy", floor(col("y") / 20.0).cast("long"))
+        val counts = pd.join(broadcast(fenceCells),
+            col("pcx") === col("cx") && col("pcy") === col("cy") &&
+            col("x") >= col("minx") && col("x") <= col("maxx") &&
+            col("y") >= col("miny") && col("y") <= col("maxy"))
+          .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
+            % 2 === 1)
+          .groupBy(col("fence_id"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            sum(col("dt")).as("dwell_us"))
+        fences.select(col("fence_id"))
+          .join(counts, Seq("fence_id"), "left")
+          .select(col("fence_id"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            coalesce(col("dwell_us"), lit(0L)).as("dwell_us"))
+          .orderBy(col("fence_id"))
     }
   )
 

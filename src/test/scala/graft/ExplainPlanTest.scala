@@ -463,8 +463,21 @@ class ExplainPlanTest extends AnyFunSuite {
     // the O(points × fences) plan that dies at 100 TB
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    // the ray-cast refine stays a post-join filter (no Generate: the edge
-    // fold must not explode the joined rows per edge)
-    assert(!p.contains("Generate(explode(edges"), p)
+    // the ray-cast refine stays a post-join filter: the edge fold must not
+    // explode the joined rows per edge (plans print `Generate explode(...)`
+    // space-separated, so match the generator's ARGUMENT — the fence-cell
+    // explodes are over sequence(...), never over the edges array)
+    assert(!p.contains("explode(edges"), p)
+  }
+
+  test("t31: dwell keeps t30's blocked-join shape; the lead window is user-partitioned") {
+    val p = plan("t31_geofence_dwell")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("explode(edges"), p)
+    // the dt window must partition by user — a global lead would funnel
+    // every point through one task (physical Window prints its spec as
+    // windowspecdefinition(<partition cols>, <order>, <frame>))
+    assert(p.contains("windowspecdefinition(user_id#"), p)
   }
 }

@@ -23,14 +23,21 @@ class StaticChecksTest extends AnyFunSuite {
     // `Window.orderBy(...)` (the static form) sorts the whole input through
     // ONE reducer task — a single-partition global sort that cannot survive
     // 100 TB. Per-key windows must be `Window.partitionBy(...).orderBy(...)`.
-    // exemption: a file may carry `graft:allow-global-window` ONLY for a
-    // provably reduced serial stage (ShardPack's group-offset window runs
-    // over corpus/groupSize rows — ~2M scalar rows for 10^10 docs — after
-    // a map-side-combined rollup; the bound argument must sit next to the
-    // marker). Unannotated uses still fail.
-    val offenders = mainSources.collect {
-      case (path, text) if text.contains("Window.orderBy(") &&
-        !text.contains("graft:allow-global-window") => path
+    // exemption: an occurrence is allowed ONLY when a
+    // `graft:allow-global-window` marker sits within the 8 preceding lines
+    // (a provably reduced serial stage — ShardPack's group-offset window
+    // runs over corpus/groupSize rows after a map-side-combined rollup,
+    // with the bound argument next to the marker). PER-OCCURRENCE, not
+    // per-file: a second unannotated global window in an exempted file
+    // must still fail.
+    val offenders = mainSources.flatMap { case (path, text) =>
+      val lines = text.split("\n", -1)
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Window.orderBy(") &&
+          !lines.slice(math.max(0, i - 8), i + 1)
+            .exists(_.contains("graft:allow-global-window")) =>
+          s"$path:${i + 1}"
+      }
     }
     assert(offenders.isEmpty, s"unpartitioned global windows in: $offenders")
   }

@@ -63,6 +63,16 @@ def main():
         except Exception as e:
             if timer:
                 timer.cancel()
+            if timed_out[0]:
+                # the timer fired: whether or not ITS interrupt caused this
+                # exception, an interrupt may still be pending on `con`
+                # (e.g. a genuine SQL error raced the firing and the
+                # interrupt landed after) — absorb it so it can't abort the
+                # NEXT oracle (mirror of the success-path drain below)
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
             # only a genuine interrupt counts as a timeout — a SQL error
             # that merely RACES the timer firing (timed_out set, but the
             # interrupt never landed because the query had already failed)

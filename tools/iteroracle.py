@@ -157,13 +157,16 @@ def compare(con, name, sql, outdir):
         return False
     erows = [[canon(r[c]) for c in ecols] for r in exp.to_pylist()]
     grows = [[canon(r[c]) for c in gcols] for r in got.to_pylist()]
+    if len(erows) != len(grows):
+        # length first — zip() would truncate and report "0 row diffs" for
+        # a matching common prefix, pointing the debugger the wrong way
+        print(f"FAIL {name}: rows {len(grows)} != oracle {len(erows)}")
+        return False
     if erows != grows:
         bad = [(i, e, g) for i, (e, g) in enumerate(zip(erows, grows)) if e != g]
-        print(f"FAIL {name}: {len(bad)} row diffs of {len(erows)} "
-              f"(rows {len(grows)} vs {len(erows)})")
-        if bad:
-            i, e, g = bad[0]
-            print(f"  first at {i}: oracle {e} vs spark {g}")
+        print(f"FAIL {name}: {len(bad)} row diffs of {len(erows)}")
+        i, e, g = bad[0]
+        print(f"  first at {i}: oracle {e} vs spark {g}")
         return False
     print(f"PASS {name} ({len(erows)} rows)", flush=True)
     return True
