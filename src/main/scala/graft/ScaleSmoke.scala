@@ -407,6 +407,35 @@ object ScaleSmoke {
       }
     }
 
+    // t30/t31 geofence join + dwell at growing point corpus (round-12):
+    // the ×k clones keep each copy's (x, y, ts) identical under shifted
+    // user/event ids, so per-fence inside counts and dwell totals must
+    // scale EXACTLY ×k (an exactness check riding the scale check), and
+    // the curve must track the point count ~linearly: the fence side is a
+    // fixed broadcast, the point side is one scan + one cell-key hash
+    // join probe + one partial agg per point.
+    if (mode == "all" || mode == "fence") {
+      var base: Map[Int, (Long, Long)] = Map.empty
+      for (f <- Seq(1, 3, 10)) {
+        val dir = if (f == 1) Base else scaledDir(spark, f)
+        Tables.resetCaches()
+        val (sec, rows) = time {
+          val got = SparkEntry.queries("t30_geofence_join")(spark, dir)
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+          if (f == 1) base = got
+          else base.foreach { case (id, (n1, _)) =>
+            require(got(id)._1 == n1 * f,
+              s"x$f fence $id inside-count ${got(id)._1} != ${n1 * f}") }
+          got.size.toLong
+        }
+        report("geofence_join", s"x$f", sec, rows)
+        val (secD, rowsD) = time {
+          SparkEntry.queries("t31_geofence_dwell")(spark, dir).count()
+        }
+        report("geofence_dwell", s"x$f", secD, rowsD)
+      }
+    }
+
     // m5 perceptual media dedup at growing corpus (round-10): docs grow
     // ×k, so media items grow ×k (two per doc) and planted near-dups grow
     // ×k with them. One linear decode pass (8 hash bytes per item leave
