@@ -278,6 +278,40 @@ object StreamingQueries {
       .select(col("cu"), col("bu"), col("h"))
   }
 
+  /** t30/t31's counterpart: CONTINUOUS geofence attribution — the shape a
+    * telemetry ingest runs on arriving GPS points. Entirely STATELESS: the
+    * fence table (with precomputed bbox grid cells) broadcasts, each
+    * arriving point equi-joins its ONE home cell, the closed-bbox residual
+    * prunes, and the exact edge-array ray-cast fold refines IN-ROW — the
+    * t30 plan applied per micro-batch. Emits one (fence_id, user_id,
+    * event_id, dt_us) hit row per inside point in append mode; per-fence
+    * counts (t30) and dwell sums (t31) aggregate downstream — the
+    * equivalence test aggregates the sink and matches both batch queries
+    * exactly. `points` must carry (user_id, event_id, x, y, dt_us): the
+    * dwell weight is an UPSTREAM enrichment (a stateless stream cannot
+    * look ahead to the user's next point — in production the gap closes
+    * at the source or via a small keyed state; here the twin's contract
+    * is the attribution join, not the gap derivation). No watermark, no
+    * state store — replay-order-independent by construction. */
+  def streamGeofence(points: DataFrame): DataFrame = {
+    val s = points.sparkSession
+    val fenceCells = s.createDataFrame(graft.geo.Fences.all)
+      .withColumn("cx", explode(sequence(
+        floor(col("minx") / 4.0).cast("long"), floor(col("maxx") / 4.0).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor(col("miny") / 20.0).cast("long"), floor(col("maxy") / 20.0).cast("long"))))
+    points
+      .withColumn("pcx", floor(col("x") / 4.0).cast("long"))
+      .withColumn("pcy", floor(col("y") / 20.0).cast("long"))
+      .join(broadcast(fenceCells),
+        col("pcx") === col("cx") && col("pcy") === col("cy") &&
+        col("x") >= col("minx") && col("x") <= col("maxx") &&
+        col("y") >= col("miny") && col("y") <= col("maxy"))
+      .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
+        % 2 === 1)
+      .select(col("fence_id"), col("user_id"), col("event_id"), col("dt_us"))
+  }
+
   /** Embeddings replay schema (fixed dim 64, float). */
   val embeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

@@ -1165,4 +1165,59 @@ class StreamingEquivalenceTest extends AnyFunSuite {
     val got = spark.table("s_d21").collect().map(_.toString).sorted.toSeq
     assert(got == want, "streamed incremental re-rank must equal the batch probe")
   }
+
+  test("t30/t31 streaming geofence: aggregated hit rows == batch counts AND dwell") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dir0 = TestSpark.sf0001
+    // enriched points: the t31 dt (µs to the user's next point) computed
+    // batch-side — the twin's contract is the attribution join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val pts = Tables.pts(spark, dir0)
+      .select($"user_id", $"event_id", $"x", $"y",
+        coalesce(lead($"ts_us", 1).over(w) - $"ts_us", lit(0L)).as("dt_us"))
+    val rows = pts.orderBy($"event_id").collect()
+    val n = rows.length
+    val sdir = Files.createTempDirectory("graft-fence-stream")
+    (0 until 3).foreach { b =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.slice(b * n / 3, (b + 1) * n / 3).toSeq, 1),
+        pts.schema)
+      val tmp2 = Files.createTempDirectory("graft-fence-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+      val part = Files.list(tmp2).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, sdir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("x", DoubleType),
+      StructField("y", DoubleType), StructField("dt_us", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(sdir.toString)
+    val q = StreamingQueries.streamGeofence(stream)
+      .writeStream.format("memory").queryName("s_fence")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val agg = spark.table("s_fence").groupBy($"fence_id")
+      .agg(count(lit(1)).as("n_inside"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"event_id" % 10007).as("ck"),
+        sum($"dt_us").as("dwell_us"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // must equal the DECLARED t30 (counts/users/checksum) and t31 (dwell)
+    // on their populated fences; zero fences must be absent from the sink
+    val t30 = SparkEntry.queries("t30_geofence_join")(spark, dir0).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val t31 = SparkEntry.queries("t31_geofence_dwell")(spark, dir0).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(agg.keySet == t30.filter(_._2._1 > 0).keySet,
+      "sink fences must be exactly the populated fences")
+    assert(agg.nonEmpty)
+    agg.foreach { case (id, (nIn, nU, ck, dw)) =>
+      assert((nIn, nU, ck) == t30(id), s"fence $id counts drifted from batch t30")
+      assert(dw == t31(id), s"fence $id dwell drifted from batch t31")
+    }
+  }
 }
