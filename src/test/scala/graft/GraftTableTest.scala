@@ -1707,4 +1707,37 @@ class GraftTableTest extends AnyFunSuite {
         s"shard $sid token count")
     }
   }
+
+  test("continuous shard export: batched appendAssign == one-shot assignShards; out-of-order refuses") {
+    val tdir = freshDir("shards-incr")
+    val d = docs(TestSpark.sf0001)
+      .select(col("doc_id"),
+        expr("size(filter(split(text,' '), x -> x <> ''))").cast("long").as("ntok"))
+    // one-shot reference layout over the whole corpus
+    val want = graft.operators.ShardPack.assignShards(d, "ntok", targetTokens = 2048L)
+      .select(col("doc_id"), col("shard_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // arrive in 3 doc_id-ordered batches (the append convention)
+    val ids = d.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1)))
+    batches.foreach(b =>
+      graft.operators.ShardPack.appendAssign(spark, tdir, b, "ntok", 2048L))
+    val got = GraftTable.read(spark, tdir)
+      .select(col("doc_id"), col("shard_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      "batched incremental export must assign exactly the one-shot layout")
+    assert(GraftTable.currentVersion(tdir).contains(2), "3 batches = 3 commits")
+    // append-stability guard: re-sending an already-exported id refuses
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ShardPack.appendAssign(spark, tdir,
+        batches(0).limit(1), "ntok", 2048L)
+    }
+    assert(e.getMessage.contains("must exceed"), e.getMessage)
+  }
 }

@@ -68,11 +68,13 @@ class StaticChecksTest extends AnyFunSuite {
     // Sketches.embeddingDimOf's 1-row dim probe (memoized per dir) —
     // RrfIncremental.freeze's four QUERY-bounded collects (one corpus-total
     // scalar, |terms| df rows, |q| query embeddings, |q|·20 top-list rows)
-    // — and ScaleSmoke's fence-mode 100-row per-fence count collect, a
-    // diagnostic main asserting the ×k exactness invariant.
+    // — ScaleSmoke's fence-mode 100-row per-fence count collect, a
+    // diagnostic main asserting the ×k exactness invariant — and
+    // ShardPack.appendAssign's two 1-row collects (the table token-carry
+    // aggregate and the batch min-doc_id append-order guard).
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 35, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 37, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }
