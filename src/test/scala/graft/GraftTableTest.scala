@@ -1708,6 +1708,29 @@ class GraftTableTest extends AnyFunSuite {
     }
   }
 
+  test("assignShards: groupSize is an implementation detail — identical layout at 1/7/256/4096") {
+    // the group decomposition of the distributed prefix sum must never
+    // leak into the assignment: any groupSize yields the same exact
+    // exclusive prefix, hence the same shard ids
+    val d = docs(TestSpark.sf0001)
+      .select(col("doc_id"),
+        expr("size(filter(split(text,' '), x -> x <> ''))").cast("long").as("ntok"))
+    def layout(gs: Long) = graft.operators.ShardPack
+      .assignShards(d, "ntok", targetTokens = 512L, groupSize = gs)
+      .select(col("doc_id"), col("shard_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = layout(4096L)
+    Seq(1L, 7L, 256L).foreach(gs =>
+      assert(layout(gs) == base, s"groupSize $gs changed the shard layout"))
+    // and the startTokens carry shifts every cum by exactly the offset
+    val shifted = graft.operators.ShardPack
+      .assignShards(d, "ntok", targetTokens = 512L, startTokens = 512L * 3)
+      .select(col("doc_id"), col("shard_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shifted == base.map { case (k, v) => k -> (v + 3) },
+      "a whole-shard carry must shift every assignment by exactly that many shards")
+  }
+
   test("continuous shard export: batched appendAssign == one-shot assignShards; out-of-order refuses") {
     val tdir = freshDir("shards-incr")
     val d = docs(TestSpark.sf0001)
