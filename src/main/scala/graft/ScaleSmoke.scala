@@ -415,17 +415,19 @@ object ScaleSmoke {
     // fixed broadcast, the point side is one scan + one cell-key hash
     // join probe + one partial agg per point.
     if (mode == "all" || mode == "fence") {
-      var base: Map[Int, (Long, Long)] = Map.empty
+      var base: Map[Int, Long] = Map.empty
       for (f <- Seq(1, 3, 10)) {
         val dir = if (f == 1) Base else scaledDir(spark, f)
         Tables.resetCaches()
         val (sec, rows) = time {
+          // only n_inside is clone-invariant under ×k (event ids are
+          // shifted per clone, so id-derived checksums cannot scale)
           val got = SparkEntry.queries("t30_geofence_join")(spark, dir)
-            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
           if (f == 1) base = got
-          else base.foreach { case (id, (n1, _)) =>
-            require(got(id)._1 == n1 * f,
-              s"x$f fence $id inside-count ${got(id)._1} != ${n1 * f}") }
+          else base.foreach { case (id, n1) =>
+            require(got(id) == n1 * f,
+              s"x$f fence $id inside-count ${got(id)} != ${n1 * f}") }
           got.size.toLong
         }
         report("geofence_join", s"x$f", sec, rows)

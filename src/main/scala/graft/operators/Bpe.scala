@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   *      (greedy scan as a left fold: merge the incoming symbol into the
   *      accumulator's last element iff (last, x) is an admitted pair),
   *      NO shuffle, no explode.
-  * Each round's vocabulary is an eager localCheckpoint and the previous
+  * Each round's vocabulary is an eager checkpoint (local by default;
+  * reliable when `sc.setCheckpointDir` is configured — see `train`) and the previous
   * round's frame is dereferenced (its blocks reclaimed by Spark's
   * ContextCleaner), so neither lineage nor storage stacks: at 100 TB the cost is one corpus token scan
   * plus ⌈K/M⌉ vocabulary-sized rounds — the vocabulary (distinct words)
@@ -70,15 +71,47 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Codepoint-class pretokenizer, Java-regex form: CJK unified ideographs
-    * (U+4E00–U+9FFF) as single codepoints, ASCII letter runs, digit runs.
-    * Anything else (spaces, punctuation) separates tokens and is dropped. */
-  val PretokenPattern: String = "[一-鿿]|[a-zA-Z]+|[0-9]+"
+  /** Codepoint-class pretokenizer — Unicode-general (round-12 directive
+    * #1). Five DISJOINT classes, first-match-wins is therefore order-free:
+    *
+    *   1. CJK ideographs as SINGLE codepoints: Extension A (U+3400–4DBF),
+    *      Unified (U+4E00–9FFF), Compatibility (U+F900–FAFF), and
+    *      Extension B (U+20000–2A6DF, supplementary plane) — Chinese has
+    *      no spaces; per-codepoint symbols are the only learnable unit.
+    *   2. Kana RUNS: Hiragana + Katakana (U+3040–30FF) and Katakana
+    *      Phonetic Extensions (U+31F0–31FF) — Japanese words are
+    *      multi-kana, so runs, not singles.
+    *   3. Hangul RUNS: Jamo (U+1100–11FF), Compatibility Jamo
+    *      (U+3130–318F), Syllables (U+AC00–D7AF).
+    *   4. Letter runs: ASCII A–Za–z, Latin-1 Supplement letters
+    *      (U+00C0–D6, D8–F6, F8–FF via the F8–2AF span), Latin
+    *      Extended-A/B + IPA (U+0100–02AF), COMBINING DIACRITICS
+    *      (U+0300–036F — so NFD "café" stays one word), Greek
+    *      (U+0386, 0388–03CE — skipping U+0387 ano teleia, a
+    *      sentence-punctuation mark), Cyrillic + Supplement
+    *      (U+0400–052F), Latin Extended Additional (U+1E00–1EFF,
+    *      Vietnamese), Greek Extended (U+1F00–1FFF, polytonic).
+    *   5. Digit runs: 0–9.
+    *
+    * Anything else (spaces, punctuation, unlisted scripts) separates
+    * tokens and is dropped. Written entirely with `\x{…}` hex escapes,
+    * which BOTH java.util.regex and RE2 (DuckDB) accept with identical
+    * semantics — so the Java and SQL forms are the SAME string and can
+    * never drift (verified char-for-char by OperatorsTest's
+    * multilingual fixture and the p34/p35 DuckDB oracles). */
+  val PretokenPattern: String =
+    "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2A6DF}]" +
+      "|[\\x{3040}-\\x{30FF}\\x{31F0}-\\x{31FF}]+" +
+      "|[\\x{1100}-\\x{11FF}\\x{3130}-\\x{318F}\\x{AC00}-\\x{D7AF}]+" +
+      "|[A-Za-z\\x{C0}-\\x{D6}\\x{D8}-\\x{F6}\\x{F8}-\\x{2AF}\\x{300}-\\x{36F}" +
+      "\\x{386}\\x{388}-\\x{3CE}\\x{400}-\\x{52F}\\x{1E00}-\\x{1EFF}\\x{1F00}-\\x{1FFF}]+" +
+      "|[0-9]+"
 
-  /** The SAME pretokenizer in RE2 (DuckDB) form — `\x{…}` escapes instead
-    * of source-level unicode escapes; semantics identical (the classes are
-    * disjoint, so even alternation-order rules can't diverge). */
-  val PretokenPatternSql: String = "[\\x{4E00}-\\x{9FFF}]|[a-zA-Z]+|[0-9]+"
+  /** The RE2 (DuckDB oracle) form — IDENTICAL to [[PretokenPattern]]:
+    * `\x{…}` escapes parse the same in both engines, so one definition
+    * serves both and equality is trivially provable. Kept as a separate
+    * name because oracle-SQL call sites splice it into SQL text. */
+  val PretokenPatternSql: String = PretokenPattern
 
   /** Memo of (merge table, post-merge segmented vocabulary) per (session,
     * dir-key, k, batchM): the merge table is a ≤K-row LOCAL frame; the
@@ -152,15 +185,26 @@ object Bpe {
     // initial symbols: the word's codepoints — regexp_extract_all('(?s).')
     // matches one codepoint per step (linear, surrogate-pair safe), unlike
     // per-index substring which rescans the prefix each step (O(len²)).
-    // Rounds chain on an eager localCheckpoint, not a bare persist: a
-    // persisted frame still carries its full logical plan, so by round ~20
-    // Catalyst re-analyzes a 20-deep nest of aggregate-fold plans and the
-    // driver stalls (measured: K=24 never completed). The checkpoint cuts
-    // the lineage to the materialized blocks — per-round plan cost stays
+    // Rounds chain on an eager CHECKPOINT, not a bare persist: a persisted
+    // frame still carries its full logical plan, so by round ~20 Catalyst
+    // re-analyzes a 20-deep nest of aggregate-fold plans and the driver
+    // stalls (measured: K=24 never completed). The checkpoint cuts the
+    // lineage to the materialized blocks — per-round plan cost stays
     // CONSTANT in the round number, which is what K=32k requires.
-    var syms = words.select(col("word"), col("freq"),
-        regexp_extract_all(col("word"), lit("(?s)."), lit(0)).as("syms"))
-      .localCheckpoint(true)
+    //
+    // DURABILITY (round-12 ADVICE): localCheckpoint blocks are
+    // EXECUTOR-LOCAL and the truncated lineage cannot recompute them — an
+    // executor loss mid-training fails the whole K-round job permanently.
+    // Fine on local[n] smoke runs; for a long-K run on a real cluster,
+    // set `sc.setCheckpointDir(...)` BEFORE training and rounds snapshot
+    // to reliable storage instead (recoverable across executor loss, at
+    // one distributed write per round). The choice is made per round off
+    // the session's checkpoint-dir config.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    var syms = snap(words.select(col("word"), col("freq"),
+      regexp_extract_all(col("word"), lit("(?s)."), lit(0)).as("syms")))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     var done = false
     while (out.size < k && !done) {
@@ -195,8 +239,8 @@ object Bpe {
                 array(concat(last, x))))
               .otherwise(concat(acc, array(x)))
           })
-        val next = syms.select(col("word"), col("freq"), mergeFold.as("syms"))
-          .localCheckpoint(true)
+        val next = snap(
+          syms.select(col("word"), col("freq"), mergeFold.as("syms")))
         val nSymbols = next.agg(sum(col("freq") * size(col("syms"))))
           .collect()(0).getLong(0) // bounded: one scalar
         // checkpointed blocks have no CacheManager entry — release the

@@ -63,12 +63,13 @@ def main():
         except Exception as e:
             if timer:
                 timer.cancel()
-            if timed_out[0]:
-                # the timer fired: whether or not ITS interrupt caused this
-                # exception, an interrupt may still be pending on `con`
-                # (e.g. a genuine SQL error raced the firing and the
-                # interrupt landed after) — absorb it so it can't abort the
-                # NEXT oracle (mirror of the success-path drain below)
+                # drain UNCONDITIONALLY (mirror of the success path): a
+                # genuine SQL error can race the timer firing — the
+                # timed_out check may read False an instant before fire()
+                # sets it, yet the interrupt still lands on `con` after
+                # cancel() fails to stop the in-flight callback. A stale
+                # pending interrupt would abort the NEXT oracle and
+                # misreport it as a FAIL.
                 try:
                     con.execute("SELECT 1").fetchall()
                 except Exception:

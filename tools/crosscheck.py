@@ -37,12 +37,21 @@ def main():
     # union of BOTH dumps: a query present in only one must surface as a
     # SKIP (counted, and fatal below), never silently vanish
     names = sorted(dump_names(a) | dump_names(b))
-    n_pass = n_fail = n_skip = 0
+    n_pass = n_fail = n_skip = n_warn = 0
     for name in names:
         if only and name not in only:
             continue
         fa = glob.glob(f"{a}/{name}/*.parquet")
         fb = glob.glob(f"{b}/{name}/*.parquet")
+        if not fa and not fb:
+            # declared (oracle_sql.json) but dumped by NEITHER side — a
+            # partial run over a query subset, not an asymmetry between
+            # the two partitionings. Warn, don't fail: both engines were
+            # given the same work and produced the same (empty) coverage.
+            print(f"WARN {name}: absent from both dumps (partial run?)",
+                  flush=True)
+            n_warn += 1
+            continue
         if not fa or not fb:
             print(f"SKIP {name}: missing dump ({len(fa)}/{len(fb)})", flush=True)
             n_skip += 1
@@ -63,11 +72,12 @@ def main():
         else:
             print(f"PASS {name} ({len(ra)} rows)", flush=True)
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip, {n_warn} warn ==")
     # zero comparisons (wrong paths, disjoint dumps) must read as FAILURE,
-    # and so must ANY skip: a query present in only one dump is a query
-    # that crashed or was dropped under one partitioning — exactly the
-    # determinism failure this gate exists to catch
+    # and so must any ASYMMETRIC skip: a query present in only one dump is
+    # a query that crashed or was dropped under one partitioning — exactly
+    # the determinism failure this gate exists to catch. A name absent
+    # from BOTH dumps (n_warn) is a partial run, not a divergence.
     sys.exit(1 if (n_fail or n_skip or n_pass == 0) else 0)
 
 
