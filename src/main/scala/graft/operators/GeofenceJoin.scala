@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared geofence-attribution builder (round-12 directive #2): points ×
+  * a polygon-fence TABLE, blocked by a bbox grid whose cell pitch is
+  * DERIVED from the fence extents — no fixture-tuned constants. One
+  * definition serves t30 (membership counts), t31 (dwell), and the
+  * streaming twin, which previously carried three hand-kept copies of a
+  * 4.0 × 20.0 pitch.
+  *
+  * Blocking invariant: pitch ≥ the widest fence bbox extent per axis, so
+  * every fence bbox overlaps at most 2 cells per axis (≤ 4 cells total)
+  * and explodes to a bounded broadcast side regardless of fence count.
+  * Each point maps to its ONE home cell (`floor(x / pitch)`); a point
+  * inside a fence's closed bbox satisfies minx ≤ x ≤ maxx, and since
+  * division by a positive pitch and floor are monotone,
+  * floor(minx/p) ≤ floor(x/p) ≤ floor(maxx/p) — the home cell is always
+  * among the fence's exploded cells. Blocking is therefore PRUNE-ONLY:
+  * membership comes solely from the exact edge-array ray-cast refine, and
+  * blocked ≡ unblocked for ANY positive pitch (property-tested with
+  * randomized fence extents). A qualifying (point, fence) pair meets in
+  * exactly one cell (the point has one), so multiplicities are exact
+  * without dedup.
+  *
+  * At 100 TB: the fence side is tiny (≤4 rows per fence) and BROADCAST;
+  * the point side never shuffles before the caller's per-fence partial
+  * aggregate; the refine is the codegen'd in-row fold — the
+  * geofence-attribution plan you'd run on a petabyte of telemetry.
+  */
+object GeofenceJoin {
+
+  /** Cell pitch per axis = the max fence bbox extent (one bounded 1-row
+    * aggregate over the fence table — fences are dimension-sized by
+    * assumption; this is the broadcast side). Degenerate extents (point
+    * or line fences) fall back to pitch 1.0 — any positive pitch is
+    * correct (see the prune-only invariant above), this one just keeps
+    * cell keys finite. */
+  def derivePitch(fences: DataFrame): (Double, Double) = {
+    val r = fences.agg(
+      max(col("maxx") - col("minx")), max(col("maxy") - col("miny"))).collect()(0)
+    require(!r.isNullAt(0), "geofence join: empty fence table")
+    def pos(v: Double) = if (v > 0.0 && !v.isInfinite) v else 1.0
+    (pos(r.getDouble(0)), pos(r.getDouble(1)))
+  }
+
+  /** The fence table exploded to its ≤4 covering grid cells, keyed
+    * (cx, cy) — the broadcast build side. `fences` must carry
+    * (fence_id, edges ARRAY<STRUCT<x1,y1,x2,y2>>, minx, maxx, miny, maxy). */
+  def fenceCells(fences: DataFrame, px: Double, py: Double): DataFrame =
+    fences
+      .withColumn("cx", explode(sequence(
+        floor(col("minx") / px).cast("long"), floor(col("maxx") / px).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor(col("miny") / py).cast("long"), floor(col("maxy") / py).cast("long"))))
+
+  /** Attribution join: every (point row, fence_id) with the point STRICTLY
+    * inside the fence polygon (odd ray-cast parity; the closed-bbox
+    * residual only prunes — an outside-bbox point always has even
+    * parity). Preserves every `points` column, appends `fence_id`.
+    * `points` may be a STREAMING frame — the fence side is static, the
+    * join is stream-static, and no state or watermark is needed. */
+  def attribute(points: DataFrame, fences: DataFrame): DataFrame = {
+    val (px, py) = derivePitch(fences)
+    points
+      .withColumn("pcx", floor(col("x") / px).cast("long"))
+      .withColumn("pcy", floor(col("y") / py).cast("long"))
+      .join(broadcast(fenceCells(fences, px, py)),
+        col("pcx") === col("cx") && col("pcy") === col("cy") &&
+        col("x") >= col("minx") && col("x") <= col("maxx") &&
+        col("y") >= col("miny") && col("y") <= col("maxy"))
+      .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
+        % 2 === 1)
+      .drop("pcx", "pcy", "cx", "cy", "minx", "maxx", "miny", "maxy", "edges")
+  }
+}

@@ -883,21 +883,19 @@ object Trajectories {
 
     // Polygon-RELATION spatial join (round-11 directive #1): points × a
     // geofence TABLE (geo.Fences — 100 non-convex pentagons), the t29
-    // predicate promoted to a join. Blocking is the DistanceJoinRule
-    // grid-cell idea adapted to bboxes: each fence explodes to the ≤4
-    // cells its bbox overlaps (4.0 × 20.0 cells ≥ the max fence extent),
-    // each point maps to its ONE home cell, and the pair space is a
-    // broadcast HASH equi-join on (cx, cy) — never point × fence. A
-    // qualifying (point, fence) meets in exactly one cell (the point has
-    // one), so multiplicities are exact without dedup; the closed-bbox
-    // residual only prunes (a point outside the closed bbox always has
-    // even parity). Refine = the exact edge-array ray-cast fold
-    // (Polygon.crossingsEdges, codegen'd, no explode). At 100 TB: the
-    // fence side is tiny and broadcast, the point side NEVER shuffles
-    // before the per-fence partial aggregate — the geofence-attribution
-    // plan. The oracle computes the UNBLOCKED point × edge crossing sums
-    // relationally from the same VALUES text, so the blocked join must
-    // land the exact per-fence point sets (plan-guarded: no cartesian).
+    // predicate promoted to a join via the shared
+    // operators.GeofenceJoin builder (round-12 directive #2): each fence
+    // explodes to the ≤4 grid cells its bbox overlaps — the cell pitch
+    // DERIVED from the fence-extent aggregate, not a constant — each
+    // point maps to its ONE home cell, and the pair space is a broadcast
+    // HASH equi-join on (cx, cy) — never point × fence. Blocking is
+    // prune-only (see GeofenceJoin's invariant), refine is the exact
+    // edge-array ray-cast fold (Polygon.crossingsEdges, codegen'd). At
+    // 100 TB: the fence side is tiny and broadcast, the point side NEVER
+    // shuffles before the per-fence partial aggregate. The oracle
+    // computes the UNBLOCKED point × edge crossing sums relationally from
+    // the same VALUES text, so the blocked join must land the exact
+    // per-fence point sets (plan-guarded: no cartesian).
     DeclaredQuery("t30_geofence_join",
       s"""WITH pts AS ${ptsViewS("purchase")},
          |fe AS (SELECT * FROM ${graft.geo.Fences.edgesSql}),
@@ -920,20 +918,8 @@ object Trajectories {
          |ORDER BY fence_id""".stripMargin) {
       (s, dir) =>
         val fences = s.createDataFrame(graft.geo.Fences.all)
-        val fenceCells = fences
-          .withColumn("cx", explode(sequence(
-            floor(col("minx") / 4.0).cast("long"), floor(col("maxx") / 4.0).cast("long"))))
-          .withColumn("cy", explode(sequence(
-            floor(col("miny") / 20.0).cast("long"), floor(col("maxy") / 20.0).cast("long"))))
-        val p = Tables.pts(s, dir)
-          .withColumn("pcx", floor(col("x") / 4.0).cast("long"))
-          .withColumn("pcy", floor(col("y") / 20.0).cast("long"))
-        val counts = p.join(broadcast(fenceCells),
-            col("pcx") === col("cx") && col("pcy") === col("cy") &&
-            col("x") >= col("minx") && col("x") <= col("maxx") &&
-            col("y") >= col("miny") && col("y") <= col("maxy"))
-          .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
-            % 2 === 1)
+        val counts = graft.operators.GeofenceJoin
+          .attribute(Tables.pts(s, dir), fences)
           .groupBy(col("fence_id"))
           .agg(count(lit(1)).as("n_inside"),
             countDistinct(col("user_id")).as("n_users"),
@@ -981,22 +967,10 @@ object Trajectories {
       (s, dir) =>
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
         val fences = s.createDataFrame(graft.geo.Fences.all)
-        val fenceCells = fences
-          .withColumn("cx", explode(sequence(
-            floor(col("minx") / 4.0).cast("long"), floor(col("maxx") / 4.0).cast("long"))))
-          .withColumn("cy", explode(sequence(
-            floor(col("miny") / 20.0).cast("long"), floor(col("maxy") / 20.0).cast("long"))))
         val pd = Tables.pts(s, dir)
           .select(col("user_id"), col("event_id"), col("x"), col("y"),
             coalesce(lead(col("ts_us"), 1).over(w) - col("ts_us"), lit(0L)).as("dt"))
-          .withColumn("pcx", floor(col("x") / 4.0).cast("long"))
-          .withColumn("pcy", floor(col("y") / 20.0).cast("long"))
-        val counts = pd.join(broadcast(fenceCells),
-            col("pcx") === col("cx") && col("pcy") === col("cy") &&
-            col("x") >= col("minx") && col("x") <= col("maxx") &&
-            col("y") >= col("miny") && col("y") <= col("maxy"))
-          .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
-            % 2 === 1)
+        val counts = graft.operators.GeofenceJoin.attribute(pd, fences)
           .groupBy(col("fence_id"))
           .agg(countDistinct(col("user_id")).as("n_users"),
             sum(col("dt")).as("dwell_us"))

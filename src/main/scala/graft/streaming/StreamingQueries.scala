@@ -295,20 +295,8 @@ object StreamingQueries {
     * state store — replay-order-independent by construction. */
   def streamGeofence(points: DataFrame): DataFrame = {
     val s = points.sparkSession
-    val fenceCells = s.createDataFrame(graft.geo.Fences.all)
-      .withColumn("cx", explode(sequence(
-        floor(col("minx") / 4.0).cast("long"), floor(col("maxx") / 4.0).cast("long"))))
-      .withColumn("cy", explode(sequence(
-        floor(col("miny") / 20.0).cast("long"), floor(col("maxy") / 20.0).cast("long"))))
-    points
-      .withColumn("pcx", floor(col("x") / 4.0).cast("long"))
-      .withColumn("pcy", floor(col("y") / 20.0).cast("long"))
-      .join(broadcast(fenceCells),
-        col("pcx") === col("cx") && col("pcy") === col("cy") &&
-        col("x") >= col("minx") && col("x") <= col("maxx") &&
-        col("y") >= col("miny") && col("y") <= col("maxy"))
-      .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
-        % 2 === 1)
+    graft.operators.GeofenceJoin
+      .attribute(points, s.createDataFrame(graft.geo.Fences.all))
       .select(col("fence_id"), col("user_id"), col("event_id"), col("dt_us"))
   }
 

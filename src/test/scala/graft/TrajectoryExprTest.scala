@@ -190,4 +190,49 @@ class TrajectoryExprTest extends AnyFunSuite {
       assert(drift == 0, s"fence ${f.fence_id}: crossingsEdges drifted from crossings")
     }
   }
+
+  test("GeofenceJoin: blocked == unblocked membership under RANDOMIZED fence extents") {
+    import graft.geo.Fences
+    // round-12 directive #2: the cell pitch is derived from the data, so
+    // arbitrary fence shapes/extents (wide, tall, tiny, overlapping) must
+    // give the exact same (point, fence) membership as the brute-force
+    // cross join — blocking is prune-only for ANY positive pitch
+    for (seed <- Seq(7, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val fences = (0 until 25).map { i =>
+        val cx = rnd.nextDouble() * 100 - 20   // anywhere, incl. negatives
+        val cy = rnd.nextDouble() * 300 - 50
+        val w = 0.25 + rnd.nextDouble() * 12   // extents vary ~50×
+        val h = 0.25 + rnd.nextDouble() * 40
+        val notchY = cy + h - 0.5 * h * rnd.nextDouble()
+        val verts = Seq((cx - w, cy - h), (cx + w, cy - h), (cx + w, cy + h),
+          (cx, notchY), (cx - w, cy + h))
+        val edges = verts.zip(verts.tail :+ verts.head)
+          .map { case ((a, b), (c, d)) => Fences.Edge(a, b, c, d) }
+        Fences.Fence(i, edges, cx - w, cx + w, cy - h, cy + h)
+      }
+      val fdf = spark.createDataFrame(fences)
+      val pts = (0 until 500).map(i =>
+        (i.toLong, rnd.nextDouble() * 140 - 40, rnd.nextDouble() * 400 - 100))
+      val pdf = pts.toDF("id", "x", "y")
+      val blocked = graft.operators.GeofenceJoin.attribute(pdf, fdf)
+        .select(col("id"), col("fence_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val brute = pdf.crossJoin(fdf)
+        .filter(graft.geo.Polygon.crossingsEdges(col("edges"), col("x"), col("y"))
+          % 2 === 1)
+        .select(col("id"), col("fence_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(blocked == brute,
+        s"seed $seed: blocked membership drifted (only-blocked=${blocked -- brute}, " +
+          s"only-brute=${brute -- blocked})")
+      assert(brute.nonEmpty, s"seed $seed: degenerate fixture — nothing inside")
+    }
+    // degenerate extents: a point fence must not break pitch derivation
+    val pointFence = Seq(Fences.Fence(0,
+      Seq(Fences.Edge(1.0, 1.0, 1.0, 1.0)), 1.0, 1.0, 1.0, 1.0))
+    val (px, py) = graft.operators.GeofenceJoin
+      .derivePitch(spark.createDataFrame(pointFence))
+    assert(px == 1.0 && py == 1.0)
+  }
 }
