@@ -287,18 +287,119 @@ object StreamingQueries {
     * event_id, dt_us) hit row per inside point in append mode; per-fence
     * counts (t30) and dwell sums (t31) aggregate downstream — the
     * equivalence test aggregates the sink and matches both batch queries
-    * exactly. `points` must carry (user_id, event_id, x, y, dt_us): the
-    * dwell weight is an UPSTREAM enrichment (a stateless stream cannot
-    * look ahead to the user's next point — in production the gap closes
-    * at the source or via a small keyed state; here the twin's contract
-    * is the attribution join, not the gap derivation). No watermark, no
-    * state store — replay-order-independent by construction. */
+    * exactly. `points` must carry (user_id, event_id, x, y, dt_us): this
+    * layer's contract is the attribution join alone — when the dwell gap
+    * is not enriched upstream, compose with [[streamDwellPoints]] (the
+    * keyed-state derivation) via [[streamGeofenceDwell]]. No watermark,
+    * no state store HERE — replay-order-independent by construction. */
   def streamGeofence(points: DataFrame): DataFrame = {
     val s = points.sparkSession
     graft.operators.GeofenceJoin
       .attribute(points, s.createDataFrame(graft.geo.Fences.all))
       .select(col("fence_id"), col("user_id"), col("event_id"), col("dt_us"))
   }
+
+  /** One dwell-enriched point: t31's `(point, dt)` row, derived IN-STREAM. */
+  final case class DwellPoint(user_id: Long, event_id: Long,
+                              x: Double, y: Double, dt_us: Long)
+  /** One buffered (not-yet-finalized) point of a user. */
+  final case class PendingPoint(ts_us: Long, event_id: Long,
+                                x: Double, y: Double)
+  /** Per-user dwell state: the event-time-sorted unfinalized tail. */
+  final case class DwellBuffer(pts: List[PendingPoint])
+
+  /** KEYED-STATE dwell derivation (round-12 directive #3): enrich each
+    * arriving point with the µs gap to its user's NEXT point — the t31
+    * window computed incrementally, closing the gap `streamGeofence`'s
+    * scaladoc conceded needed upstream enrichment.
+    *
+    * Exactness under out-of-order arrival: a point P finalizes only when
+    * its buffered successor S satisfies ts_S < watermark — past that, no
+    * admissible future row (all have ev_time ≥ watermark) can land in
+    * (ts_P, ts_S) or tie S at ts_S, so S is provably THE successor in
+    * (ts, event_id) order and P's dwell equals the batch lead-window gap.
+    * New rows merge into the user's sorted buffer, so arrival order never
+    * matters (late rows beyond the watermark delay are dropped by the
+    * watermark, as in every stateful op).
+    *
+    * The LAST point has no successor; batch t31 gives it dt = 0. An
+    * unbounded stream can't know "last", so `horizonUs` is the
+    * dwell-session horizon: when the watermark passes ts_last + horizon
+    * with no successor (event-time timeout), the point finalizes with
+    * dt = 0 — i.e. a gap longer than the horizon attributes NO dwell
+    * (the telemetry session-break convention). Replay ≡ batch exactly
+    * whenever every true per-user gap is under the horizon, which the
+    * equivalence test pins with a far-future sentinel.
+    *
+    * State is BOUNDED: the buffer holds only points newer than
+    * (watermark − delay) minus the one open tail point — emitted points
+    * leave the buffer immediately, so per-user state tracks the
+    * watermark lag, not the user's history (asserted in the test via the
+    * query's stateOperators progress).
+    *
+    * `points` must carry (user_id, event_id, x, y, ts_us, ev_time). */
+  def streamDwellPoints(points: DataFrame, watermarkDelay: String,
+                        horizonUs: Long): Dataset[DwellPoint] = {
+    val s = points.sparkSession
+    import s.implicits._
+    points
+      .withWatermark("ev_time", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("x"), col("y"),
+        col("ts_us"), col("ev_time"))
+      .as[(Long, Long, Double, Double, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DwellBuffer, DwellPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long,
+         it: Iterator[(Long, Long, Double, Double, Long, java.sql.Timestamp)],
+         state: GroupState[DwellBuffer]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // merge new rows (if any — a timeout invocation has none) into
+          // the sorted buffer; (ts, event_id) is the batch window's order
+          val merged = (state.getOption.map(_.pts).getOrElse(Nil) ++
+            it.map(r => PendingPoint(r._5, r._2, r._3, r._4)))
+            .sortBy(p => (p.ts_us, p.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DwellPoint]
+          var buf = merged
+          // drain every point whose successor is watermark-final
+          while (buf.lengthCompare(2) >= 0 && buf(1).ts_us < wmUs) {
+            val p = buf.head
+            out += DwellPoint(user, p.event_id, p.x, p.y,
+              buf(1).ts_us - p.ts_us)
+            buf = buf.tail
+          }
+          // horizon-final tail: no successor arrived within the horizon
+          if (buf.lengthCompare(1) == 0 && buf.head.ts_us + horizonUs < wmUs) {
+            val p = buf.head
+            out += DwellPoint(user, p.event_id, p.x, p.y, 0L)
+            buf = Nil
+          }
+          if (buf.isEmpty) state.remove()
+          else {
+            state.update(DwellBuffer(buf))
+            // wake when the head's finalize-at time passes: its successor's
+            // event time, or the horizon if it IS the open tail (strictly
+            // beyond the current watermark, as the API requires)
+            val finalizeAtUs =
+              if (buf.lengthCompare(2) >= 0) buf(1).ts_us
+              else buf.head.ts_us + horizonUs
+            state.setTimeoutTimestamp(
+              math.max(finalizeAtUs / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** t31's END-TO-END streaming twin: raw points (no upstream dt) →
+    * keyed-state dwell enrichment → the broadcast geofence attribution.
+    * Aggregating the emitted hit rows per fence reproduces batch t30's
+    * counts AND t31's dwell sums exactly once the watermark finalizes
+    * every point (StreamingEquivalenceTest). */
+  def streamGeofenceDwell(points: DataFrame, watermarkDelay: String,
+                          horizonUs: Long): DataFrame =
+    streamGeofence(
+      streamDwellPoints(points, watermarkDelay, horizonUs).toDF())
 
   /** Embeddings replay schema (fixed dim 64, float). */
   val embeddingsSchema: StructType = StructType(Seq(

@@ -1220,4 +1220,77 @@ class StreamingEquivalenceTest extends AnyFunSuite {
       assert(dw == t31(id), s"fence $id dwell drifted from batch t31")
     }
   }
+
+  test("t31 END-TO-END keyed-state streaming dwell == batch, out-of-order arrivals, bounded state") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    // round-12 directive #3: RAW points (no upstream dt enrichment) →
+    // flatMapGroupsWithState gap derivation → geofence attribution. The
+    // batches are event-time SHUFFLED (seeded), so successors routinely
+    // arrive in a different micro-batch than their point — exactness must
+    // come from the watermark-final successor rule, not arrival order.
+    val dir0 = TestSpark.sf0001
+    val raw = Tables.pts(spark, dir0)
+      .select($"user_id", $"event_id", $"x", $"y", $"ts_us")
+    val rows = new scala.util.Random(13).shuffle(
+      raw.collect().toSeq)                       // arrival order ⊥ event time
+    val maxTs = rows.map(_.getLong(4)).max
+    val horizonUs = 40L * 86400000000L           // 40 days ≫ any fixture gap
+    // sentinel: one far-future point of a SYNTHETIC user advances the
+    // watermark past every real ts + horizon, firing the tail timeouts
+    val sentinel = org.apache.spark.sql.Row(
+      -1L, -1L, -1e9, -1e9, maxTs + 100L * 86400000000L)
+    val n = rows.length
+    val sdir = Files.createTempDirectory("graft-dwell-stream")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("x", DoubleType),
+      StructField("y", DoubleType), StructField("ts_us", LongType)))
+    val slices = (0 until 4).map(b =>
+      rows.slice(b * n / 4, (b + 1) * n / 4)) :+ Seq(sentinel)
+    slices.zipWithIndex.foreach { case (slice, b) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(slice, 1), schema)
+      val tmp2 = Files.createTempDirectory("graft-dwell-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+      val part = Files.list(tmp2).filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, sdir.resolve(f"batch$b%02d.parquet"))
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(sdir.toString)
+      .withColumn("ev_time", timestamp_micros($"ts_us"))
+    // watermark delay ≥ the whole domain: the shuffled batches put ANY
+    // event time in ANY batch, so nothing may be dropped as late
+    val q = StreamingQueries.streamGeofenceDwell(
+        stream, watermarkDelay = "50 days", horizonUs = horizonUs)
+      .writeStream.format("memory").queryName("s_dwell_e2e")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val agg = spark.table("s_dwell_e2e").filter($"user_id" >= 0)
+      .groupBy($"fence_id")
+      .agg(count(lit(1)).as("n_inside"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"event_id" % 10007).as("ck"),
+        sum($"dt_us").as("dwell_us"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val t30 = SparkEntry.queries("t30_geofence_join")(spark, dir0).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val t31 = SparkEntry.queries("t31_geofence_dwell")(spark, dir0).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(agg.keySet == t30.filter(_._2._1 > 0).keySet,
+      "sink fences must be exactly the populated fences")
+    assert(agg.nonEmpty)
+    agg.foreach { case (id, (nIn, nU, ck, dw)) =>
+      assert((nIn, nU, ck) == t30(id), s"fence $id counts drifted from batch t30")
+      assert(dw == t31(id), s"fence $id dwell drifted from batch t31")
+    }
+    // STATE-SIZE BOUND: after the sentinel batch the watermark passed
+    // every real ts + horizon, so every real user's buffer is emptied and
+    // removed — remaining state is at most the sentinel user's open point
+    val lastState = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatten.lastOption.map(_.numRowsTotal)
+    assert(lastState.exists(_ <= 1),
+      s"keyed dwell state must drain to ≤1 rows at the end, got $lastState")
+  }
 }
