@@ -71,10 +71,12 @@ class StaticChecksTest extends AnyFunSuite {
     // — ScaleSmoke's fence-mode 100-row per-fence count collect, a
     // diagnostic main asserting the ×k exactness invariant — and
     // ShardPack.appendAssign's two 1-row collects (the table token-carry
-    // aggregate and the batch min-doc_id append-order guard).
+    // aggregate and the batch min-doc_id append-order guard) — and
+    // GeofenceJoin.derivePitch's 1-row fence-extent aggregate (the cell
+    // pitch of the broadcast-side blocking grid).
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 37, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 38, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }
