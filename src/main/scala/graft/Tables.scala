@@ -171,6 +171,27 @@ object Tables {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Per-(doc, bigram) term frequency — the n=2 posting frame of the
+    * bigram language-model family (p21 surprisal + p25 argmax), memoized +
+    * persisted like [[docTermFreq]] so the shingle explode and its
+    * (doc, w1, w2) aggregation run once per session. Kept as two word
+    * columns (never a concatenated string): the consumers join/group on
+    * the pair directly, so no concat on the build side and no re-split on
+    * the read side (guide §2.3 — shuffle narrower rows). Documents shorter
+    * than 2 tokens yield no rows (same as the shingle form). */
+  def docBigramTf(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, "docBigramTf")) {
+      table(spark, sfDir, "documents")
+        .select(col("doc_id"), expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> named_struct('w1', ts[i], 'w2', ts[i + 1]))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Cache the frequently-scanned fact tables in memory — called by Bench
     * (one scan instead of ~40 across the declared set). At cluster scale the
     * analog is a shared InMemoryRelation / warmed storage layer, not a

@@ -4,30 +4,34 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed per-group top-k. A single `row_number() OVER (PARTITION BY
-  * group ORDER BY ...)` pulls EVERY row of a group through one reducer —
-  * fine for bounded groups, a scale-killer when one group spans the whole
-  * table (e.g. "candidates per query"). `topKPerGroup` runs two bounded
-  * passes instead: local top-k per (group, bucket) — B reducers per group —
-  * then top-k over the ≤ B·k survivors per group. The global top-k is a
-  * subset of the union of bucket top-ks, so results are exactly the
-  * single-window answer; `order` must be a TOTAL order (include a
-  * tiebreaker) for determinism.
+/** Distributed per-group top-k.
+  *
+  * One `row_number() OVER (PARTITION BY group ORDER BY ...)` with an
+  * adjacent `<= k` filter: Spark 4 plans this as `WindowGroupLimit`
+  * (SPARK-37099) — a bounded per-partition top-k heap runs in Partial mode
+  * BEFORE the exchange, so each map task ships at most k rows per group and
+  * the reducer for a group receives ≤ k·(map partitions) rows, never the
+  * group's full candidate set. That is exactly the bound the pre-Spark-4
+  * hand-rolled two-stage (salt into B buckets, top-k per bucket, top-k over
+  * B·k survivors) provided — with one fewer shuffle and three fewer sorts
+  * (measured on t21's 2.25M-row mirror frame: 3.3–4.2 s two-stage vs
+  * 1.7–2.0 s single window, same session — OPTIMIZATION_r13.md).
+  *
+  * `order` must be a TOTAL order (include a tiebreaker) for determinism.
+  * The plan shape is guarded by ExplainPlanTest ("WindowGroupLimit
+  * pushdown": Partial + Final nodes both present, no full sort of losers).
+  *
+  * `bucketKey`/`buckets` are retained for signature stability at the 20
+  * call sites; the salt stage they once parameterized is subsumed by
+  * WindowGroupLimit's Partial mode.
   */
 object Rank {
 
   def topKPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column], k: Int,
                    bucketKey: Column, rankCol: String = "_rk",
                    buckets: Int = 0): DataFrame = {
-    val b = if (buckets > 0) buckets
-      else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
-    val w1 = Window.partitionBy(group :+ col("_gb"): _*).orderBy(order: _*)
-    val w2 = Window.partitionBy(group: _*).orderBy(order: _*)
-    df.withColumn("_gb", pmod(hash(bucketKey), lit(b)))
-      .withColumn("_lr", row_number().over(w1))
-      .filter(col("_lr") <= k)
-      .withColumn(rankCol, row_number().over(w2))
+    val w = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= k)
-      .drop("_gb", "_lr")
   }
 }

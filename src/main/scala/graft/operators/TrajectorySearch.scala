@@ -183,7 +183,7 @@ object TrajectorySearch {
                        seedFactor: Int = 3,
                        cacheKey: Option[String] = None): DataFrame = {
     val ta = ensureBoxes(ta0)
-    val st = trajStats(ta)
+    val st = trajStatsCached(ta, cacheKey)
     if (allPairsUseTiled(st, broadcastCap(ta.sparkSession)))
       StrPartition.allPairsTopKStr(ta, k, metric, seedFactor = seedFactor,
         cacheKey = cacheKey)
@@ -302,6 +302,21 @@ object TrajectorySearch {
     TrajStats(r.getLong(0), r.getDouble(1))
   }
 
+  /** [[trajStats]] memoized per (session, caller key) — same contract as
+    * [[clusterStatMemo]]: a deterministic stat of an immutable-per-session
+    * table, so a warm session answering repeated Auto dispatches must not
+    * re-pay its aggregation job each call (measured 0.7–1.2 s per call on
+    * the bench box; guide §1.2 — don't compute things you throw away). */
+  private val trajStatsMemo =
+    new graft.util.Memo[(SparkSession, String), TrajStats]()(_ => ())
+
+  private[graft] def trajStatsCached(ta: DataFrame, cacheKey: Option[String]): TrajStats =
+    cacheKey match {
+      case Some(key) =>
+        trajStatsMemo.getOrElseUpdate((ta.sparkSession, key))(trajStats(ta))
+      case None => trajStats(ta)
+    }
+
   /** Data-driven regime choice for [[knnJoin]] (the reference's O11 bound
     * seeding made a measured decision, not a flag): brute only when the
     * kernel is cheap (short trajectories, [[BruteMaxMedianPoints]] —
@@ -373,7 +388,10 @@ object TrajectorySearch {
   private val clusterStatMemo =
     new graft.util.Memo[(SparkSession, String), Double]()(_ => ())
 
-  private[graft] def clearStatMemo(): Unit = clusterStatMemo.clear()
+  private[graft] def clearStatMemo(): Unit = {
+    clusterStatMemo.clear()
+    trajStatsMemo.clear()
+  }
 
   /** Full `Auto` dispatch, in measured order of dominance:
     *  1. past [[TiledFlatKnee]] users, Tiled unconditionally — it beats
@@ -431,7 +449,7 @@ object TrajectorySearch {
       case KnnPath.Seeded => batchPrunedOf(ta, ta, k, metric, seedFactor)
       case KnnPath.Tiled => StrPartition.knnJoinStr(ta, k, metric, seedFactor = seedFactor)
       case _ =>
-        val st = trajStats(ta)
+        val st = trajStatsCached(ta, cacheKey)
         val cap = broadcastCap(ta.sparkSession)
         val chosen =
           if (path == KnnPath.Brute) KnnPath.Brute

@@ -607,12 +607,19 @@ object JsonDocs {
         |FROM dots d JOIN nrm x ON d.l1 = x.label JOIN nrm y ON d.l2 = y.label
         |ORDER BY l1, l2""".stripMargin) {
       (s, dir) =>
+        // r13 (guide §2.4/§5): `sums` feeds FOUR consumers (both sides of
+        // the pos join and both norm lookups) and the planner re-ran the
+        // full scan+posexplode+agg subtree for each. It is labels×64 rows —
+        // tiny — so materialize it once via localCheckpoint; the four
+        // consumers now read the checkpointed rows (4 embedding scans → 1,
+        // plan-checked in plans/r13/v6_*_after.txt).
         val sums = Tables.table(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
           .groupBy(col("label"), col("pos"))
           .agg(sum(floor(col("xf").cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("sv"))
           .select(col("label"), col("pos"), col("sv"),
             col("sv").cast("decimal(38,0)").as("svd"))
+          .localCheckpoint()
         val nrm = sums.groupBy(col("label"))
           .agg(sum(col("svd") * col("sv")).cast("double").as("n2"))
         val a = sums.select(col("label").as("l1"), col("pos"), col("svd").as("sv1"))

@@ -357,10 +357,17 @@ object Relational {
         val o = Tables.table(s, dir, "orders")
         val sup = Tables.table(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))
+        // r13 (guide §2.4 — share one exchange): hash the joined frame by
+        // l_orderkey ONCE; hashpartitioning(l_orderkey) satisfies both the
+        // (l_orderkey, l_suppkey) grouping (subset key co-locates the
+        // pairs) and the per-order window below, so the window's own
+        // exchange of the aggregated frame disappears (2 exchanges → 1 on
+        // the fact path; plan-guarded).
         val flagged = l.join(o, l("l_orderkey") === o("o_orderkey"))
           .select(col("l_orderkey"), col("l_suppkey"),
             (l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"))
               .cast("int").as("late"))
+          .repartition(col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(max(col("late")).as("is_late"))
         // per-order counts as an UNORDERED window over the same frame — a

@@ -174,7 +174,11 @@ object TextPipeline {
           .agg(count(lit(1)).as("cnt"))
         val docTok = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
           .agg(count(lit(1)).as("occ"))
-        val scores = docTok.join(freq, col("tok") === col("ftok"))
+        // r13 (guide §3.1): freq is vocabulary×lang-sized (a derived frame,
+        // so the planner has no size estimate and was shuffling BOTH sides
+        // by tok) — broadcast it and the doc-token side never shuffles
+        // before its (doc, lang, cand) score aggregation.
+        val scores = docTok.join(broadcast(freq), col("tok") === col("ftok"))
           .groupBy(col("doc_id"), col("lang"), col("cand"))
           .agg(sum(col("occ") * col("cnt")).as("score"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
@@ -622,18 +626,20 @@ object TextPipeline {
         |FROM tf JOIN lp ON tf.bg = lp.bg
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) {
       (s, dir) =>
-        val tf = graft.operators.Decontaminate.wordShingles(
-            Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 2)
-          .groupBy(col("doc_id"), col("shingle").as("bg"))
-          .agg(count(lit(1)).as("tf"))
-        val c2 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
-        val c1 = c2.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
-          .agg(sum(col("c2")).as("c1"))
-        val lp = c2.join(c1, split(col("bg"), " ").getItem(0) === col("w1"))
-          .select(col("bg"),
+        // r13: the (doc, w1, w2, tf) posting frame is the memoized
+        // Tables.docBigramTf shared with p25 (the docTermFreq pattern at
+        // n=2) — one shingle explode + aggregation per session instead of
+        // one per query, and the model keys on the word PAIR directly, so
+        // no bigram-string concat on the build side and no re-split in the
+        // c1 marginal (identical integer counts; oracle unchanged).
+        val tf = Tables.docBigramTf(s, dir)
+        val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val lp = c2.join(broadcast(c1), "w1")
+          .select(col("w1"), col("w2"),
             floor(log(col("c2").cast("double") / col("c1")) * lit(1e6) + lit(0.5))
               .cast("long").as("lp_micro"))
-        tf.join(broadcast(lp), "bg")
+        tf.join(broadcast(lp), Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).as("n_bigrams"),
             sum(col("tf") * col("lp_micro")).as("slp"))
@@ -702,8 +708,18 @@ object TextPipeline {
         |SELECT t1, t2, n_docs, pmi_micro
         |FROM pmi ORDER BY pmi_micro DESC, t1, t2 LIMIT 50""".stripMargin) {
       (s, dir) =>
+        // r13 (guide §2.4 — share one exchange): hash the token rows by
+        // doc_id ONCE; hashpartitioning(doc_id) satisfies the (doc_id, tok)
+        // distinct (subset key) AND both sides of the doc_id self-join (the
+        // second side plans as a ReusedExchange of the first), so the whole
+        // pair enumeration rides a single shuffle. Before: the distinct's
+        // (doc_id, tok) exchange plus a separate doc_id exchange per join
+        // side. A/B'd in one session against an in-row collect_set pair
+        // explode too — the interpreted HOF lost to this codegen join
+        // (OPTIMIZATION_r13.md).
         val dt = Tables.docTokens(s, dir)
-          .select(col("doc_id"), col("tok")).distinct()
+          .select(col("doc_id"), col("tok"))
+          .repartition(col("doc_id")).distinct()
         val nd = dt.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
         val c1 = dt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
         val a = dt.select(col("doc_id"), col("tok").as("t1"))
@@ -775,12 +791,12 @@ object TextPipeline {
         |FROM top1 t JOIN c1 ON t.w1 = c1.w1
         |ORDER BY c1.c1 DESC, t.w1 LIMIT 10""".stripMargin) {
       (s, dir) =>
-        val c2 = graft.operators.Decontaminate.wordShingles(
-            Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 2)
-          .select(split(col("shingle"), " ").getItem(0).as("w1"),
-            split(col("shingle"), " ").getItem(1).as("w2"))
+        // r13: re-aggregate the shared Tables.docBigramTf posting frame
+        // (Σ per-doc tf ≡ the raw bigram count — exact integers, oracle
+        // unchanged) instead of a second full shingle explode of the corpus.
+        val c2 = Tables.docBigramTf(s, dir)
           .groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("tf")).as("c"))
         val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
           .withColumnRenamed("w1", "k1")
         val wTop = Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))

@@ -448,21 +448,27 @@ object Trajectories {
          |GROUP BY o.gx0, o.gy0, d.gx1, d.gy1
          |ORDER BY n_flows DESC, gx0, gy0, gx1, gy1 LIMIT 30""".stripMargin) {
       (s, dir) =>
+        // ONE aggregation pass instead of two window ranks + a self-join
+        // (guide §2.4 — remove shuffles outright): first/last point per
+        // (user, day) are min_by/max_by over the tie-free (ts_us, event_id)
+        // struct order — DeclarativeAggregates with map-side partials, so
+        // the plan is scan → partial agg → ONE exchange → final agg →
+        // cell rollup; the r13-before plan paid the same exchange plus two
+        // full window sorts and a sort-merge self-join of the ranked frame.
+        // min_by/max_by over a struct compare lexicographically, and
+        // (ts_us, event_id) is unique per user, so the picked points are
+        // exactly the ra=1/rd=1 rows of the window form (oracle unchanged).
         val p = Tables.pts(s, dir, "purchase")
           .withColumn("day", expr("(ts_us - 1704067200000000) DIV 86400000000"))
-        val wk = Window.partitionBy(col("user_id"), col("day"))
-        val wAsc = wk.orderBy(col("ts_us"), col("event_id"))
-        val wDesc = wk.orderBy(col("ts_us").desc, col("event_id").desc)
-        val w = p.select(col("user_id"), col("day"), col("x"), col("y"),
-          row_number().over(wAsc).as("ra"), row_number().over(wDesc).as("rd"))
-        def cell(f: String) = Seq(
-          floor(col("x") / 5).cast("long").as(s"gx$f"),
-          floor(col("y") / 20).cast("long").as(s"gy$f"))
-        val o = w.filter(col("ra") === 1)
-          .select(Seq(col("user_id").as("uo"), col("day").as("do_")) ++ cell("0"): _*)
-        val d = w.filter(col("rd") === 1)
-          .select(Seq(col("user_id").as("ud"), col("day").as("dd")) ++ cell("1"): _*)
-        o.join(d, col("uo") === col("ud") && col("do_") === col("dd"))
+        val ord = struct(col("ts_us"), col("event_id"))
+        val od = p.groupBy(col("user_id"), col("day"))
+          .agg(min_by(struct(col("x"), col("y")), ord).as("o"),
+            max_by(struct(col("x"), col("y")), ord).as("d"))
+        od.select(
+            floor(col("o.x") / 5).cast("long").as("gx0"),
+            floor(col("o.y") / 20).cast("long").as("gy0"),
+            floor(col("d.x") / 5).cast("long").as("gx1"),
+            floor(col("d.y") / 20).cast("long").as("gy1"))
           .groupBy(col("gx0"), col("gy0"), col("gx1"), col("gy1"))
           .agg(count(lit(1)).as("n_flows"))
           .orderBy(col("n_flows").desc, col("gx0"), col("gy0"), col("gx1"), col("gy1"))

@@ -503,9 +503,14 @@ object StreamingQueries {
              |       ELSE acc END)""".stripMargin)): _*).as("m2"))
     val g = corpusGroups.select(col("lang").as("lang1"), col("mask").as("m1"),
       col("c").as("c1"), col("docs").as("docs1"))
+    // popcount intersection unrolled over the statically-known word count —
+    // whole-stage codegen instead of an interpreted zip_with/aggregate
+    // lambda per (row × corpus group) (the DocSimilarity.maskInterCol fix;
+    // measured 7.4× on the batch twin's cold pair build)
     masked.join(broadcast(g), col("lang") === col("lang1"))
-      .withColumn("i",
-        expr("CAST(aggregate(zip_with(m1, m2, (a, b) -> bit_count(a & b)), 0, (acc, x) -> acc + x) AS BIGINT)"))
+      .withColumn("i", (0 until nWords)
+        .map(w => expr(s"bit_count(m1[$w] & m2[$w])"))
+        .reduce(_ + _).cast("long"))
       .withColumn("u", col("c1") + col("c2") - col("i"))
       .filter(lit(5) * col("i") >= lit(3) * col("u"))
       .select(explode(col("docs1")).as("old_id"), col("doc_id").as("new_id"),
