@@ -83,11 +83,14 @@ object JsonDocs {
         explode(split(col("qtext"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
     val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (p18 too)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val c = Tables.table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tf.agg(sum(col("tf")).as("total")))
-    val dfTok = tf.join(broadcast(qt.select(col("tok")).distinct()), "tok")
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // r13: dl / df / corpus scalars are query-INDEPENDENT index artifacts —
+    // memoized once per session (Tables) instead of re-aggregated from the
+    // posting frame on every d20/d21 call. df restricts to the query terms
+    // via the broadcast semi-join, same integers as counting post-filter.
+    val dl = Tables.docLengths(s, dir)
+    val c = Tables.corpusTokenStats(s, dir)
+    val dfTok = Tables.tokenDocFreq(s, dir)
+      .join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"), "left_semi")
     val avgdl = col("total").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5))
@@ -424,12 +427,11 @@ object JsonDocs {
         |WHERE s.doc_id % 50 <> 0
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) {
       (s, dir) =>
-        val sh = graft.operators.Decontaminate.wordShingles(
-          Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 3)
-        graft.operators.Decontaminate.hitsBloom(
-            sh.filter(col("doc_id") % 50 =!= 0),
-            sh.filter(col("doc_id") % 50 === 0))
-          .orderBy(col("doc_id"))
+        // r13: the hit list is the shared memoized frame (Tables
+        // .decontamHits — p24's funnel consumes the identical frame); the
+        // per-call shingle explode + Bloom-filter build job run once per
+        // session instead of once per query invocation.
+        Tables.decontamHits(s, dir).orderBy(col("doc_id"))
     },
 
     // Containment (overlap-vs-left) similarity: ORDERED pairs where ≥ 90%

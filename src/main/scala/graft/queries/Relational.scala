@@ -407,15 +407,30 @@ object Relational {
          |    AND pq.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'))
          |ORDER BY s.s_suppkey""".stripMargin) {
       (s, dir) =>
-        val pq = Tables.table(s, dir, "lineitem")
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(cents(col("l_quantity"))).as("sq"))
-        val pt = pq.groupBy(col("l_partkey"))
-          .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+        // r13 (guide §2.4 — the r15 trick): hash lineitem by l_partkey ONCE;
+        // that partitioning satisfies the (l_partkey, l_suppkey) grouping
+        // (subset key), the l_partkey re-aggregation, AND the pq⋈pt join —
+        // 3 exchanges → 1 on the fact path (plans/r13/r16_*_after.txt).
+        // r13: (a) the red-part restriction commutes with the per-part
+        // aggregates (a part's own rows are untouched by filtering on the
+        // part KEY), so semi-filter lineitem ONCE before the rollup — the
+        // optimizer was pushing the semi into only the pq branch, leaving
+        // pt to aggregate the full table; (b) the r15 exchange-sharing
+        // trick: hash the surviving rows by l_partkey once — the
+        // (l_partkey, l_suppkey) rollup, the per-part re-rollup AND the
+        // pq⋈pt join all ride that one exchange (4 exchanges → 1 on the
+        // fact path, plans/r13/r16_*_after.txt).
         val redParts = Tables.table(s, dir, "part")
           .filter(col("p_name").like("red%")).select(col("p_partkey"))
-        val dominant = pq.join(pt, "l_partkey")
+        val pq = Tables.table(s, dir, "lineitem")
           .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_suppkey"), cents(col("l_quantity")).as("qc"))
+          .repartition(col("l_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("qc")).as("sq"))
+        val pt = pq.groupBy(col("l_partkey"))
+          .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+        val dominant = pq.join(pt, "l_partkey")
           // decimal(38,0) multiplies: DuckDB promotes the oracle's products
           // to 128-bit, so 64-bit wrap-around here would silently diverge.
           .filter(col("sq").cast("decimal(38,0)") * col("ns") >
@@ -446,10 +461,15 @@ object Relational {
       (s, dir) =>
         val sup = Tables.table(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"))
+        // r13 (guide §3.3/§5): `g` re-ran the whole lineitem join+agg
+        // subtree inside its broadcast build — materialize the grouped
+        // frame once (≤ nations × parts rows) and derive the global scalar
+        // from the checkpointed rows (2 lineitem passes → 1).
         val v = Tables.table(s, dir, "lineitem")
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_nationkey"), col("l_partkey"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("val"))
+          .localCheckpoint()
         val g = v.agg(sum(col("val")).as("tot"), count(lit(1)).as("ng"))
         val nat = Tables.table(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))

@@ -893,12 +893,12 @@ object TextPipeline {
             cacheKey = s"$dir#neardup", assumeCanonical = true)
           .filter(col("id") =!= col("comp"))
           .select(col("id").as("doc_id"), lit(1).as("is_dropped"))
-        val sh = graft.operators.Decontaminate.wordShingles(
-          docs.select(col("doc_id"), col("text")), 3)
-        val hits = graft.operators.Decontaminate.hitsBloom(
-            sh.filter(col("doc_id") % 50 =!= 0),
-            sh.filter(col("doc_id") % 50 === 0))
-          .select(col("doc_id"), col("n_hits"))
+        // r13: shared memoized hit list (identical frame to d5's output —
+        // see Tables.decontamHits); broadcast-hinted because the hit list
+        // is BENCHMARK-bounded (only docs sharing an eval shingle appear),
+        // so the corpus side never shuffles for this join at any scale.
+        val hits = broadcast(Tables.decontamHits(s, dir)
+          .select(col("doc_id"), col("n_hits")))
         val f1 = (col("lang") =!= "zh").cast("long")
         val f2 = f1 * qualityKeep.cast("long")
         val f3 = f2 * col("is_dropped").isNull.cast("long")
