@@ -595,6 +595,10 @@ object Relational {
             col("l_shipdate") < expr("TIMESTAMP '1998-04-01 00:00:00'"))
           .groupBy(col("l_suppkey"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("r"))
+          // r13: materialize the ≤|suppliers|-row frame once — the max
+          // scalar's broadcast build re-ran the whole filtered lineitem
+          // aggregation (the r17 pattern; 2 fact passes → 1)
+          .localCheckpoint()
         val mx = rev.agg(max(col("r")).as("m"))
         rev.crossJoin(broadcast(mx))
           .filter(col("r") === col("m"))
@@ -635,6 +639,10 @@ object Relational {
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy(col("l_partkey"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("v"))
+          // r13: materialize the ≤|parts|-row frame once — the total
+          // scalar's broadcast build re-ran the semi-joined lineitem
+          // aggregation (the r17 pattern; 2 fact passes → 1)
+          .localCheckpoint()
         val tot = valF.agg(sum(col("v")).as("t"))
         valF.crossJoin(broadcast(tot))
           .filter(col("v").cast("decimal(38,0)") * lit(1000) >

@@ -512,9 +512,12 @@ object TextPipeline {
         |ORDER BY score DESC, tf.doc_id, tf.tok LIMIT 20""".stripMargin) {
       (s, dir) =>
         val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (d20 too)
-        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // r13: df is the memoized IDF sidecar (Tables.tokenDocFreq, shared
+        // with d20/d21) and vocabulary-sized — broadcast it so the posting
+        // frame never shuffles for this join
+        val df = Tables.tokenDocFreq(s, dir)
         val n = Tables.table(s, dir, "documents").select(count(lit(1)).as("n"))
-        tf.join(df, "tok")
+        tf.join(broadcast(df), "tok")
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("tok"),
             round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("score"))

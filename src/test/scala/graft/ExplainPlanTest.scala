@@ -219,10 +219,16 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("r21: supplier reduction reaches lineitem as a broadcast semi join") {
+  test("r21: the fact pass runs once — final plan reads the checkpointed per-part frame") {
+    // r13: the semi-joined lineitem aggregation is localCheckpoint'd at
+    // build (its own plan carries the broadcast LeftSemi the pre-r13 guard
+    // pinned); the global-total broadcast must consume the checkpointed
+    // rows, never re-scan lineitem (plans/r13/r21_*_{before,after}.txt:
+    // 2 scans → 0, 3 exchanges → 1).
     val p = plan("r21_important_parts")
-    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("lineitem.parquet"),
+      "lineitem must not be re-scanned by the final plan\n" + p)
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")), p)
   }
 
   test("e10: day rollup consumes the reduced hourly frame (two agg levels, one exchange chain)") {
