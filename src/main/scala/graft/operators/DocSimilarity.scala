@@ -326,7 +326,9 @@ object DocSimilarity {
     * integers to the inverted-index form, so results hash-match exactly. */
   def maskPairs(toks: DataFrame, vocabTokens: Array[String], num: Int, den: Int): DataFrame = {
     val nWords = math.max(1, (vocabTokens.length + 63) / 64)
-    val groups = maskGroups(toks, vocabTokens)
+    // r13: the group frame feeds three consumers (both join sides + the
+    // identical-set branch) — materialize the ≤|docs|-row frame once
+    val groups = maskGroups(toks, vocabTokens).localCheckpoint()
     val g1 = groups.select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
     val g2 = groups.select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
     // m1 < m2 dedups unordered group pairs; the length prune and the
@@ -504,8 +506,10 @@ object DocSimilarity {
           s"bit_or(CASE WHEN tid DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), tid % 64) ELSE CAST(0 AS BIGINT) END)")): _*
         ).as("mask"),
         count(lit(1)).as("c"))
+    // r13: three consumers of the group frame (see maskPairs) — one build
     val groups = sets.groupBy(col("mask"), col("lang"), col("c"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .localCheckpoint()
 
     val g1 = groups.select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
     val g2 = groups.select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
