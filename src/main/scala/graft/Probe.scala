@@ -116,6 +116,17 @@ object Probe {
           time(s"p23 pair core ONE-EXCHANGE join #$i")(
             oneExForm.write.format("noop").mode("overwrite").save())
         }
+      case "t30" =>
+        // derivePitch memo: the 2nd call arrives on a FRESH createDataFrame
+        // frame — a hit proves semanticHash canonicalizes the two identically
+        val f1 = spark.createDataFrame(graft.geo.Fences.all)
+        val f2 = spark.createDataFrame(graft.geo.Fences.all)
+        time("derivePitch #1 (cold)")(operators.GeofenceJoin.derivePitch(f1))
+        time("derivePitch #2 (fresh frame)")(operators.GeofenceJoin.derivePitch(f2))
+        for (i <- 1 to 3) {
+          time(s"t30 full count #$i")(SparkEntry.queries("t30_geofence_join")(spark, sfDir).count())
+          time(s"t31 full count #$i")(SparkEntry.queries("t31_geofence_dwell")(spark, sfDir).count())
+        }
       case name =>
         for (i <- 1 to 3)
           time(s"$name full count #$i")(SparkEntry.queries(name)(spark, sfDir).count())

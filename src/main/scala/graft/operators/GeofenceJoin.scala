@@ -36,14 +36,28 @@ object GeofenceJoin {
     * assumption; this is the broadcast side). Degenerate extents (point
     * or line fences) fall back to pitch 1.0 — any positive pitch is
     * correct (see the prune-only invariant above), this one just keeps
-    * cell keys finite. */
+    * cell keys finite.
+    *
+    * Memoized per (session, fence-frame semantic hash) — the trajStatsCached
+    * contract: a deterministic stat of a frame that is immutable for the
+    * session, so repeated t30/t31/streamGeofence calls must not re-pay the
+    * 1-row aggregate JOB each call (it cost t30 ~2x in the round-13 driver
+    * bench). A semantic-hash collision would only swap in another table's
+    * pitch, which stays CORRECT by the prune-only invariant — blocking
+    * granularity is the only thing at stake. */
   def derivePitch(fences: DataFrame): (Double, Double) = {
-    val r = fences.agg(
-      max(col("maxx") - col("minx")), max(col("maxy") - col("miny"))).collect()(0)
-    require(!r.isNullAt(0), "geofence join: empty fence table")
-    def pos(v: Double) = if (v > 0.0 && !v.isInfinite) v else 1.0
-    (pos(r.getDouble(0)), pos(r.getDouble(1)))
+    val key = (fences.sparkSession, fences.queryExecution.analyzed.semanticHash())
+    pitchMemo.getOrElseUpdate(key) {
+      val r = fences.agg(
+        max(col("maxx") - col("minx")), max(col("maxy") - col("miny"))).collect()(0)
+      require(!r.isNullAt(0), "geofence join: empty fence table")
+      def pos(v: Double) = if (v > 0.0 && !v.isInfinite) v else 1.0
+      (pos(r.getDouble(0)), pos(r.getDouble(1)))
+    }
   }
+
+  private val pitchMemo =
+    new graft.util.Memo[(org.apache.spark.sql.SparkSession, Int), (Double, Double)]()(_ => ())
 
   /** The fence table exploded to its ≤4 covering grid cells, keyed
     * (cx, cy) — the broadcast build side. `fences` must carry

@@ -235,4 +235,33 @@ class TrajectoryExprTest extends AnyFunSuite {
       .derivePitch(spark.createDataFrame(pointFence))
     assert(px == 1.0 && py == 1.0)
   }
+
+  test("GeofenceJoin.derivePitch: memoized per fence table — a fresh frame with " +
+      "the same data runs NO job, a different table gets its own pitch") {
+    import graft.geo.Fences
+    def fence(id: Int, w: Double, h: Double) = Fences.Fence(id,
+      Seq(Fences.Edge(0.0, 0.0, w, 0.0)), 0.0, w, 0.0, h)
+    val tblA = Seq(fence(0, 4.0, 2.0), fence(1, 1.0, 1.0))
+    val tblB = Seq(fence(0, 9.0, 7.0))
+    val p1 = graft.operators.GeofenceJoin.derivePitch(spark.createDataFrame(tblA))
+    // Count jobs around the second call: the memo (keyed on the analyzed
+    // plan's semantic hash) must recognize a FRESH createDataFrame of the
+    // same rows — the round-13 t30 regression was exactly this 1-row
+    // aggregate job re-running per query call.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val p2 = graft.operators.GeofenceJoin.derivePitch(spark.createDataFrame(tblA))
+      assert(p2 == p1 && p1 == (4.0, 2.0))
+      Thread.sleep(1500) // listener bus is async — let any job event land
+      assert(jobs == 0, s"memo miss: derivePitch re-ran its aggregate ($jobs jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // distinct fence data must NOT share a memo entry
+    val pB = graft.operators.GeofenceJoin.derivePitch(spark.createDataFrame(tblB))
+    assert(pB == (9.0, 7.0), s"cross-table memo bleed: got $pB")
+  }
 }
