@@ -202,8 +202,7 @@ object ScaleSmoke {
         graft.operators.Rank.topKPerGroup(
           Sketches.minhashCrossCandidates(spark, corpus, batch, None, k, b,
             collisions = true),
-          Seq(col("new_id")), Seq(col("nb").desc, col("old_id").asc), 16,
-          col("old_id")).count())
+          Seq(col("new_id")), Seq(col("nb").desc, col("old_id").asc), 16).count())
       report(s"mhdbg_ranked_k${k}b$b", s"x$f", rSec, rRows)
       val (gSec, gRows) = time(
         Sketches.minhashCrossGate(spark, corpus, batch, toks, None, k, b).count())

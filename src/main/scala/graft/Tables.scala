@@ -216,6 +216,19 @@ object Tables {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** [[docTermFreq]] widened with the per-doc length — the BM25 scoring
+    * fact frame (r14): a search index stores dl beside its postings
+    * precisely so the scorer reads ONE frame; joining docLengths per
+    * d20/d21 call re-ran a corpus-sized join + its broadcast build job
+    * every invocation. Query-independent, memoized + persisted like its
+    * two inputs (which it is derived from, one pass each). */
+  def bm25Postings(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, "bm25Postings")) {
+      docTermFreq(spark, sfDir)
+        .join(docLengths(spark, sfDir), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** One-row corpus stats frame (n_docs, total token occurrences) — the
     * BM25 normalization scalars, memoized + persisted (query-independent;
     * d20/d21 re-aggregated documents AND the posting frame per call). */
@@ -225,6 +238,19 @@ object Tables {
         .crossJoin(docTermFreq(spark, sfDir).agg(sum(col("tf")).as("total")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** Measured vocabulary size = rows of [[tokenDocFreq]] — one cheap count
+    * over the persisted sidecar, memoized per (session, dir). Gates the
+    * vocabulary-frame broadcast HINTS (p3/p18, round-13 ADVICE): a corpus
+    * vocabulary is unbounded, and a hint past the planner's guard is a
+    * forced driver OOM, not a plan — so the hint applies only while the
+    * measured size fits the broadcast cap; past it the join falls back to
+    * the planner/AQE. */
+  private val vocabSizeMemo =
+    new graft.util.Memo[(SparkSession, String), Long]()(_ => ())
+  def vocabSize(spark: SparkSession, sfDir: String): Long =
+    vocabSizeMemo.getOrElseUpdate((spark, sfDir))(
+      tokenDocFreq(spark, sfDir).count())
 
   /** Benchmark-decontamination hit list (doc_id, n_hits) under the
     * fixture's declared split (benchmark = doc_id % 50 == 0, 3-gram

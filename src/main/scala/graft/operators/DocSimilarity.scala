@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
+import graft.util.Snap.Ops
 
 /** Exact token-set (Jaccard) near-duplicate detection over `documents`
   * (SURVEY d3/d3b; LLM-pipeline dedup surface).
@@ -52,6 +53,19 @@ object DocSimilarity {
       val toks = distinctTokens(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       Cached(jaccardPairs(toks, 3, 5).persist(StorageLevel.MEMORY_AND_DISK),
         deps = Seq(toks))
+    }.result
+
+  /** [[jaccardPairs]] memoized + persisted per (session, caller key) — for
+    * a token frame that is itself a build-once artifact (p8's shingle
+    * table): the vocabulary probe, the mask-group build and the pair join
+    * are deterministic functions of the artifact, so a warm session must
+    * not re-pay them on every call (exactly [[nearDupPairs]]' contract,
+    * keyed by the caller's artifact id instead of the corpus dir).
+    * Session-scoped only — nothing persists across JVMs. */
+  def jaccardPairsCached(toks: DataFrame, num: Int, den: Int,
+                         cacheKey: String): DataFrame =
+    memo.getOrElseUpdate((toks.sparkSession, s"$cacheKey#jaccard:$num:$den")) {
+      Cached(jaccardPairs(toks, num, den).persist(StorageLevel.MEMORY_AND_DISK))
     }.result
 
   /** All ordered same-lang containment pairs at 10·|∩| ≥ 9·|S(d1)| —
@@ -237,6 +251,28 @@ object DocSimilarity {
   private def lengthPrune(num: Int, den: Int): org.apache.spark.sql.Column =
     lit(den) * least(col("c1"), col("c2")) >= lit(num) * greatest(col("c1"), col("c2"))
 
+  /** Size-band boundaries for ratio r = den/num, in EXACT integer
+    * arithmetic: T_k = ceil(den^k / num^k) for k ≥ 1, up to [[MaxMaskVocab]]
+    * (a mask-strategy set can never be larger). `band(c) = #{k : T_k ≤ c}`
+    * is exactly `floor(log_r c)`, so a pair passing [[lengthPrune]]
+    * (max/min ≤ r) has band difference ≤ 1 — banding one join side and
+    * exploding the other to {b−1, b, b+1} is a prune-only equi-key
+    * (guide §2.5/§3.2). MEASURED AND NOT SHIPPED (r14, Probe `d12ab`): on
+    * the mask-strategy corpus set sizes concentrate near the vocabulary
+    * size, the band key cut the enumerated group pairs only 11% and the
+    * explode overhead made each pass ~20% slower — the flat lang-keyed join
+    * with the prune as residual wins. Kept for the probe and for a corpus
+    * whose set sizes actually spread. */
+  private[graft] def bandThresholds(num: Int, den: Int): Seq[Long] = {
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var dpow = BigInt(den); var npow = BigInt(num)
+    var t = (dpow + npow - 1) / npow
+    while (t <= MaxMaskVocab) {
+      bs += t.toLong; dpow *= den; npow *= num; t = (dpow + npow - 1) / npow
+    }
+    bs.toSeq
+  }
+
   /** The popcount join at GROUP level — callers supply the two sides'
     * mask-group frames (fresh, memoized, or loaded from an IndexStore
     * artifact; both must be built under the same sorted vocabulary) plus
@@ -244,10 +280,19 @@ object DocSimilarity {
     * codegen arithmetic. */
   def crossMaskGroupsJoin(groupsA: DataFrame, groupsB: DataFrame,
                           num: Int, den: Int, nWords: Int): DataFrame = {
+    // A memoized/IndexStore mask artifact built under a DIFFERENT vocabulary
+    // width would make the unrolled element_at read nulls and silently drop
+    // pairs — fail loudly instead (one size() compare per group row).
+    def checkedMask(side: String) =
+      when(size(col("mask")) === nWords, col("mask")).otherwise(raise_error(
+        concat(lit(s"mask word-count mismatch ($side side): expected $nWords, got "),
+          size(col("mask")).cast("string"))))
     val gA = groupsA
-      .select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
+      .select(col("lang"), checkedMask("A").as("m1"), col("c").as("c1"),
+        col("docs").as("docs1"))
     val gB = groupsB
-      .select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
+      .select(col("lang").as("lang2"), checkedMask("B").as("m2"), col("c").as("c2"),
+        col("docs").as("docs2"))
     gA.join(gB, col("lang") === col("lang2") && lengthPrune(num, den))
       .withColumn("i", maskInterCol(nWords))
       .withColumn("u", col("c1") + col("c2") - col("i"))
@@ -328,11 +373,16 @@ object DocSimilarity {
     val nWords = math.max(1, (vocabTokens.length + 63) / 64)
     // r13: the group frame feeds three consumers (both join sides + the
     // identical-set branch) — materialize the ≤|docs|-row frame once
-    val groups = maskGroups(toks, vocabTokens).localCheckpoint()
+    val groups = graft.util.Snap(maskGroups(toks, vocabTokens))
     val g1 = groups.select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
     val g2 = groups.select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))
     // m1 < m2 dedups unordered group pairs; the length prune and the
-    // unrolled popcount are the codegen hot path (see maskInterCol)
+    // unrolled popcount are the codegen hot path (see maskInterCol).
+    // NOT banded: turning the prune into a size-band equi-key (see
+    // bandThresholds / Probe d12ab) enumerated only 11% fewer group pairs
+    // on the measured corpus (set sizes concentrate near the vocab size)
+    // and ran ~20% SLOWER per pass — the explode+wider-key overhead beats
+    // the cut; flat + residual prune is the measured winner (r14 A/B).
     val cross = g1.join(g2,
         col("lang") === col("lang2") && col("m1") < col("m2") && lengthPrune(num, den))
       .withColumn("i", maskInterCol(nWords))
@@ -509,7 +559,7 @@ object DocSimilarity {
     // r13: three consumers of the group frame (see maskPairs) — one build
     val groups = sets.groupBy(col("mask"), col("lang"), col("c"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .localCheckpoint()
+      .snap()
 
     val g1 = groups.select(col("lang"), col("mask").as("m1"), col("c").as("c1"), col("docs").as("docs1"))
     val g2 = groups.select(col("lang").as("lang2"), col("mask").as("m2"), col("c").as("c2"), col("docs").as("docs2"))

@@ -19,17 +19,16 @@ import org.apache.spark.sql.functions._
   *
   * `order` must be a TOTAL order (include a tiebreaker) for determinism.
   * The plan shape is guarded by ExplainPlanTest ("WindowGroupLimit
-  * pushdown": Partial + Final nodes both present, no full sort of losers).
-  *
-  * `bucketKey`/`buckets` are retained for signature stability at the 20
-  * call sites; the salt stage they once parameterized is subsumed by
-  * WindowGroupLimit's Partial mode.
+  * pushdown": Partial + Final nodes both present, no full sort of losers);
+  * OperatorsTest pins the results against a brute-force per-group sort.
+  * (The r13 `bucketKey`/`buckets` compatibility parameters — dead since the
+  * salt stage they parameterized was subsumed by WindowGroupLimit — were
+  * dropped in r14.)
   */
 object Rank {
 
   def topKPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column], k: Int,
-                   bucketKey: Column, rankCol: String = "_rk",
-                   buckets: Int = 0): DataFrame = {
+                   rankCol: String = "_rk"): DataFrame = {
     val w = Window.partitionBy(group: _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= k)

@@ -312,7 +312,7 @@ object Sketches {
     val cand =
       if (maxVerifyPerDoc == Int.MaxValue) candAll.drop("nb")
       else Rank.topKPerGroup(candAll, Seq(col("new_id")),
-        Seq(col("nb").desc, col("old_id").asc), maxVerifyPerDoc, col("old_id"))
+        Seq(col("nb").desc, col("old_id").asc), maxVerifyPerDoc)
         .select(col("old_id"), col("new_id"), col("lang"))
     // exact verification over candidate PAIRS only. Token work is
     // semi-restricted to CANDIDATE docs first — the semi joins push below
@@ -1125,7 +1125,7 @@ object Sketches {
     // per-query candidates are an nprobe/nlist fraction of the table — still
     // unbounded at scale, so the final pick is the two-stage top-k
     Rank.topKPerGroup(cands, Seq(col("q_id")),
-        Seq(col("cos_sim").desc, col("vec_id")), k, bucketKey = col("vec_id"))
+        Seq(col("cos_sim").desc, col("vec_id")), k)
       .select(col("q_id"), col("vec_id"), col("cos_sim"))
       .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Snap.Ops
 
 /** Reference O8 — STR (Sort-Tile-Recursive) spatial partitioning — carried
   * into the dataflow engine as a PRE-FILTER on the all-pairs trajectory
@@ -129,7 +130,7 @@ object StrPartition {
         col("tile"), col("boxes"), col("mnx"), col("mxx"), col("mny"), col("mxy"))
       else tiledFrame(ta, nx, ny))
       .repartition(s.sparkContext.defaultParallelism, col("user_id"))
-      .localCheckpoint()
+      .snap()
 
     // bounded tile summaries: union MBR + member count per tile
     val tiles = taT.groupBy(col("tile"))
@@ -279,7 +280,7 @@ object StrPartition {
         col("tile"), col("boxes"), col("mnx"), col("mxx"), col("mny"), col("mxy"))
       else tiledFrame(ta, nx, ny))
       .repartition(s.sparkContext.defaultParallelism, col("user_id"))
-      .localCheckpoint()
+      .snap()
 
     // bounded tile summaries: union MBR + member count per occupied tile
     val tiles = taT.groupBy(col("tile"))
@@ -312,7 +313,7 @@ object StrPartition {
       .select(col("q_user"), col("user_id"),
         TrajectorySearch.slicedBoxLb("qboxes", "boxes").as("lb"))
     val seeds = Rank.topKPerGroup(withinLb, Seq(col("q_user")),
-        Seq(col("lb"), col("user_id")), seedFactor * k, bucketKey = col("user_id"))
+        Seq(col("lb"), col("user_id")), seedFactor * k)
       .select(col("q_user"), col("user_id"))
 
     // 2. per-query threshold r_q = k-th smallest exact seed distance
@@ -323,7 +324,7 @@ object StrPartition {
       .withColumn("srn", row_number().over(wSeed))
       .filter(col("srn") <= k)
       .groupBy(col("q_user")).agg(max(col("dist")).as("r"))
-      .localCheckpoint() // consumed by the tile-radius collect AND the refine
+      .snap() // consumed by the tile-radius collect AND the refine
 
     // 3. tile radii + surviving directed tile pairs (driver arithmetic over
     // <= (nx*ny)^2 bounded summaries)
@@ -423,7 +424,7 @@ object StrPartition {
           .join(hinted(qFat, scan.hintFat), "q_user")
           .select(col("q_user"), col("user_id"), refine.as("dist"))
         Rank.topKPerGroup(refined, Seq(col("q_user")),
-            Seq(col("dist"), col("user_id")), k, bucketKey = col("user_id"))
+            Seq(col("dist"), col("user_id")), k)
           .select(col("q_user"), col("user_id"), col("dist"))
           .orderBy(col("q_user"), col("dist"), col("user_id"))
     }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.MetricUdfs
+import graft.util.Snap.Ops
 
 /** Reference O15 — the flagship query of the DFT system: given a query
   * trajectory, return the k most similar trajectories under Hausdorff or
@@ -137,7 +138,7 @@ object TrajectorySearch {
     // ONE pair scan: the 24-byte (u1, u2, lb) rows are materialized via
     // localCheckpoint and serve both the seed TakeOrdered and the refine
     // filter (the executor-storage copy is GC-cleaned with the plan).
-    val lbs = allPairsLbOf(ta, st).localCheckpoint()
+    val lbs = graft.util.Snap(allPairsLbOf(ta, st))
 
     val seeds = withArrays(
       lbs.orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k))
@@ -209,8 +210,7 @@ object TrajectorySearch {
         round(fn(col("xs"), col("ys"), col("qxs"), col("qys")), 6).as("dist"))
     // two-stage top-k: a query's candidate set is the whole table — never
     // pull it through one reducer (Rank.topKPerGroup)
-    Rank.topKPerGroup(dists, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k,
-        bucketKey = col("user_id"))
+    Rank.topKPerGroup(dists, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k)
       .select(col("q_user"), col("user_id"), col("dist"))
       .orderBy(col("q_user"), col("dist"), col("user_id"))
   }
@@ -467,7 +467,15 @@ object TrajectorySearch {
   private def bruteKnnJoin(ta: DataFrame, k: Int, metric: String,
                            hintBroadcast: Boolean): DataFrame = {
     val fn = metricCol(metric, ta.sparkSession)
+    // explicit fan-out of the STREAMED side (the allPairsLbOf rule): the
+    // per-user array table is physically a FEW small partitions (AQE
+    // coalesces its build shuffle), so without this the entire |users|²/2
+    // kernel scan runs in ONE task — measured 1 partition / one 1.5 s
+    // serial task at sf0.1; fanned, the same scan is ~34 parallel tasks
+    // (r14 A/B in Probe t21ab/t21). The shuffle moved is the slim array
+    // table itself, once.
     val a = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
+      .repartition(ta.sparkSession.sparkContext.defaultParallelism, col("u1"))
     val b0 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
     val b = if (hintBroadcast) broadcast(b0) else b0
     // one kernel evaluation per unordered pair; the 24-byte (u1, u2, d)
@@ -475,12 +483,11 @@ object TrajectorySearch {
     val half = a.join(b, col("u1") < col("u2"))
       .select(col("u1"), col("u2"),
         round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("dist"))
-      .localCheckpoint()
+      .snap()
     val sym = half.unionAll(
         half.select(col("u2").as("u1"), col("u1").as("u2"), col("dist")))
       .select(col("u1").as("q_user"), col("u2").as("user_id"), col("dist"))
-    Rank.topKPerGroup(sym, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k,
-        bucketKey = col("user_id"))
+    Rank.topKPerGroup(sym, Seq(col("q_user")), Seq(col("dist"), col("user_id")), k)
       .select(col("q_user"), col("user_id"), col("dist"))
       .orderBy(col("q_user"), col("dist"), col("user_id"))
   }
@@ -524,7 +531,7 @@ object TrajectorySearch {
     // the whole table, so the best-bound pick must not be a single-reducer
     // window (Rank.topKPerGroup)
     val seeds = Rank.topKPerGroup(lbs, Seq(col("q_user")),
-        Seq(col("lb"), col("user_id")), seedFactor * k, bucketKey = col("user_id"))
+        Seq(col("lb"), col("user_id")), seedFactor * k)
       .select(col("q_user"), col("user_id"))
 
     // per-query threshold r_q = k-th smallest exact seed distance (or the
@@ -546,7 +553,7 @@ object TrajectorySearch {
     // survivors per query are bound-pruned but can still be large at scale —
     // final top-k is the same two-stage selection
     Rank.topKPerGroup(refined, Seq(col("q_user")),
-        Seq(col("dist"), col("user_id")), k, bucketKey = col("user_id"))
+        Seq(col("dist"), col("user_id")), k)
       .select(col("q_user"), col("user_id"), col("dist"))
       .orderBy(col("q_user"), col("dist"), col("user_id"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{DeclaredQuery, Tables}
 import graft.Fns._
+import graft.util.Snap.Ops
 
 /** JSON / array / vector / text queries (SURVEY §2.5): the LLM-pipeline
   * surface. Vector math uses Catalyst higher-order functions (codegen'd
@@ -72,41 +73,70 @@ object JsonDocs {
       |agg AS (SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
       |        FROM sc GROUP BY query_id, doc_id)""".stripMargin
 
+  /** Per-(query, term) BM25 constants — (query_id, tok, idf, avgdl), at
+    * most |query terms| rows — collected ONCE per (session, dir) and
+    * replayed as a LocalRelation (r14, guide §1.2/§3.1): the per-call form
+    * ran ~4 broadcast-build JOBS per d20/d21 invocation (qt, the df
+    * semi-join, the 1-row stats frame, plus the dl join's build) to move a
+    * dozen rows. idf and avgdl are computed by the SAME Spark expressions
+    * as before, just staged — identical doubles, oracle hash unchanged.
+    * Bounded driver collect: ≤ |query terms| rows (see StaticChecksTest
+    * allowlist). */
+  private val bm25ConstsMemo =
+    new graft.util.Memo[(org.apache.spark.sql.SparkSession, String),
+      Seq[(Int, String, Double, Double)]]()(_ => ())
+
+  private def bm25QueryConsts(s: org.apache.spark.sql.SparkSession,
+                              dir: String): Seq[(Int, String, Double, Double)] =
+    bm25ConstsMemo.getOrElseUpdate((s, dir)) {
+      val q = s.createDataFrame(bm25QuerySet).toDF("query_id", "qtext")
+      val qt = q.select(col("query_id"),
+          explode(split(col("qtext"), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val avgdl = col("total").cast("double") / col("n_docs").cast("double")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      qt.join(Tables.tokenDocFreq(s, dir), "tok") // inner: absent terms score 0 rows
+        .crossJoin(Tables.corpusTokenStats(s, dir))
+        .select(col("query_id"), col("tok"), idf.as("idf"), avgdl.as("avgdl"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
+    }
+
   /** Per-(query,doc) BM25 scores (Robertson/Okapi, k1=1.2 b=0.75) in exact
     * integer micro-units — the Spark half shared by d20/d21. Scale shape
-    * (see d20's declaration): corpus work = the memoized token scan; query
-    * terms broadcast; df/idf frames query-term-sized. */
+    * (see d20's declaration): corpus work = ONE pass over the memoized
+    * posting+dl frame ([[Tables.bm25Postings]]); the query side is the
+    * per-session constants LocalRelation (broadcast without a job). */
   private def bm25Micro(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame = {
-    val q = s.createDataFrame(bm25QuerySet).toDF("query_id", "qtext")
-    val qt = q.select(col("query_id"),
-        explode(split(col("qtext"), " ")).as("tok"))
-      .filter(col("tok") =!= "").distinct()
-    val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (p18 too)
-    // r13: dl / df / corpus scalars are query-INDEPENDENT index artifacts —
-    // memoized once per session (Tables) instead of re-aggregated from the
-    // posting frame on every d20/d21 call. df restricts to the query terms
-    // via the broadcast semi-join, same integers as counting post-filter.
-    val dl = Tables.docLengths(s, dir)
-    val c = Tables.corpusTokenStats(s, dir)
-    val dfTok = Tables.tokenDocFreq(s, dir)
-      .join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"), "left_semi")
-    val avgdl = col("total").cast("double") / col("n_docs").cast("double")
-    val idf = log(lit(1.0) +
-      ((col("n_docs") - col("df")).cast("double") + lit(0.5))
-        / (col("df").cast("double") + lit(0.5)))
+    val qc = s.createDataFrame(bm25QueryConsts(s, dir))
+      .toDF("query_id", "tok", "idf", "avgdl")
     val sat = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    tf.join(broadcast(qt), "tok")
-      .join(broadcast(dfTok), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(c))
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    Tables.bm25Postings(s, dir)
+      .join(broadcast(qc), "tok")
       .select(col("query_id"), col("doc_id"),
-        floor(idf * sat * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
+        floor(col("idf") * sat * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s_micro")).as("bm25_micro"))
   }
+
+  /** v6's checkpoint-BUILD frame (pre-snap), exposed so the plan guard can
+    * assert the build's own shape (map-side partial aggregation before the
+    * label/pos exchange) — the final v6 plan only shows `Scan ExistingRDD`
+    * and would hide a lost partial agg (round-13 ADVICE). */
+  private[graft] def v6SumsBuild(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("xf").cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("sv"))
+      .select(col("label"), col("pos"), col("sv"),
+        col("sv").cast("decimal(38,0)").as("svd"))
 
   /** Build-once versioned-table fixture for d16: snapshot v0 = the corpus
     * roster's documents (range-laid-out on doc_id so manifest stats carry
@@ -614,14 +644,9 @@ object JsonDocs {
         // full scan+posexplode+agg subtree for each. It is labels×64 rows —
         // tiny — so materialize it once via localCheckpoint; the four
         // consumers now read the checkpointed rows (4 embedding scans → 1,
-        // plan-checked in plans/r13/v6_*_after.txt).
-        val sums = Tables.table(s, dir, "embeddings")
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .groupBy(col("label"), col("pos"))
-          .agg(sum(floor(col("xf").cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("sv"))
-          .select(col("label"), col("pos"), col("sv"),
-            col("sv").cast("decimal(38,0)").as("svd"))
-          .localCheckpoint()
+        // plan-checked in plans/r13/v6_*_after.txt). The BUILD frame is
+        // exposed (v6SumsBuild) so ExplainPlanTest pins its own shape.
+        val sums = v6SumsBuild(s, dir).snap()
         val nrm = sums.groupBy(col("label"))
           .agg(sum(col("svd") * col("sv")).cast("double").as("n2"))
         val a = sums.select(col("label").as("l1"), col("pos"), col("svd").as("sv1"))
@@ -1034,7 +1059,7 @@ object JsonDocs {
         val agg = bm25Micro(s, dir)
         graft.operators.Rank.topKPerGroup(agg, Seq(col("query_id")),
             Seq(col("bm25_micro").desc, col("doc_id")), 5,
-            bucketKey = col("doc_id"), rankCol = "rk")
+            rankCol = "rk")
           .select(col("query_id"), col("rk"), col("doc_id"), col("bm25_micro"))
           .orderBy(col("query_id"), col("rk"))
     },
@@ -1086,22 +1111,31 @@ object JsonDocs {
         graft.functions.FloatDotProduct.register(s)
         val lexr = graft.operators.Rank.topKPerGroup(bm25Micro(s, dir),
             Seq(col("query_id")), Seq(col("bm25_micro").desc, col("doc_id")), 20,
-            bucketKey = col("doc_id"), rankCol = "rk")
+            rankCol = "rk")
           .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
         val em = Tables.table(s, dir, "embeddings")
+        // r14: stage the norms — the interpreted `aggregate` HOF norm ran
+        // per JOINED row (|corpus|·|q| times); computing each side's norm in
+        // a projection BEFORE the join evaluates it once per corpus row /
+        // once per query row. Same doubles, same product, same quotient —
+        // the IEEE tree is merely staged, so the oracle hash is unchanged.
         val qv = em.filter(col("vec_id").isin(0L, 1L, 2L))
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            sqrt(expr(sq.format("embedding"))).as("qn"))
         // ranking key in exact fixed-point (floor(x·10⁶+0.5): same IEEE
         // expression tree in both engines — ROUND(x,6) is NOT that; see
         // w9's round-11 boundary finding)
-        val den = em.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        val den = em
+          .select(col("vec_id"), col("embedding"),
+            sqrt(expr(sq.format("embedding"))).as("dn"))
+          .join(broadcast(qv), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("doc_id"),
             floor(expr("graft_dot(q_emb, embedding)") /
-              (sqrt(expr(sq.format("q_emb"))) * sqrt(expr(sq.format("embedding"))))
+              (col("qn") * col("dn"))
               * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"))
         val denr = graft.operators.Rank.topKPerGroup(den, Seq(col("query_id")),
             Seq(col("cos_micro").desc, col("doc_id")), 20,
-            bucketKey = col("doc_id"), rankCol = "rk")
+            rankCol = "rk")
           .select(col("query_id"), col("doc_id"), col("rk").as("rk_den"))
         def rrf(rk: org.apache.spark.sql.Column) =
           coalesce(floor(lit(1000000.0) / (lit(60) + rk)).cast("long"), lit(0L))
@@ -1110,7 +1144,7 @@ object JsonDocs {
             (rrf(col("rk_lex")) + rrf(col("rk_den"))).as("rrf_micro"))
         graft.operators.Rank.topKPerGroup(fus, Seq(col("query_id")),
             Seq(col("rrf_micro").desc, col("doc_id")), 10,
-            bucketKey = col("doc_id"), rankCol = "rk")
+            rankCol = "rk")
           .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_micro"))
           .orderBy(col("query_id"), col("rk"))
     },

@@ -372,8 +372,11 @@ object PipelineExtras {
         // 3-gram shingles, so the multi-word bitmap join wins (popcount over
         // 6 longs per pair, no token-level join); a big-vocab corpus routes
         // to the prefix-filtered inverted index instead (both exact-equal to
-        // the inverted index — OperatorsTest)
-        graft.operators.DocSimilarity.jaccardPairs(shingles, 1, 2)
+        // the inverted index — OperatorsTest). The pair frame is memoized
+        // per session (r14): vocab probe + group build are deterministic
+        // functions of the build-once shingle artifact.
+        graft.operators.DocSimilarity
+          .jaccardPairsCached(shingles, 1, 2, s"$dir#shingles3_doc500")
           .orderBy(col("jaccard").desc, col("d1"), col("d2"))
           .limit(50)
     },

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{DeclaredQuery, Tables}
 import graft.Fns._
+import graft.util.Snap.Ops
 
 /** Relational core r1–r9 (SURVEY §2.2): scans, filters, multi-way joins,
   * hash aggregation, rollup/cube, distinct aggregation, range-residual outer
@@ -12,6 +13,24 @@ import graft.Fns._
   * optimizer + AQE so plans keep improving as stats change with scale.
   */
 object Relational {
+
+  /** r21's checkpoint-BUILD frame (pre-snap): the semi-joined lineitem
+    * per-part aggregation. Exposed so ExplainPlanTest can pin the build's
+    * own shape — broadcast LeftSemi into lineitem, partial aggregation
+    * before the partkey exchange — which the final `Scan ExistingRDD` plan
+    * hides (round-13 ADVICE). */
+  private[graft] def r21ValFBuild(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    val supp = Tables.table(s, dir, "supplier")
+      .join(broadcast(Tables.table(s, dir, "nation")
+        .filter(col("n_regionkey") === 2).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    Tables.table(s, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("v"))
+  }
 
   val queries: Seq[DeclaredQuery] = Seq(
 
@@ -469,7 +488,7 @@ object Relational {
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_nationkey"), col("l_partkey"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("val"))
-          .localCheckpoint()
+          .snap()
         val g = v.agg(sum(col("val")).as("tot"), count(lit(1)).as("ng"))
         val nat = Tables.table(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))
@@ -598,7 +617,7 @@ object Relational {
           // r13: materialize the ≤|suppliers|-row frame once — the max
           // scalar's broadcast build re-ran the whole filtered lineitem
           // aggregation (the r17 pattern; 2 fact passes → 1)
-          .localCheckpoint()
+          .snap()
         val mx = rev.agg(max(col("r")).as("m"))
         rev.crossJoin(broadcast(mx))
           .filter(col("r") === col("m"))
@@ -630,19 +649,12 @@ object Relational {
          |WHERE val.v * 1000 > tot.t
          |ORDER BY val.v DESC, val.l_partkey""".stripMargin) {
       (s, dir) =>
-        val supp = Tables.table(s, dir, "supplier")
-          .join(broadcast(Tables.table(s, dir, "nation")
-            .filter(col("n_regionkey") === 2).select(col("n_nationkey"))),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"))
-        val valF = Tables.table(s, dir, "lineitem")
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
-          .groupBy(col("l_partkey"))
-          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("v"))
-          // r13: materialize the ≤|parts|-row frame once — the total
-          // scalar's broadcast build re-ran the semi-joined lineitem
-          // aggregation (the r17 pattern; 2 fact passes → 1)
-          .localCheckpoint()
+        // r13: materialize the ≤|parts|-row frame once — the total
+        // scalar's broadcast build re-ran the semi-joined lineitem
+        // aggregation (the r17 pattern; 2 fact passes → 1). The BUILD
+        // frame is exposed (r21ValFBuild) so the plan guard pins its
+        // broadcast-LeftSemi-into-lineitem shape (round-13 ADVICE).
+        val valF = r21ValFBuild(s, dir).snap()
         val tot = valF.agg(sum(col("v")).as("t"))
         valF.crossJoin(broadcast(tot))
           .filter(col("v").cast("decimal(38,0)") * lit(1000) >

@@ -177,8 +177,13 @@ object TextPipeline {
         // r13 (guide §3.1): freq is vocabulary×lang-sized (a derived frame,
         // so the planner has no size estimate and was shuffling BOTH sides
         // by tok) — broadcast it and the doc-token side never shuffles
-        // before its (doc, lang, cand) score aggregation.
-        val scores = docTok.join(broadcast(freq), col("tok") === col("ftok"))
+        // before its (doc, lang, cand) score aggregation. r14: hint bounded
+        // by the measured vocabulary × a generous lang-count allowance
+        // (16 × ~56 B/row) — an unbounded vocabulary must not be forced
+        // into a driver-OOM broadcast.
+        val freqH = if (Tables.vocabSize(s, dir) * 16L * 56L <=
+            graft.operators.TrajectorySearch.broadcastCap(s)) broadcast(freq) else freq
+        val scores = docTok.join(freqH, col("tok") === col("ftok"))
           .groupBy(col("doc_id"), col("lang"), col("cand"))
           .agg(sum(col("occ") * col("cnt")).as("score"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
@@ -514,10 +519,14 @@ object TextPipeline {
         val tf = Tables.docTermFreq(s, dir) // shared posting-list frame (d20 too)
         // r13: df is the memoized IDF sidecar (Tables.tokenDocFreq, shared
         // with d20/d21) and vocabulary-sized — broadcast it so the posting
-        // frame never shuffles for this join
+        // frame never shuffles for this join. r14: the hint is bounded by
+        // the MEASURED vocabulary (~48 B/row), since a forced broadcast of
+        // an unbounded vocabulary is a driver OOM, not a plan.
         val df = Tables.tokenDocFreq(s, dir)
+        val dfH = if (Tables.vocabSize(s, dir) * 48L <=
+            graft.operators.TrajectorySearch.broadcastCap(s)) broadcast(df) else df
         val n = Tables.table(s, dir, "documents").select(count(lit(1)).as("n"))
-        tf.join(broadcast(df), "tok")
+        tf.join(dfH, "tok")
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("tok"),
             round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("score"))
@@ -1175,7 +1184,7 @@ object TextPipeline {
             / col("w").cast("double")).as("k"))
         graft.operators.Rank.topKPerGroup(keyed, Seq(col("source")),
             Seq(col("k").desc, col("doc_id")), 10,
-            bucketKey = col("doc_id"), rankCol = "rk")
+            rankCol = "rk")
           .select(col("source"), col("rk"), col("doc_id"), col("w"))
           .orderBy(col("source"), col("rk"))
     },

@@ -205,6 +205,20 @@ class ExplainPlanTest extends AnyFunSuite {
       "embeddings must not be re-scanned by the final plan\n" + p)
     assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")), p)
     assert(!p.contains("CartesianProduct"), p)
+    // r14 (round-13 ADVICE): the BUILD subtree lives behind the checkpoint
+    // and the final plan can't show it — pin its shape directly: one
+    // embeddings scan, posexplode, and a partial (map-side) aggregation
+    // BEFORE the (label, pos) exchange.
+    val b = graft.queries.JsonDocs
+      .v6SumsBuild(TestSpark.spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(b.linesIterator.count(_.contains("embeddings.parquet")) == 1, b)
+    assert(b.contains("Generate posexplode"), b)
+    val exIdx = b.linesIterator.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partialIdx = b.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum"))
+    assert(exIdx >= 0 && partialIdx > exIdx, // plans print top-down
+      s"map-side combine must sit BELOW the exchange (ex@$exIdx partial@$partialIdx)\n" + b)
   }
 
   test("p20: vocab log-prob frame broadcasts to the tf join") {
@@ -229,6 +243,16 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.contains("lineitem.parquet"),
       "lineitem must not be re-scanned by the final plan\n" + p)
     assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")), p)
+    // r14 (round-13 ADVICE): pin the checkpoint-BUILD subtree's own shape —
+    // the supplier reduction must reach lineitem as a broadcast LEFT SEMI
+    // below the per-part aggregation, with map-side partial aggregation.
+    val b = graft.queries.Relational
+      .r21ValFBuild(TestSpark.spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin") && b.contains("LeftSemi"), b)
+    assert(b.linesIterator.count(_.contains("lineitem.parquet")) == 1, b)
+    assert(b.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum")), b)
   }
 
   test("e10: day rollup consumes the reduced hourly frame (two agg levels, one exchange chain)") {
@@ -385,7 +409,7 @@ class ExplainPlanTest extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val o = Tables.table(TestSpark.spark, TestSpark.sf0001, "orders")
     val p = graft.operators.Rank.topKPerGroup(o, Seq(col("o_custkey")),
-        Seq(col("o_totalprice").desc, col("o_orderkey")), 3, col("o_orderkey"))
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2, p)
   }

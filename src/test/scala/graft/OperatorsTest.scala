@@ -182,23 +182,22 @@ class OperatorsTest extends AnyFunSuite {
     }
   }
 
-  test("two-stage per-group top-k equals the single-window form") {
-    import org.apache.spark.sql.expressions.Window
+  test("topKPerGroup equals a brute-force per-group sort (r14: the former " +
+      "two-stage-vs-window arm became tautological once both ran the window)") {
     val rnd = new scala.util.Random(21)
-    val df = (0 until 5000).map(_ =>
+    val rows = (0 until 5000).map(_ =>
       (rnd.nextInt(7).toLong, rnd.nextLong(), rnd.nextInt(100)))
-      .toDF("g", "id", "v")
+    val df = rows.toDF("g", "id", "v")
     for (k <- Seq(1, 5, 40)) {
-      val twoStage = graft.operators.Rank.topKPerGroup(
-        df, Seq($"g"), Seq($"v", $"id"), k, bucketKey = $"id", buckets = 4)
-        .select($"g", $"id", $"v").orderBy($"g", $"v", $"id")
-        .collect().map(_.toString).toSeq
-      val single = df
-        .withColumn("rk", row_number().over(Window.partitionBy($"g").orderBy($"v", $"id")))
-        .filter($"rk" <= k)
-        .select($"g", $"id", $"v").orderBy($"g", $"v", $"id")
-        .collect().map(_.toString).toSeq
-      assert(twoStage == single, s"k=$k")
+      val got = graft.operators.Rank.topKPerGroup(
+        df, Seq($"g"), Seq($"v", $"id"), k)
+        .select($"g", $"id", $"v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // plain-Scala oracle: per group, the k smallest under the (v, id) order
+      val brute = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(k)
+      }.toSet
+      assert(got == brute, s"k=$k")
     }
   }
 
@@ -696,16 +695,15 @@ class OperatorsTest extends AnyFunSuite {
     }.toSet
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      for (parts <- Seq(1, 4, 7); buckets <- Seq(2, 7)) {
+      for (parts <- Seq(1, 4, 7)) {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         val df = rows.toDF("source", "doc_id", "k").repartition(parts)
         val got = graft.operators.Rank.topKPerGroup(df, Seq($"source"),
-            Seq($"k".desc, $"doc_id"), 10, bucketKey = $"doc_id",
-            rankCol = "rk", buckets = buckets)
+            Seq($"k".desc, $"doc_id"), 10, rankCol = "rk")
           .select($"source", $"rk", $"doc_id").collect()
           .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
         assert(got == expected,
-          s"selection drifted at shufflePartitions=$parts buckets=$buckets")
+          s"selection drifted at shufflePartitions=$parts")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }

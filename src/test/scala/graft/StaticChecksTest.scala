@@ -73,10 +73,14 @@ class StaticChecksTest extends AnyFunSuite {
     // ShardPack.appendAssign's two 1-row collects (the table token-carry
     // aggregate and the batch min-doc_id append-order guard) — and
     // GeofenceJoin.derivePitch's 1-row fence-extent aggregate (the cell
-    // pitch of the broadcast-side blocking grid).
+    // pitch of the broadcast-side blocking grid) — JsonDocs
+    // .bm25QueryConsts' ≤|query terms|-row constants collect (memoized per
+    // session+dir; replayed as the d20/d21 broadcast LocalRelation) — and
+    // Probe's two MaxMaskVocab+1-bounded vocabulary collects (d12ab /
+    // d12cold — diagnostic mains, never on a query path).
     // Each allowed site must mention its bound nearby; this guard just
     // keeps the count from silently growing.
     val n = mainSources.map(_._2.sliding("collect()".length).count(_ == "collect()")).sum
-    assert(n <= 38, s"collect() call count grew to $n — audit new driver-side collects")
+    assert(n <= 41, s"collect() call count grew to $n — audit new driver-side collects")
   }
 }

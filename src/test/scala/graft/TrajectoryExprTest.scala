@@ -236,6 +236,24 @@ class TrajectoryExprTest extends AnyFunSuite {
     assert(px == 1.0 && py == 1.0)
   }
 
+  test("Hausdorff computeNoCopy == copy kernel on randomized trajectories and bounds") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(1714)
+    def traj(n: Int): (Array[Double], Array[Double]) =
+      (Array.fill(n)(rnd.nextDouble() * 40 - 20), Array.fill(n)(rnd.nextDouble() * 40 - 20))
+    for (_ <- 0 until 300) {
+      val (xa, ya) = traj(rnd.nextInt(20))
+      val (xb, yb) = traj(rnd.nextInt(20))
+      val bound = Seq(0.0, 0.5, 5.0, 50.0, Double.MaxValue)(rnd.nextInt(5))
+      val ref = graft.geo.Metrics.hausdorffBounded(xa, ya, xb, yb, bound)
+      val got = graft.functions.HausdorffKernelStatic.computeNoCopy(
+        ArrayData.toArrayData(xa), ArrayData.toArrayData(ya),
+        ArrayData.toArrayData(xb), ArrayData.toArrayData(yb), bound)
+      // bit-identical, including the early-abandon certificate values
+      assert(java.lang.Double.compare(ref, got) == 0, s"$ref != $got (bound=$bound)")
+    }
+  }
+
   test("GeofenceJoin.derivePitch: memoized per fence table — a fresh frame with " +
       "the same data runs NO job, a different table gets its own pitch") {
     import graft.geo.Fences
