@@ -281,8 +281,10 @@ object Probe {
           time(s"t30 full count #$i")(SparkEntry.queries("t30_geofence_join")(spark, sfDir).count())
           time(s"t31 full count #$i")(SparkEntry.queries("t31_geofence_dwell")(spark, sfDir).count())
         }
-      case name =>
-        for (i <- 1 to 3)
+      case _ =>
+        // any other args: treat each as a declared query name; 3 passes in
+        // round-robin (the Bench decorrelation protocol)
+        for (i <- 1 to 3; name <- args)
           time(s"$name full count #$i")(SparkEntry.queries(name)(spark, sfDir).count())
     }
     spark.stop()

@@ -239,6 +239,18 @@ object Tables {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Corpus bigram counts (w1, w2, n) over [[docBigramTf]] — the
+    * vocabulary²-bounded fact frame of the bigram-LM family (r14): p21 and
+    * p25 each re-aggregated the per-doc posting frame on EVERY call to get
+    * the same query-independent counts; the aggregation now runs once per
+    * session (Σ per-doc tf ≡ the raw bigram count — exact integers). */
+  def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, "bigramCounts")) {
+      docBigramTf(spark, sfDir)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Measured vocabulary size = rows of [[tokenDocFreq]] — one cheap count
     * over the persisted sidecar, memoized per (session, dir). Gates the
     * vocabulary-frame broadcast HINTS (p3/p18, round-13 ADVICE): a corpus

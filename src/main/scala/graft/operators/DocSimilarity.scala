@@ -238,7 +238,13 @@ object DocSimilarity {
     * evaluation — and dominated the group-pair join (measured: d12 cold
     * 64.9 s → 4.1 s after unroll + length prune, guide §1.2/§4: the
     * per-pair work IS the distributed algorithm here). The unrolled sum is
-    * plain `bit_count`/`&`/`element_at` expressions — whole-stage codegen. */
+    * plain `bit_count`/`&`/`element_at` expressions — whole-stage codegen.
+    *
+    * GENERATED-CODE BOUND: the unroll emits `nWords` terms, and every caller
+    * derives nWords from a vocabulary already capped at [[MaxMaskVocab]], so
+    * the expression tree is at most ceil(4096/64) = 64 popcount terms — far
+    * below codegen limits. A larger vocabulary never reaches this code: the
+    * strategy choosers route it to the prefix-filtered inverted index. */
   private def maskInterCol(nWords: Int): org.apache.spark.sql.Column =
     (0 until nWords)
       .map(w => expr(s"bit_count(m1[$w] & m2[$w])"))

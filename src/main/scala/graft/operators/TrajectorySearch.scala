@@ -117,13 +117,23 @@ object TrajectorySearch {
   def allPairsTopK(ta0: DataFrame, k: Int, metric: String = "hausdorff",
                    seedFactor: Int = 3): DataFrame = {
     val ta = ensureBoxes(ta0)
-    allPairsTopKOf(ta, trajStats(ta), k, metric, seedFactor)
+    allPairsTopKOf(ta, trajStats(ta), k, metric, seedFactor, cacheKey = None)
   }
+
+  /** All-pairs bound frames memoized per (session, caller key) — the
+    * [[trajStatsCached]] contract: (u1, u2, lb) is a deterministic,
+    * query-independent artifact of the immutable-per-session trajectory
+    * table, and its checkpoint build (the |users|²/2 box scan) cost ~0.7 s
+    * per t2 call at sf0.1. Memoized only when the caller supplies a key;
+    * checkpoint blocks are reclaimed by the ContextCleaner on eviction. */
+  private val lbsMemo =
+    new graft.util.Memo[(SparkSession, String), DataFrame]()(_ => ())
 
   /** [[allPairsTopK]] with the stats precomputed — the Auto dispatcher
     * already paid the count/median aggregate; don't run it twice. */
   private def allPairsTopKOf(ta: DataFrame, st: TrajStats, k: Int,
-                             metric: String, seedFactor: Int): DataFrame = {
+                             metric: String, seedFactor: Int,
+                             cacheKey: Option[String]): DataFrame = {
     val hintFat = st.estArrayBytes <= broadcastCap(ta.sparkSession)
     val fn = metricCol(metric, ta.sparkSession)
     val fat1 = ta.select(col("user_id").as("u1"), col("xs").as("xs1"), col("ys").as("ys1"))
@@ -136,9 +146,14 @@ object TrajectorySearch {
       pairs.join(hinted(fat1, hintFat), "u1").join(hinted(fat2, hintFat), "u2")
 
     // ONE pair scan: the 24-byte (u1, u2, lb) rows are materialized via
-    // localCheckpoint and serve both the seed TakeOrdered and the refine
-    // filter (the executor-storage copy is GC-cleaned with the plan).
-    val lbs = graft.util.Snap(allPairsLbOf(ta, st))
+    // Snap and serve both the seed TakeOrdered and the refine filter (the
+    // executor-storage copy is GC-cleaned with the plan); keyed callers
+    // (t2) reuse the frame across calls via lbsMemo.
+    val lbs = cacheKey match {
+      case Some(key) => lbsMemo.getOrElseUpdate((ta.sparkSession, s"$key#lb"))(
+        graft.util.Snap(allPairsLbOf(ta, st)))
+      case None => graft.util.Snap(allPairsLbOf(ta, st))
+    }
 
     val seeds = withArrays(
       lbs.orderBy(col("lb"), col("u1"), col("u2")).limit(seedFactor * k))
@@ -188,7 +203,7 @@ object TrajectorySearch {
     if (allPairsUseTiled(st, broadcastCap(ta.sparkSession)))
       StrPartition.allPairsTopKStr(ta, k, metric, seedFactor = seedFactor,
         cacheKey = cacheKey)
-    else allPairsTopKOf(ta, st, k, metric, seedFactor)
+    else allPairsTopKOf(ta, st, k, metric, seedFactor, cacheKey)
   }
 
   /** Reference-workload batch form of O15: top-k most similar trajectories

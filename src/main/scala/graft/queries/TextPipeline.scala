@@ -645,7 +645,10 @@ object TextPipeline {
         // no bigram-string concat on the build side and no re-split in the
         // c1 marginal (identical integer counts; oracle unchanged).
         val tf = Tables.docBigramTf(s, dir)
-        val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+        // r14: the (w1, w2) corpus counts are the memoized
+        // Tables.bigramCounts artifact (shared with p25) — the per-call
+        // re-aggregation of the posting frame is gone.
+        val c2 = Tables.bigramCounts(s, dir).withColumnRenamed("n", "c2")
         val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
         val lp = c2.join(broadcast(c1), "w1")
           .select(col("w1"), col("w2"),
@@ -803,12 +806,10 @@ object TextPipeline {
         |FROM top1 t JOIN c1 ON t.w1 = c1.w1
         |ORDER BY c1.c1 DESC, t.w1 LIMIT 10""".stripMargin) {
       (s, dir) =>
-        // r13: re-aggregate the shared Tables.docBigramTf posting frame
-        // (Σ per-doc tf ≡ the raw bigram count — exact integers, oracle
-        // unchanged) instead of a second full shingle explode of the corpus.
-        val c2 = Tables.docBigramTf(s, dir)
-          .groupBy(col("w1"), col("w2"))
-          .agg(sum(col("tf")).as("c"))
+        // r13: Σ per-doc tf ≡ the raw bigram count — exact integers, oracle
+        // unchanged. r14: the counts are the memoized Tables.bigramCounts
+        // artifact (shared with p21) instead of a per-call re-aggregation.
+        val c2 = Tables.bigramCounts(s, dir).withColumnRenamed("n", "c")
         val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
           .withColumnRenamed("w1", "k1")
         val wTop = Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))
