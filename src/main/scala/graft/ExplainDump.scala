@@ -26,8 +26,18 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // pseudo-names for checkpoint-BUILD subtrees, which the final query
+    // plans hide behind `Scan ExistingRDD` (r14): dumpable first-class so
+    // plan claims about the builds stay checkable without running Spark
+    val builds: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "t21_brute_half_build" -> ((s, d) =>
+        graft.operators.TrajectorySearch.bruteHalfBuild(
+          Tables.trajArrays(s, d, "purchase"), "hausdorff", hintBroadcast = true)),
+      "v6_sums_build" -> ((s, d) => graft.queries.JsonDocs.v6SumsBuild(s, d)),
+      "r21_valf_build" -> ((s, d) => graft.queries.Relational.r21ValFBuild(s, d)))
     for (n <- names) {
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      val df = builds.get(n).map(_(spark, sfDir))
+        .getOrElse(SparkEntry.queries(n)(spark, sfDir))
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       Files.write(Paths.get(outDir, s"${n}_$suffix.txt"), txt.getBytes("UTF-8"))

@@ -479,8 +479,11 @@ object TrajectorySearch {
     }
   }
 
-  private def bruteKnnJoin(ta: DataFrame, k: Int, metric: String,
-                           hintBroadcast: Boolean): DataFrame = {
+  /** The brute half-join's checkpoint-BUILD frame (pre-snap), exposed so
+    * the plan guard and plans/r14 dumps can pin the kernel stage's shape —
+    * the final query plan only shows the checkpointed ExistingRDD. */
+  private[graft] def bruteHalfBuild(ta: DataFrame, metric: String,
+                                    hintBroadcast: Boolean): DataFrame = {
     val fn = metricCol(metric, ta.sparkSession)
     // explicit fan-out of the STREAMED side (the allPairsLbOf rule): the
     // per-user array table is physically a FEW small partitions (AQE
@@ -493,12 +496,17 @@ object TrajectorySearch {
       .repartition(ta.sparkSession.sparkContext.defaultParallelism, col("u1"))
     val b0 = ta.select(col("user_id").as("u2"), col("xs").as("xs2"), col("ys").as("ys2"))
     val b = if (hintBroadcast) broadcast(b0) else b0
-    // one kernel evaluation per unordered pair; the 24-byte (u1, u2, d)
-    // rows are materialized so the mirror does not re-run the kernels
-    val half = a.join(b, col("u1") < col("u2"))
+    // one kernel evaluation per unordered pair
+    a.join(b, col("u1") < col("u2"))
       .select(col("u1"), col("u2"),
         round(fn(col("xs1"), col("ys1"), col("xs2"), col("ys2")), 6).as("dist"))
-      .snap()
+  }
+
+  private def bruteKnnJoin(ta: DataFrame, k: Int, metric: String,
+                           hintBroadcast: Boolean): DataFrame = {
+    // the 24-byte (u1, u2, d) rows are materialized so the mirror does not
+    // re-run the kernels
+    val half = bruteHalfBuild(ta, metric, hintBroadcast).snap()
     val sym = half.unionAll(
         half.select(col("u2").as("u1"), col("u1").as("u2"), col("dist")))
       .select(col("u1").as("q_user"), col("u2").as("user_id"), col("dist"))

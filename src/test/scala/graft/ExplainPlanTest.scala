@@ -233,6 +233,19 @@ class ExplainPlanTest extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t21 brute half-join build: streamed side fanned to every core before the kernel") {
+    // r14: the per-user array table is AQE-coalesced to ~1 partition, so
+    // without the explicit repartition the whole |users|²/2 kernel scan ran
+    // in ONE task. Pin the u1 fan-out exchange in the BUILD plan (the final
+    // t21 plan hides it behind the checkpoint).
+    val ta = Tables.trajArrays(TestSpark.spark, TestSpark.sf0001, "purchase")
+    val b = graft.operators.TrajectorySearch
+      .bruteHalfBuild(ta, "hausdorff", hintBroadcast = true)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("Exchange hashpartitioning(u1"), b)
+    assert(b.contains("HausdorffKernelStatic.compute"), b)
+  }
+
   test("r21: the fact pass runs once — final plan reads the checkpointed per-part frame") {
     // r13: the semi-joined lineitem aggregation is localCheckpoint'd at
     // build (its own plan carries the broadcast LeftSemi the pre-r13 guard
